@@ -1,0 +1,254 @@
+"""Coupled quasiparticle–phonon collision integrator (Fischer–Catelani local).
+
+This is the TPU rewrite of the reference's hottest code path: a Python loop
+over pixels, each doing O(NE²) matvecs and 2–3 ``np.bincount`` scatters
+(``/root/reference/qpsim/solver.py:703-875``).  Here the *same physics* is a
+single fused XLA computation over all pixels:
+
+* pair-index gathers ``n_ph[ω(i,j)]`` become ``jnp.take`` with static maps;
+* the per-pixel matvecs become batched einsums (pixels are the batch axis);
+* the ω-bin scatters become one (P, NE²) @ (NE², NW) matmul against a static
+  one-hot matrix (MXU work — for uniform energy grids NW = O(NE));
+* the positivity-preserving exponential updates stay elementwise (VPU).
+
+Pixels are processed in fixed-size chunks via ``lax.map`` so HBM usage stays
+bounded on 1024² grids.
+
+Physics summary (per pixel, per collision substep of length dt):
+
+  QP gains/losses
+    scattering in :  dE·ρᵢ(1−fᵢ)·Σⱼ K^s_eff[j,i]·nⱼ
+    scattering out:  nᵢ·dE·Σⱼ K^s_eff[i,j]·ρⱼ(1−fⱼ)       (rate)
+    recombination :  loss 2dE·Σⱼ K^r₀(1+n_ph(Eᵢ+Eⱼ))·nⱼ   (rate)
+    pair-breaking :  gain 2dE·ρᵢ(1−fᵢ)·Σⱼ K^r₀·n_ph(Eᵢ+Eⱼ)·ρⱼ(1−fⱼ)
+    update: n⁺ = e^{−μdt} n + (1−e^{−μdt})·gain/μ, μ = loss rate  (≥0)
+
+  Phonon rates (scattered onto ω bins)
+    emission (i>j):  +dE·nᵢ·K^s₀·ρⱼ(1−fⱼ)  → a and b
+    absorption(i<j): −dE·nᵢ·K^s₀·ρⱼ(1−fⱼ)  → b only
+    recombination :  +dE·nᵢ·K^r₀·nⱼ         → a and b
+    pair-breaking :  −dE·ρᵢ(1−fᵢ)K^r₀ρⱼ(1−fⱼ) → b only
+    update: solve y' = a + b·y with frozen coefficients, clamp ≥ 0.
+
+K^s_eff dresses the base kernel with the *local, dynamic* phonon occupation:
+(1+n_ph) for emission, n_ph for absorption, zero diagonal.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .phonon_map import PhononFrequencyMap
+
+__all__ = ["CollisionPlan", "build_collision_plan_arrays", "make_collision_step"]
+
+#: default number of pixels processed per chunk.
+DEFAULT_PIXEL_CHUNK = 4096
+
+_MU_FLOOR = 1e-14
+_AFFINE_CLIP = 80.0
+_RHO_FLOOR = 1e-30
+
+
+@dataclass
+class CollisionPlan:
+    """Static device-resident inputs of the collision step.
+
+    ``rho``/``K_r0``/``K_s0`` are indexed by gap id (G unique gap values;
+    G == 1 for a uniform film) and gathered per pixel chunk — the reference's
+    unique-gap cache (solver.py:1212-1232) made native instead of
+    materialising (Npix, NE, NE) kernels.
+    """
+
+    dE: float
+    rho: jax.Array  # (G, NE)
+    K_r0: jax.Array | None  # (G, NE, NE)
+    K_s0: jax.Array | None  # (G, NE, NE)
+    gap_id_flat: jax.Array  # (P_padded,) int32 per dense pixel
+    idx_diff: jax.Array  # (NE*NE,) int32
+    idx_sum: jax.Array  # (NE*NE,) int32
+    emit_mask: jax.Array  # (NE, NE) 1.0 where E_i > E_j
+    absorb_mask: jax.Array  # (NE, NE) 1.0 where E_i < E_j
+    scatter_diff: jax.Array  # (NE*NE, NW)
+    scatter_sum: jax.Array  # (NE*NE, NW)
+    enable_recombination: bool
+    enable_scattering: bool
+    update_phonons: bool
+    num_energy_bins: int
+    num_omega: int
+    pixel_chunk: int
+
+
+def build_collision_plan_arrays(
+    *,
+    dE: float,
+    rho_by_gap: np.ndarray,
+    K_r0_by_gap: np.ndarray | None,
+    K_s0_by_gap: np.ndarray | None,
+    gap_id: np.ndarray,
+    pmap: PhononFrequencyMap,
+    enable_recombination: bool,
+    enable_scattering: bool,
+    update_phonons: bool,
+    dtype=jnp.float64,
+    pixel_chunk: int = DEFAULT_PIXEL_CHUNK,
+) -> CollisionPlan:
+    """Upload host-precomputed collision data as a :class:`CollisionPlan`.
+
+    ``gap_id`` is an int array over the dense (Ny, Nx) grid (0 for masked-out
+    cells — their state is zero so they contribute nothing).
+    """
+    ne = int(rho_by_gap.shape[-1])
+    sign = pmap.diff_sign
+    gap_flat = np.asarray(gap_id, dtype=np.int32).ravel()
+    chunk = int(min(pixel_chunk, _round_up(gap_flat.size, 8)))
+    pad = _round_up(gap_flat.size, chunk) - gap_flat.size
+    gap_flat = np.pad(gap_flat, (0, pad))
+    return CollisionPlan(
+        dE=float(dE),
+        rho=jnp.asarray(rho_by_gap, dtype=dtype),
+        K_r0=None if K_r0_by_gap is None else jnp.asarray(K_r0_by_gap, dtype=dtype),
+        K_s0=None if K_s0_by_gap is None else jnp.asarray(K_s0_by_gap, dtype=dtype),
+        gap_id_flat=jnp.asarray(gap_flat),
+        idx_diff=jnp.asarray(pmap.idx_diff.reshape(-1)),
+        idx_sum=jnp.asarray(pmap.idx_sum.reshape(-1)),
+        emit_mask=jnp.asarray((sign > 0).astype(np.float64), dtype=dtype),
+        absorb_mask=jnp.asarray((sign < 0).astype(np.float64), dtype=dtype),
+        scatter_diff=jnp.asarray(pmap.scatter_diff, dtype=dtype),
+        scatter_sum=jnp.asarray(pmap.scatter_sum, dtype=dtype),
+        enable_recombination=bool(enable_recombination),
+        enable_scattering=bool(enable_scattering),
+        update_phonons=bool(update_phonons),
+        num_energy_bins=ne,
+        num_omega=pmap.num_omega,
+        pixel_chunk=chunk,
+    )
+
+
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+def _relaxation_update(n, gain, loss_rate, dt):
+    """Positivity-preserving exponential update for dn/dt = gain − loss·n.
+
+    Uses expm1 for (1−e^{−μdt})/μ: the reference computes exp()−1 directly
+    (solver.py:658-661), which cancels catastrophically for μdt ≪ 1 and
+    limits cross-implementation parity to ~1e-12 relative.
+    """
+    mu = jnp.maximum(loss_rate, 0.0)
+    p_term = jnp.maximum(gain + (mu - loss_rate) * n, 0.0)
+    decay = jnp.exp(-mu * dt)
+    coeff = jnp.where(
+        mu < _MU_FLOOR, dt, -jnp.expm1(-mu * dt) / jnp.maximum(mu, _MU_FLOOR)
+    )
+    return jnp.maximum(decay * n + coeff * p_term, 0.0)
+
+
+def _affine_growth_update(y, a_term, b_term, dt):
+    """Exact frozen-coefficient solve of y' = a + b·y, clamped non-negative."""
+    x = jnp.clip(b_term * dt, -_AFFINE_CLIP, _AFFINE_CLIP)
+    safe_b = jnp.where(jnp.abs(b_term) < _MU_FLOOR, 1.0, b_term)
+    coeff = jnp.where(jnp.abs(b_term) < _MU_FLOOR, dt, jnp.expm1(x) / safe_b)
+    return jnp.maximum(jnp.exp(x) * y + coeff * a_term, 0.0)
+
+
+def make_collision_step(plan: CollisionPlan, dt: float):
+    """Build ``(n_qp, n_ph) -> (n_qp, n_ph)`` for one collision substep.
+
+    State shapes: n_qp (NE, Ny, Nx), n_ph (NW, Ny, Nx); dt is baked in.
+    """
+    ne = plan.num_energy_bins
+    nw = plan.num_omega
+    dE = plan.dE
+    dt = float(dt)
+    single_gap = int(plan.rho.shape[0]) == 1
+
+    def chunk_update(args):
+        q, ph, gid = args  # (C, NE), (C, NW), (C,)
+        if single_gap:
+            rho = plan.rho[0][None, :]
+            K_r0 = None if plan.K_r0 is None else plan.K_r0[0][None]
+            K_s0 = None if plan.K_s0 is None else plan.K_s0[0][None]
+        else:
+            rho = plan.rho[gid]
+            K_r0 = None if plan.K_r0 is None else plan.K_r0[gid]
+            K_s0 = None if plan.K_s0 is None else plan.K_s0[gid]
+
+        f = q / jnp.maximum(rho, _RHO_FLOOR)
+        omf = jnp.maximum(1.0 - f, 0.0)
+        partner = rho * omf  # ρ(1−f): pair-breaking target density
+
+        gain = jnp.zeros_like(q)
+        loss = jnp.zeros_like(q)
+        a_ph = jnp.zeros((q.shape[0], nw), dtype=q.dtype)
+        b_ph = jnp.zeros_like(a_ph)
+
+        if plan.enable_scattering and K_s0 is not None:
+            n_diff = jnp.take(ph, plan.idx_diff, axis=-1).reshape(-1, ne, ne)
+            np_diff = plan.emit_mask * (1.0 + n_diff) + plan.absorb_mask * n_diff
+            Ks_eff = K_s0 * np_diff  # (C, NE, NE)
+            gain = gain + dE * partner * jnp.einsum("cji,cj->ci", Ks_eff, q)
+            loss = loss + dE * jnp.einsum("cij,cj->ci", Ks_eff, partner)
+            if plan.update_phonons:
+                base_sc = dE * (q[:, :, None] * K_s0 * partner[:, None, :])
+                emit = (base_sc * plan.emit_mask).reshape(-1, ne * ne) @ plan.scatter_diff
+                absorb = (base_sc * plan.absorb_mask).reshape(-1, ne * ne) @ plan.scatter_diff
+                a_ph = a_ph + emit
+                b_ph = b_ph + emit - absorb
+
+        if plan.enable_recombination and K_r0 is not None:
+            n_sum = jnp.take(ph, plan.idx_sum, axis=-1).reshape(-1, ne, ne)
+            loss = loss + 2.0 * dE * jnp.einsum("cij,cj->ci", K_r0 * (1.0 + n_sum), q)
+            gain = gain + 2.0 * dE * partner * jnp.einsum(
+                "cij,cj->ci", K_r0 * n_sum, partner
+            )
+            if plan.update_phonons:
+                base_rec = dE * (q[:, :, None] * K_r0 * q[:, None, :])
+                rec = base_rec.reshape(-1, ne * ne) @ plan.scatter_sum
+                base_pb = dE * (partner[:, :, None] * K_r0 * partner[:, None, :])
+                pb = base_pb.reshape(-1, ne * ne) @ plan.scatter_sum
+                a_ph = a_ph + rec
+                b_ph = b_ph + rec - pb
+
+        q_new = _relaxation_update(q, gain, loss, dt)
+        if plan.update_phonons:
+            ph_new = _affine_growth_update(ph, a_ph, b_ph, dt)
+        else:
+            ph_new = ph
+        return q_new, ph_new
+
+    pad_to = plan.gap_id_flat.shape[0]
+    chunk = plan.pixel_chunk
+    n_chunks = pad_to // chunk
+
+    def step(n_qp: jax.Array, n_ph: jax.Array) -> tuple[jax.Array, jax.Array]:
+        if not (plan.enable_scattering or plan.enable_recombination):
+            return n_qp, n_ph
+        ny, nx = n_qp.shape[-2:]
+        p_live = ny * nx
+        q = n_qp.reshape(ne, p_live).T
+        ph = n_ph.reshape(nw, p_live).T
+        pad = pad_to - p_live
+        if pad:
+            q = jnp.pad(q, ((0, pad), (0, 0)))
+            ph = jnp.pad(ph, ((0, pad), (0, 0)))
+        qc = q.reshape(n_chunks, chunk, ne)
+        pc = ph.reshape(n_chunks, chunk, nw)
+        gc = plan.gap_id_flat.reshape(n_chunks, chunk)
+        if n_chunks == 1:
+            q_new, ph_new = chunk_update((qc[0], pc[0], gc[0]))
+            q_new = q_new[None]
+            ph_new = ph_new[None]
+        else:
+            q_new, ph_new = jax.lax.map(chunk_update, (qc, pc, gc))
+        q_out = q_new.reshape(pad_to, ne)[:p_live].T.reshape(ne, ny, nx)
+        ph_out = ph_new.reshape(pad_to, nw)[:p_live].T.reshape(nw, ny, nx)
+        return q_out, ph_out
+
+    return step

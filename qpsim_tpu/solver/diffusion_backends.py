@@ -1,0 +1,187 @@
+"""Crank–Nicolson diffusion backends for TPU.
+
+Two interchangeable implementations of one step contract:
+
+    step(state) -> state        # state: (NB, Ny, Nx), dt baked in at build
+
+* :class:`DenseSpectralDiffusion` — **exact unsplit CN**.  The masked P×P
+  operator L is symmetric (interior couplings are reciprocal and boundary
+  terms are diagonal), so one host-side eigendecomposition L = Q Λ Qᵀ turns
+  every CN solve into two dense matmuls:
+
+      u⁺ = Q · diag((1+αλ)/(1−αλ)) · Qᵀ u  +  const
+
+  This is the replacement for the reference's per-bin SuperLU factorisations
+  (``/root/reference/qpsim/solver.py:221-232,1139-1174``): the per-step work
+  is MXU matmuls instead of sparse triangular solves, and it is bit-level
+  equivalent to unsplit CN — used for parity/validation and small grids.
+
+* :class:`ADIDiffusion` — Peaceman–Rachford alternating-direction splitting
+  with batched Thomas solves (``qpsim_tpu.ops.tridiag``).  Exactly CN for 1D
+  strips; O(dt²) consistent with unsplit CN in 2D; linear cost in grid size,
+  so it is the scalable path for 512²–1024² grids.
+
+Both backends treat masked-out cells as inert identity rows.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.diffusion import (
+    SplitOperator,
+    active_indices,
+    assemble_dense_operator,
+)
+from ..ops.tridiag import tridiag_solve, tridiag_solve_along
+
+__all__ = ["DenseSpectralDiffusion", "ADIDiffusion", "choose_backend"]
+
+#: grids with at most this many interior cells default to the dense backend.
+DENSE_BACKEND_MAX_CELLS = 4096
+
+
+class DenseSpectralDiffusion:
+    """Exact unsplit CN via spectral decomposition of the masked operator."""
+
+    def __init__(self, op: SplitOperator, dtype=jnp.float64):
+        self.dtype = dtype
+        self.mask = np.asarray(op.mask, dtype=bool)
+        self._flat_active = jnp.asarray(active_indices(self.mask))
+        self.num_bins = op.num_bins
+        L, src = assemble_dense_operator(op)  # (NB,P,P), (NB,P) float64
+        self.p = L.shape[-1]
+        # One eigendecomposition per distinct operator.  With a per-bin
+        # uniform D the bins share eigenvectors only if D is folded outside;
+        # here D is already folded, so detect shared structure cheaply.
+        self._shared = all(np.array_equal(L[0], L[b]) for b in range(1, L.shape[0]))
+        if self._shared:
+            lam, Q = np.linalg.eigh(L[0])
+            self._lam = lam[None, :]
+            self._Q = Q[None, :, :]
+        else:
+            lams, Qs = [], []
+            for b in range(L.shape[0]):
+                lam, Q = np.linalg.eigh(L[b])
+                lams.append(lam)
+                Qs.append(Q)
+            self._lam = np.stack(lams)
+            self._Q = np.stack(Qs)
+        self._src = src
+
+    def make_step(self, dt: float):
+        """Return a jit-composable CN step with this dt baked in."""
+        alpha = 0.5 * float(dt)
+        ratio = (1.0 + alpha * self._lam) / (1.0 - alpha * self._lam)  # (nb?,P)
+        # Constant source response: dt·(I−αL)⁻¹ s, precomputed in f64.
+        gain = float(dt) / (1.0 - alpha * self._lam)
+        proj_src = np.einsum("bqp,bp->bq", np.swapaxes(self._Q, -1, -2), self._src)
+        s_eff = np.einsum("bpq,bq->bp", self._Q, gain * proj_src)
+
+        Q = jnp.asarray(self._Q, dtype=self.dtype)
+        ratio_d = jnp.asarray(ratio, dtype=self.dtype)
+        s_eff_d = jnp.asarray(s_eff, dtype=self.dtype)
+        mask_flat = self._flat_active
+        ny, nx = self.mask.shape
+        shared = self._shared
+
+        def step(state: jax.Array) -> jax.Array:
+            nb = state.shape[0]
+            u = state.reshape(nb, ny * nx)[:, mask_flat]  # (NB, P)
+            if shared:
+                q = Q[0]
+                v = u @ q  # (NB,P) — projections onto eigenbasis
+                u_new = (v * ratio_d) @ q.T
+            else:
+                v = jnp.einsum("bqp,bq->bp", Q, u)
+                u_new = jnp.einsum("bpq,bq->bp", Q, v * ratio_d)
+            u_new = u_new + s_eff_d
+            out = jnp.zeros((nb, ny * nx), dtype=state.dtype)
+            out = out.at[:, mask_flat].set(u_new.astype(state.dtype))
+            return out.reshape(nb, ny, nx)
+
+        return step
+
+
+class ADIDiffusion:
+    """Peaceman–Rachford ADI with batched tridiagonal solves."""
+
+    def __init__(self, op: SplitOperator, dtype=jnp.float64):
+        self.dtype = dtype
+        self.mask = np.asarray(op.mask, dtype=bool)
+        as_dev = lambda a: jnp.asarray(a, dtype=dtype)
+        self.ax_lo, self.ax_hi, self.ax_diag = map(as_dev, (op.ax_lo, op.ax_hi, op.ax_diag))
+        self.ay_lo, self.ay_hi, self.ay_diag = map(as_dev, (op.ay_lo, op.ay_hi, op.ay_diag))
+        self.src = as_dev(op.source_total())
+        self.num_bins = op.num_bins
+
+    @staticmethod
+    def _apply_dir(u, a_lo, a_hi, diag, axis):
+        """L_d u for one direction: a_lo·u_prev + a_hi·u_next + diag·u."""
+        u_prev = jnp.roll(u, 1, axis=axis)
+        u_next = jnp.roll(u, -1, axis=axis)
+        # roll wraps around, but a_lo is zero on the first slice and a_hi on
+        # the last (boundary faces are never interior couplings), so the
+        # wrapped values are multiplied by zero.
+        return a_lo * u_prev + a_hi * u_next + diag * u
+
+    def make_step(self, dt: float):
+        alpha = 0.5 * float(dt)
+        ax_lo, ax_hi, ax_diag = self.ax_lo, self.ax_hi, self.ax_diag
+        ay_lo, ay_hi, ay_diag = self.ay_lo, self.ay_hi, self.ay_diag
+        src = self.src
+        apply_dir = self._apply_dir
+
+        sub_x = -alpha * ax_lo
+        dia_x = 1.0 - alpha * ax_diag
+        sup_x = -alpha * ax_hi
+        sub_y = -alpha * ay_lo
+        dia_y = 1.0 - alpha * ay_diag
+        sup_y = -alpha * ay_hi
+
+        def step(state: jax.Array) -> jax.Array:
+            u = state
+            # x-implicit half: (I − αLx) u* = u + α·Ly u + α·s
+            rhs = u + alpha * apply_dir(u, ay_lo, ay_hi, ay_diag, axis=-2) + alpha * src
+            bsub, bdia, bsup = jnp.broadcast_arrays(sub_x, dia_x, sup_x)
+            u_star = tridiag_solve(
+                jnp.broadcast_to(bsub, rhs.shape),
+                jnp.broadcast_to(bdia, rhs.shape),
+                jnp.broadcast_to(bsup, rhs.shape),
+                rhs,
+            )
+            # y-implicit half: (I − αLy) u⁺ = u* + α·Lx u* + α·s
+            rhs2 = (
+                u_star
+                + alpha * apply_dir(u_star, ax_lo, ax_hi, ax_diag, axis=-1)
+                + alpha * src
+            )
+            csub, cdia, csup = jnp.broadcast_arrays(sub_y, dia_y, sup_y)
+            u_new = tridiag_solve_along(
+                -2,
+                jnp.broadcast_to(csub, rhs2.shape),
+                jnp.broadcast_to(cdia, rhs2.shape),
+                jnp.broadcast_to(csup, rhs2.shape),
+                rhs2,
+            )
+            return u_new
+
+        return step
+
+
+def choose_backend(op: SplitOperator, dtype, preference: str = "auto"):
+    """Pick a diffusion backend: 'dense', 'adi', or 'auto' (size-based)."""
+    if preference == "dense":
+        return DenseSpectralDiffusion(op, dtype)
+    if preference == "adi":
+        return ADIDiffusion(op, dtype)
+    if preference != "auto":
+        raise ValueError(f"Unknown diffusion backend: {preference!r}")
+    n_cells = int(np.asarray(op.mask, dtype=bool).sum())
+    if n_cells <= DENSE_BACKEND_MAX_CELLS:
+        return DenseSpectralDiffusion(op, dtype)
+    return ADIDiffusion(op, dtype)

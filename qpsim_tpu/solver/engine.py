@@ -1,0 +1,749 @@
+"""The simulation engine: jit-compiled Strang-split time stepping.
+
+This is the TPU-native replacement for the reference's
+``run_2d_crank_nicolson`` (``/root/reference/qpsim/solver.py:999-1587``) with
+the same call signature, semantics and return contract:
+
+    (times, frames, mass, [vmin, vmax], energy_frames | None, E_bins | None)
+
+Architecture differences (the TPU-first design):
+
+* State is dense ``(NE, Ny, Nx)`` (+ phonons ``(NW, Ny, Nx)``) with a static
+  mask — no compact pixel indexing on device; masked cells are inert zeros.
+* The per-step loop is a ``lax.scan`` over whole snapshot segments, jitted
+  once per (dt, segment length); collisions, diffusion, generation and the
+  Pauli statistics all fuse into one device program.  Only a handful of
+  scalars per step (Pauli/generation validity stats) and one state snapshot
+  per stored segment cross the device→host boundary.
+* Diffusion is a pluggable backend (exact dense-spectral CN or scalable
+  ADI — see ``qpsim_tpu.solver.diffusion_backends``).
+* Collisions are the vectorised Fischer–Catelani integrator
+  (``qpsim_tpu.ops.collisions``), replacing the reference's Python loop over
+  pixels.
+* Host work per run: operator/kernel precompute (float64 numpy), snapshot
+  NaN-masking, Pauli policy enforcement, storage.
+
+Strang composition per step (reference solver.py:1454-1477):
+  0) external generation, forward-Euler:  n += dt·g(t)
+  1) C(dt/2) → D(dt) → C(dt/2) when both enabled, else one full step each
+  2) Pauli check
+  3) snapshot every ``store_every`` steps and always on the final step.
+A non-multiple ``total_time`` adds one remainder step with its own compiled
+operators (reference solver.py:1085-1089).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fields import (
+    build_initial_phonon_energy_state,
+    build_initial_qp_energy_state,
+)
+from ..models.params import (
+    BoundaryCondition,
+    EdgeSegment,
+    ExternalGenerationSpec,
+    InitialConditionSpec,
+    normalize_collision_solver_name,
+)
+from ..ops.collisions import (
+    DEFAULT_PIXEL_CHUNK,
+    build_collision_plan_arrays,
+    make_collision_step,
+)
+from ..ops.diffusion import build_directional_stencils, fold_diffusion
+from ..ops.dos import (
+    diffusion_coefficient_of_energy,
+    dynes_density_of_states,
+    thermal_phonon_occupation,
+)
+from ..ops.energy_grid import build_energy_grid, integration_widths_from_centers
+from ..ops.generation import build_generation_program, evaluate_generation_host
+from ..ops.kernels import recombination_kernel_base, scattering_kernel_base
+from ..ops.phonon_map import build_phonon_frequency_map
+from .diffusion_backends import choose_backend
+from .pauli import PauliEnforcer, make_pauli_stats_fn
+from .phonon_history import build_fixed_phonon_history, reconstruct_field
+
+__all__ = ["run_2d_crank_nicolson", "reconstruct_field", "default_dtype"]
+
+
+def default_dtype():
+    return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+
+def _split_time(total_time: float, dt: float) -> tuple[int, float, int]:
+    full_steps = int(np.floor(total_time / dt + 1e-12))
+    remainder_dt = float(total_time - full_steps * dt)
+    if remainder_dt < 1e-12:
+        remainder_dt = 0.0
+    total_steps = full_steps + (1 if remainder_dt > 0.0 else 0)
+    return full_steps, remainder_dt, total_steps
+
+
+@dataclass
+class _Segment:
+    length: int
+    dt: float
+    stored: bool
+
+
+def _plan_segments(full_steps: int, remainder_dt: float, dt: float, store_every: int):
+    segments: list[_Segment] = []
+    whole, tail = divmod(full_steps, store_every)
+    segments += [_Segment(store_every, dt, True)] * whole
+    if tail:
+        # tail is stored only when it ends the run (no remainder step follows)
+        segments.append(_Segment(tail, dt, remainder_dt == 0.0))
+    if remainder_dt > 0.0:
+        segments.append(_Segment(1, remainder_dt, True))
+    return segments
+
+
+def run_2d_crank_nicolson(
+    mask: np.ndarray,
+    edges: list[EdgeSegment],
+    edge_conditions: dict[str, BoundaryCondition],
+    initial_field: np.ndarray,
+    diffusion_coefficient: float,
+    dt: float,
+    total_time: float,
+    dx: float,
+    store_every: int = 1,
+    energy_gap: float = 0.0,
+    energy_min_factor: float = 1.0,
+    energy_max_factor: float = 10.0,
+    num_energy_bins: int = 50,
+    energy_weights: np.ndarray | None = None,
+    enable_diffusion: bool = True,
+    enable_recombination: bool = False,
+    enable_scattering: bool = False,
+    dynes_gamma: float = 0.0,
+    collision_solver: str = "fischer_catelani_local",
+    tau_0: float = 440.0,
+    tau_s: float | None = None,
+    tau_r: float | None = None,
+    T_c: float = 1.2,
+    bath_temperature: float = 0.1,
+    external_generation: ExternalGenerationSpec | None = None,
+    initial_condition_spec: InitialConditionSpec | None = None,
+    gap_expression: str = "",
+    precomputed: dict | None = None,
+    pauli_warn_threshold: float | None = 0.5,
+    pauli_error_threshold: float | None = 1.0,
+    enforce_pauli: bool = True,
+    pauli_density_floor: float = 1e-18,
+    freeze_phonon_dynamics: bool = False,
+    phonon_history_out: dict[str, Any] | None = None,
+    progress_callback: Callable[[float, np.ndarray], None] | None = None,
+    *,
+    diffusion_backend: str = "auto",
+    dtype=None,
+    pixel_chunk: int = DEFAULT_PIXEL_CHUNK,
+) -> tuple:
+    """Run an (optionally energy-resolved) masked 2D diffusion–collision sim.
+
+    Reference-compatible entry point; see module docstring.  TPU-specific
+    keyword-only extras: ``diffusion_backend`` ('auto'|'dense'|'adi'),
+    ``dtype`` (defaults to f64 under x64, else f32) and ``pixel_chunk``
+    (collision chunking).
+    """
+    if dt <= 0 or total_time <= 0:
+        raise ValueError("dt and total_time must be positive.")
+    if enable_diffusion and diffusion_coefficient <= 0:
+        raise ValueError("Diffusion coefficient must be positive.")
+    if store_every <= 0:
+        store_every = 1
+    mask = np.asarray(mask, dtype=bool)
+    if initial_field.shape != mask.shape:
+        raise ValueError("Initial field shape must match mask shape.")
+    n_spatial = int(mask.sum())
+    if n_spatial == 0:
+        raise ValueError("Geometry mask has no interior points.")
+    if phonon_history_out is not None:
+        phonon_history_out.clear()
+    tau_s_eff = float(tau_s if tau_s is not None else tau_0)
+    tau_r_eff = float(tau_r if tau_r is not None else tau_0)
+    if enable_scattering and tau_s_eff <= 0:
+        raise ValueError("tau_s must be positive when scattering is enabled.")
+    if enable_recombination and tau_r_eff <= 0:
+        raise ValueError("tau_r must be positive when recombination is enabled.")
+    if external_generation is not None:
+        external_generation.validate()
+    if dtype is None:
+        dtype = default_dtype()
+
+    full_steps, remainder_dt, total_steps = _split_time(total_time, dt)
+    segments = _plan_segments(full_steps, remainder_dt, dt, store_every)
+
+    if energy_gap > 0.0:
+        return _run_energy_resolved(
+            mask=mask,
+            edges=edges,
+            edge_conditions=edge_conditions,
+            initial_field=initial_field,
+            diffusion_coefficient=diffusion_coefficient,
+            dt=dt,
+            dx=dx,
+            segments=segments,
+            total_steps=total_steps,
+            energy_gap=energy_gap,
+            energy_min_factor=energy_min_factor,
+            energy_max_factor=energy_max_factor,
+            num_energy_bins=num_energy_bins,
+            energy_weights=energy_weights,
+            enable_diffusion=enable_diffusion,
+            enable_recombination=enable_recombination,
+            enable_scattering=enable_scattering,
+            dynes_gamma=dynes_gamma,
+            collision_solver=collision_solver,
+            tau_s_eff=tau_s_eff,
+            tau_r_eff=tau_r_eff,
+            T_c=T_c,
+            bath_temperature=bath_temperature,
+            external_generation=external_generation,
+            initial_condition_spec=initial_condition_spec,
+            gap_expression=gap_expression,
+            precomputed=precomputed,
+            pauli_warn_threshold=pauli_warn_threshold,
+            pauli_error_threshold=pauli_error_threshold,
+            enforce_pauli=enforce_pauli,
+            pauli_density_floor=pauli_density_floor,
+            freeze_phonon_dynamics=freeze_phonon_dynamics,
+            phonon_history_out=phonon_history_out,
+            progress_callback=progress_callback,
+            diffusion_backend=diffusion_backend,
+            dtype=dtype,
+            pixel_chunk=pixel_chunk,
+        )
+
+    return _run_scalar(
+        mask=mask,
+        edges=edges,
+        edge_conditions=edge_conditions,
+        initial_field=initial_field,
+        diffusion_coefficient=diffusion_coefficient,
+        dx=dx,
+        segments=segments,
+        enable_diffusion=enable_diffusion,
+        bath_temperature=bath_temperature,
+        phonon_history_out=phonon_history_out,
+        progress_callback=progress_callback,
+        diffusion_backend=diffusion_backend,
+        dtype=dtype,
+    )
+
+
+def _notify(progress_callback, t: float, frame: np.ndarray) -> None:
+    if progress_callback is None:
+        return
+    try:
+        progress_callback(float(t), np.array(frame, copy=True))
+    except Exception:
+        pass
+
+
+def _color_limits(frames: list[np.ndarray]) -> list[float]:
+    vmin = float(np.nanmin(np.stack(frames)))
+    vmax = float(np.nanmax(np.stack(frames)))
+    if abs(vmax - vmin) < 1e-12:
+        vmax = vmin + 1e-9
+    return [vmin, vmax]
+
+
+# --------------------------------------------------------------------------
+# scalar (energy-integrated) mode
+# --------------------------------------------------------------------------
+
+
+def _run_scalar(
+    *,
+    mask,
+    edges,
+    edge_conditions,
+    initial_field,
+    diffusion_coefficient,
+    dx,
+    segments,
+    enable_diffusion,
+    bath_temperature,
+    phonon_history_out,
+    progress_callback,
+    diffusion_backend,
+    dtype,
+):
+    interior0 = initial_field[mask].astype(np.float64)
+    ny, nx = mask.shape
+    state_np = np.zeros((1, ny, nx), dtype=np.float64)
+    state_np[0][mask] = interior0
+    state = jnp.asarray(state_np, dtype=dtype)
+
+    step_fns: dict[tuple[float, int], Callable] = {}
+    backend = None
+    if enable_diffusion:
+        x_st, y_st = build_directional_stencils(mask, edges, edge_conditions, dx)
+        op = fold_diffusion(x_st, y_st, mask, dx, float(diffusion_coefficient))
+        backend = choose_backend(op, dtype, diffusion_backend)
+
+    def segment_fn(seg_dt: float, length: int):
+        key = (seg_dt, length)
+        if key not in step_fns:
+            if backend is None:
+                step_fns[key] = jax.jit(lambda s: s)
+            else:
+                one = backend.make_step(seg_dt)
+
+                def run(s):
+                    return jax.lax.scan(lambda c, _: (one(c), None), s, None, length=length)[0]
+
+                step_fns[key] = jax.jit(run)
+        return step_fns[key]
+
+    times = [0.0]
+    frames = [reconstruct_field(mask, interior0)]
+    mass = [float(np.sum(interior0) * dx * dx)]
+    _notify(progress_callback, 0.0, frames[0])
+
+    current_time = 0.0
+    for seg in segments:
+        state = segment_fn(seg.dt, seg.length)(state)
+        current_time += seg.dt * seg.length
+        if seg.stored:
+            values = np.asarray(state[0], dtype=np.float64)[mask]
+            times.append(float(current_time))
+            frame = reconstruct_field(mask, values)
+            frames.append(frame)
+            mass.append(float(np.sum(values) * dx * dx))
+            _notify(progress_callback, current_time, frame)
+
+    if phonon_history_out is not None:
+        ph_frames, ph_energy, ph_bins, ph_meta = build_fixed_phonon_history(
+            mask=mask,
+            times=times,
+            bath_temperature=bath_temperature,
+            phonon_energy_bins=None,
+        )
+        phonon_history_out.update(
+            {
+                "phonon_frames": ph_frames,
+                "phonon_energy_frames": ph_energy,
+                "phonon_energy_bins": ph_bins,
+                "phonon_metadata": ph_meta,
+            }
+        )
+    return times, frames, mass, _color_limits(frames), None, None
+
+
+# --------------------------------------------------------------------------
+# energy-resolved mode
+# --------------------------------------------------------------------------
+
+
+def _run_energy_resolved(
+    *,
+    mask,
+    edges,
+    edge_conditions,
+    initial_field,
+    diffusion_coefficient,
+    dt,
+    dx,
+    segments,
+    total_steps,
+    energy_gap,
+    energy_min_factor,
+    energy_max_factor,
+    num_energy_bins,
+    energy_weights,
+    enable_diffusion,
+    enable_recombination,
+    enable_scattering,
+    dynes_gamma,
+    collision_solver,
+    tau_s_eff,
+    tau_r_eff,
+    T_c,
+    bath_temperature,
+    external_generation,
+    initial_condition_spec,
+    gap_expression,
+    precomputed,
+    pauli_warn_threshold,
+    pauli_error_threshold,
+    enforce_pauli,
+    pauli_density_floor,
+    freeze_phonon_dynamics,
+    phonon_history_out,
+    progress_callback,
+    diffusion_backend,
+    dtype,
+    pixel_chunk,
+):
+    gap = float(energy_gap)
+    ny, nx = mask.shape
+    n_spatial = int(mask.sum())
+    E_bins, dE = build_energy_grid(gap, energy_min_factor, energy_max_factor, num_energy_bins)
+    normalize_collision_solver_name(collision_solver)
+
+    custom_qp_state = None
+    if initial_condition_spec is not None:
+        custom_qp_state = build_initial_qp_energy_state(mask, E_bins, initial_condition_spec)
+
+    # Auto-precompute diffusion arrays when a gap map is requested.
+    if precomputed is None and str(gap_expression or "").strip():
+        from ..io.precompute import precompute_arrays
+        from ..models.params import SimulationParameters
+
+        auto_params = SimulationParameters(
+            diffusion_coefficient=diffusion_coefficient,
+            dt=dt,
+            total_time=max(dt, dt * max(1, total_steps)),
+            mesh_size=dx,
+            energy_gap=energy_gap,
+            energy_min_factor=energy_min_factor,
+            energy_max_factor=energy_max_factor,
+            num_energy_bins=num_energy_bins,
+            dynes_gamma=dynes_gamma,
+            gap_expression=gap_expression,
+            tau_0=0.5 * (tau_s_eff + tau_r_eff),
+            tau_s=tau_s_eff,
+            tau_r=tau_r_eff,
+            T_c=T_c,
+            bath_temperature=bath_temperature,
+        )
+        precomputed = precompute_arrays(
+            mask, edges, edge_conditions, auto_params, include_collision_kernels=False
+        )
+
+    has_precomp = precomputed is not None
+    nonuniform_gap = has_precomp and not bool(
+        np.asarray(precomputed.get("is_uniform", True)).reshape(-1)[0]
+    )
+
+    if has_precomp:
+        D_array = np.asarray(precomputed["D_array"], dtype=np.float64)  # (NE, P)
+    else:
+        D_array = diffusion_coefficient_of_energy(diffusion_coefficient, E_bins, gap)[
+            :, None
+        ] * np.ones((1, n_spatial))
+
+    # --- diffusion backend -------------------------------------------------
+    backend = None
+    if enable_diffusion:
+        x_st, y_st = build_directional_stencils(mask, edges, edge_conditions, dx)
+        if nonuniform_gap:
+            D_dense = np.zeros((num_energy_bins, ny, nx), dtype=np.float64)
+            D_dense[:, mask] = D_array
+            op = fold_diffusion(x_st, y_st, mask, dx, D_dense)
+        else:
+            op = fold_diffusion(x_st, y_st, mask, dx, D_array[:, 0])
+        backend = choose_backend(op, dtype, diffusion_backend)
+
+    # --- collision data ------------------------------------------------------
+    pmap = build_phonon_frequency_map(E_bins)
+    omega_bins = pmap.omega_bins
+    collisions_on = bool(enable_recombination or enable_scattering)
+
+    if nonuniform_gap:
+        gap_values = np.asarray(
+            precomputed.get("gap_values", np.full(n_spatial, gap)), dtype=np.float64
+        )
+    else:
+        gap_values = np.full(n_spatial, gap, dtype=np.float64)
+    unique_gaps = np.unique(gap_values)
+    gap_lookup = np.searchsorted(unique_gaps, gap_values)
+    gap_id = np.zeros((ny, nx), dtype=np.int32)
+    gap_id[mask] = gap_lookup.astype(np.int32)
+
+    rho_by_gap = np.stack(
+        [dynes_density_of_states(E_bins, float(g), dynes_gamma) for g in unique_gaps]
+    )
+    K_r0_by_gap = (
+        np.stack([recombination_kernel_base(E_bins, float(g), tau_r_eff, T_c) for g in unique_gaps])
+        if enable_recombination
+        else None
+    )
+    K_s0_by_gap = (
+        np.stack([scattering_kernel_base(E_bins, float(g), tau_s_eff, T_c) for g in unique_gaps])
+        if enable_scattering
+        else None
+    )
+
+    plan = build_collision_plan_arrays(
+        dE=dE,
+        rho_by_gap=rho_by_gap,
+        K_r0_by_gap=K_r0_by_gap,
+        K_s0_by_gap=K_s0_by_gap,
+        gap_id=gap_id,
+        pmap=pmap,
+        enable_recombination=enable_recombination,
+        enable_scattering=enable_scattering,
+        update_phonons=not freeze_phonon_dynamics,
+        dtype=dtype,
+        pixel_chunk=pixel_chunk,
+    )
+
+    # --- initial states ------------------------------------------------------
+    if custom_qp_state is not None:
+        state_flat = np.asarray(custom_qp_state, dtype=np.float64)
+        if state_flat.shape != (num_energy_bins, n_spatial):
+            raise ValueError(
+                "Full custom quasiparticle profile must have shape "
+                f"({num_energy_bins}, {n_spatial}); got {state_flat.shape}."
+            )
+        if not np.all(np.isfinite(state_flat)):
+            raise ValueError("Full custom quasiparticle profile produced non-finite values.")
+        if np.any(state_flat < 0):
+            raise ValueError("Full custom quasiparticle profile must be non-negative.")
+    else:
+        spatial_values = initial_field[mask].astype(np.float64)
+        if energy_weights is not None:
+            raw_w = np.asarray(energy_weights, dtype=np.float64)
+            if raw_w.ndim != 1:
+                raise ValueError("energy_weights must be a 1D array.")
+            if raw_w.shape[0] != num_energy_bins:
+                raise ValueError(
+                    f"energy_weights must have length {num_energy_bins}, got {raw_w.shape[0]}."
+                )
+            if not np.all(np.isfinite(raw_w)):
+                raise ValueError("energy_weights must contain only finite values.")
+            if np.any(raw_w < 0):
+                raise ValueError("energy_weights must be non-negative.")
+            integral = float(np.sum(raw_w) * dE)
+            weights = raw_w / integral if integral > 0 else np.full(
+                num_energy_bins, 1.0 / (num_energy_bins * dE)
+            )
+        else:
+            rho_w = dynes_density_of_states(E_bins, gap, dynes_gamma)
+            integral = float(np.sum(rho_w) * dE)
+            weights = rho_w / integral if integral > 0 else np.full(
+                num_energy_bins, 1.0 / (num_energy_bins * dE)
+            )
+        state_flat = weights[:, None] * spatial_values[None, :]
+
+    if initial_condition_spec is not None:
+        phonon_flat = build_initial_phonon_energy_state(
+            mask, omega_bins, initial_condition_spec, bath_temperature
+        )
+    else:
+        phonon_flat = thermal_phonon_occupation(omega_bins, bath_temperature)[:, None] * np.ones(
+            (1, n_spatial)
+        )
+
+    nw = omega_bins.size
+    q_np = np.zeros((num_energy_bins, ny, nx), dtype=np.float64)
+    q_np[:, mask] = state_flat
+    ph_np = np.zeros((nw, ny, nx), dtype=np.float64)
+    ph_np[:, mask] = phonon_flat
+    q = jnp.asarray(q_np, dtype=dtype)
+    ph = jnp.asarray(ph_np, dtype=dtype)
+
+    # --- Pauli monitoring ------------------------------------------------------
+    rho_state_np = np.zeros((num_energy_bins, ny, nx), dtype=np.float64)
+    rho_state_np[:, mask] = rho_by_gap[gap_lookup].T
+    pauli_stats = make_pauli_stats_fn(
+        jnp.asarray(rho_state_np, dtype=dtype), pauli_density_floor
+    )
+    enforcer = PauliEnforcer(
+        E_bins=E_bins,
+        grid_shape=(ny, nx),
+        enforce=enforce_pauli,
+        warn_threshold=pauli_warn_threshold,
+        error_threshold=pauli_error_threshold,
+    )
+
+    init_stats = jax.jit(pauli_stats)(q)
+    enforcer.check(
+        0,
+        0.0,
+        float(init_stats[0]),
+        int(init_stats[1]),
+        bool(init_stats[2]),
+        int(init_stats[3]),
+    )
+
+    # --- generation --------------------------------------------------------------
+    gen = build_generation_program(external_generation, E_bins, mask, dtype)
+    mask_dev = jnp.asarray(mask)
+
+    # --- compiled segment runners -------------------------------------------------
+    seg_cache: dict[tuple[float, int], Callable] = {}
+
+    def segment_runner(seg_dt: float, length: int):
+        key = (seg_dt, length)
+        if key in seg_cache:
+            return seg_cache[key]
+        col_half = make_collision_step(plan, 0.5 * seg_dt) if collisions_on else None
+        col_full = make_collision_step(plan, seg_dt) if collisions_on else None
+        diff_step = backend.make_step(seg_dt) if backend is not None else None
+
+        def body(carry, idx):
+            qq, pp, t0 = carry
+            t = t0 + idx.astype(t0.dtype) * seg_dt
+            gen_nonfinite = jnp.asarray(False)
+            gen_negative = jnp.asarray(False)
+            if gen.traced_fn is not None:
+                g = gen.traced_fn(t)
+                gen_nonfinite = ~jnp.all(jnp.isfinite(jnp.where(mask_dev, g, 0.0)))
+                gen_negative = jnp.any(jnp.where(mask_dev, g, 0.0) < 0)
+                qq = qq + seg_dt * g
+            if collisions_on and diff_step is not None:
+                qq, pp = col_half(qq, pp)
+                qq = diff_step(qq)
+                qq, pp = col_half(qq, pp)
+            elif collisions_on:
+                qq, pp = col_full(qq, pp)
+            elif diff_step is not None:
+                qq = diff_step(qq)
+            stats = pauli_stats(qq)
+            return (qq, pp, t0), stats + (gen_nonfinite, gen_negative)
+
+        def run(qq, pp, t_start):
+            (qq, pp, _), stats = jax.lax.scan(
+                body, (qq, pp, t_start), jnp.arange(length), length=length
+            )
+            return qq, pp, stats
+
+        seg_cache[key] = jax.jit(run)
+        return seg_cache[key]
+
+    # Host-mode generation forces single-step segments with host evaluation.
+    host_gen = gen.host_mode
+    single_step_cache: dict[float, Callable] = {}
+
+    def single_step(seg_dt: float):
+        if seg_dt not in single_step_cache:
+            col_half = make_collision_step(plan, 0.5 * seg_dt) if collisions_on else None
+            col_full = make_collision_step(plan, seg_dt) if collisions_on else None
+            diff_step = backend.make_step(seg_dt) if backend is not None else None
+
+            def one(qq, pp):
+                if collisions_on and diff_step is not None:
+                    qq, pp = col_half(qq, pp)
+                    qq = diff_step(qq)
+                    qq, pp = col_half(qq, pp)
+                elif collisions_on:
+                    qq, pp = col_full(qq, pp)
+                elif diff_step is not None:
+                    qq = diff_step(qq)
+                return qq, pp, pauli_stats(qq)
+
+            single_step_cache[seg_dt] = jax.jit(one)
+        return single_step_cache[seg_dt]
+
+    # --- snapshot bookkeeping -----------------------------------------------------
+    record_phonons = phonon_history_out is not None
+    phonon_widths = (
+        integration_widths_from_centers(omega_bins, fallback_width=dE) if record_phonons else None
+    )
+    phonon_frames_hist: list[np.ndarray] = []
+    phonon_energy_frames_hist: list[list[np.ndarray]] = []
+
+    def record_phonon_snapshot(ph_host: np.ndarray) -> None:
+        interior = ph_host[:, mask]
+        phonon_energy_frames_hist.append(
+            [reconstruct_field(mask, interior[i]) for i in range(nw)]
+        )
+        integrated_occ = np.sum(interior * phonon_widths[:, None], axis=0)
+        phonon_frames_hist.append(reconstruct_field(mask, integrated_occ))
+
+    def snapshot(q_host: np.ndarray):
+        interior = q_host[:, mask]
+        integrated = np.sum(interior, axis=0) * dE
+        frame = reconstruct_field(mask, integrated)
+        energy_frame = [reconstruct_field(mask, interior[i]) for i in range(num_energy_bins)]
+        m = float(np.sum(integrated) * dx * dx)
+        return frame, energy_frame, m
+
+    frame0, eframe0, mass0 = snapshot(q_np)
+    times = [0.0]
+    frames = [frame0]
+    energy_frames = [eframe0]
+    mass = [mass0]
+    if record_phonons:
+        record_phonon_snapshot(ph_np)
+    _notify(progress_callback, 0.0, frames[0])
+
+    # --- main loop --------------------------------------------------------------
+    current_time = 0.0
+    step_counter = 0
+    gen_mode = external_generation.normalized_mode() if external_generation else "none"
+
+    for seg in segments:
+        if host_gen:
+            for _ in range(seg.length):
+                g_host = evaluate_generation_host(
+                    external_generation, E_bins, n_spatial, current_time, mask
+                )
+                if g_host is not None:
+                    g_dense = np.zeros((num_energy_bins, ny, nx), dtype=np.float64)
+                    g_dense[:, mask] = g_host
+                    q = q + seg.dt * jnp.asarray(g_dense, dtype=dtype)
+                q, ph, stats = single_step(seg.dt)(q, ph)
+                step_counter += 1
+                current_time += seg.dt
+                enforcer.check(
+                    step_counter,
+                    current_time,
+                    float(stats[0]),
+                    int(stats[1]),
+                    bool(stats[2]),
+                    int(stats[3]),
+                )
+        else:
+            q, ph, stats = segment_runner(seg.dt, seg.length)(
+                q, ph, jnp.asarray(current_time, dtype=dtype)
+            )
+            stats_np = [np.asarray(s) for s in stats]
+            for i in range(seg.length):
+                step_counter += 1
+                current_time += seg.dt
+                if bool(stats_np[4][i]):
+                    raise ValueError(
+                        f"External generation mode '{gen_mode}' produced non-finite values."
+                    )
+                if bool(stats_np[5][i]):
+                    raise ValueError(
+                        f"External generation mode '{gen_mode}' produced negative values. "
+                        "Generation rates must be non-negative."
+                    )
+                enforcer.check(
+                    step_counter,
+                    current_time,
+                    float(stats_np[0][i]),
+                    int(stats_np[1][i]),
+                    bool(stats_np[2][i]),
+                    int(stats_np[3][i]),
+                )
+        if seg.stored:
+            q_host = np.asarray(q, dtype=np.float64)
+            frame, energy_frame, m = snapshot(q_host)
+            times.append(float(current_time))
+            frames.append(frame)
+            energy_frames.append(energy_frame)
+            mass.append(m)
+            if record_phonons:
+                record_phonon_snapshot(np.asarray(ph, dtype=np.float64))
+            _notify(progress_callback, current_time, frame)
+
+    if phonon_history_out is not None:
+        phonon_history_out.clear()
+        phonon_history_out.update(
+            {
+                "phonon_frames": phonon_frames_hist,
+                "phonon_energy_frames": phonon_energy_frames_hist,
+                "phonon_energy_bins": np.asarray(omega_bins, dtype=np.float64).copy(),
+                "phonon_metadata": {
+                    "mode": "dynamic_local_coupled",
+                    "field_units": "integrated_occupation",
+                    "energy_frame_units": "occupation",
+                },
+            }
+        )
+    return times, frames, mass, _color_limits(frames), energy_frames, E_bins

@@ -1,0 +1,368 @@
+"""Physics validation gates.
+
+Five fast self-checks over the assembled engine — the acceptance suite a
+user can run after installation (reference
+``/root/reference/qpsim/validation.py``; exported at package top level):
+
+1. detailed balance of the bath-dressed scattering kernel,
+2. thermal-equilibrium stability of the coupled solver (frozen phonons),
+3. mass conservation of pure diffusion with reflective walls,
+4. quasiparticle-number conservation of pure scattering,
+5. monotone decay of pure recombination at T = 0.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any
+
+import numpy as np
+
+from .constants import K_B_UEV_PER_K
+from .geometry.mask import extract_edge_segments
+from .models.params import (
+    BoundaryCondition,
+    InitialConditionSpec,
+    SimulationParameters,
+)
+from .ops.energy_grid import build_energy_grid
+from .ops.kernels import scattering_kernel
+from .ops.dos import thermal_qp_weights
+from .solver.engine import run_2d_crank_nicolson
+
+__all__ = [
+    "ValidationReport",
+    "run_fast_validation_suite",
+    "validate_detailed_balance",
+    "validate_thermal_stability",
+    "validate_pure_diffusion",
+    "validate_pure_scattering",
+    "validate_pure_recombination",
+]
+
+
+@dataclass
+class ValidationReport:
+    detailed_balance: dict[str, Any]
+    thermal_stability: dict[str, Any]
+    pure_diffusion: dict[str, Any]
+    pure_scattering: dict[str, Any]
+    pure_recombination: dict[str, Any]
+
+    @property
+    def overall_passed(self) -> bool:
+        return all(
+            bool(section.get("passed", False))
+            for section in (
+                self.detailed_balance,
+                self.thermal_stability,
+                self.pure_diffusion,
+                self.pure_scattering,
+                self.pure_recombination,
+            )
+        )
+
+    def as_dict(self) -> dict[str, Any]:
+        return {
+            "detailed_balance": self.detailed_balance,
+            "thermal_stability": self.thermal_stability,
+            "pure_diffusion": self.pure_diffusion,
+            "pure_scattering": self.pure_scattering,
+            "pure_recombination": self.pure_recombination,
+            "overall_passed": self.overall_passed,
+        }
+
+
+def _strip_geometry(nx: int):
+    mask = np.ones((1, nx), dtype=bool)
+    edges = extract_edge_segments(mask)
+    bcs = {e.edge_id: BoundaryCondition(kind="reflective") for e in edges}
+    return mask, edges, bcs
+
+
+def _thermal_phonon_ic(bath_temperature: float) -> InitialConditionSpec:
+    return InitialConditionSpec(
+        spatial_kind="uniform",
+        spatial_params={"value": 1.0},
+        energy_kind="dos",
+        phonon_spatial_kind="uniform",
+        phonon_spatial_params={"value": 1.0},
+        phonon_energy_kind="bose_einstein",
+        phonon_energy_params={"temperature": float(bath_temperature)},
+    )
+
+
+def validate_detailed_balance(
+    *,
+    gap: float,
+    energy_min_factor: float,
+    energy_max_factor: float,
+    num_energy_bins: int,
+    tau_s: float,
+    T_c: float,
+    bath_temperature: float,
+    tolerance: float = 1e-9,
+) -> dict[str, Any]:
+    """K_s(i,j) = K_s(j,i)·exp((Eᵢ−Eⱼ)/kT) at the bath temperature."""
+    if bath_temperature <= 0:
+        return {"passed": True, "max_relative_error": 0.0, "message": "Skipped (T_bath <= 0)."}
+    E_bins, _ = build_energy_grid(gap, energy_min_factor, energy_max_factor, num_energy_bins)
+    K_s = scattering_kernel(E_bins, gap, tau_s, T_c, bath_temperature)
+    kT = K_B_UEV_PER_K * bath_temperature
+    boltzmann = np.exp(np.clip((E_bins[:, None] - E_bins[None, :]) / kT, -200.0, 200.0))
+    residual = np.abs(K_s - K_s.T * boltzmann)
+    max_rel = float(np.max(residual) / max(1e-30, float(np.max(np.abs(K_s)))))
+    return {"passed": max_rel <= tolerance, "max_relative_error": max_rel, "tolerance": tolerance}
+
+
+def validate_thermal_stability(
+    *,
+    nx: int,
+    dt: float,
+    steps: int,
+    diffusion_coefficient: float,
+    gap: float,
+    energy_min_factor: float,
+    energy_max_factor: float,
+    num_energy_bins: int,
+    dynes_gamma: float,
+    tau_s: float,
+    tau_r: float,
+    T_c: float,
+    bath_temperature: float,
+    tolerance: float = 1e-6,
+) -> dict[str, Any]:
+    """Start at n_eq with a frozen thermal bath; the state must not drift."""
+    mask, edges, bcs = _strip_geometry(nx)
+    E_bins, dE = build_energy_grid(gap, energy_min_factor, energy_max_factor, num_energy_bins)
+    n_eq = thermal_qp_weights(E_bins, gap, bath_temperature, dynes_gamma)
+    initial_field = np.full((1, nx), float(np.sum(n_eq) * dE), dtype=np.float64)
+
+    _, _, _, _, energy_frames, _ = run_2d_crank_nicolson(
+        mask=mask,
+        edges=edges,
+        edge_conditions=bcs,
+        initial_field=initial_field,
+        diffusion_coefficient=diffusion_coefficient,
+        dt=dt,
+        total_time=steps * dt,
+        dx=1.0,
+        store_every=1,
+        energy_gap=gap,
+        energy_min_factor=energy_min_factor,
+        energy_max_factor=energy_max_factor,
+        num_energy_bins=num_energy_bins,
+        energy_weights=n_eq,
+        enable_diffusion=True,
+        enable_recombination=True,
+        enable_scattering=True,
+        dynes_gamma=dynes_gamma,
+        tau_s=tau_s,
+        tau_r=tau_r,
+        T_c=T_c,
+        bath_temperature=bath_temperature,
+        initial_condition_spec=_thermal_phonon_ic(bath_temperature),
+        freeze_phonon_dynamics=True,
+    )
+    if energy_frames is None:
+        return {"passed": False, "max_relative_drift": float("inf"), "tolerance": tolerance}
+    state_0 = np.array([frame[0, :] for frame in energy_frames[0]], dtype=np.float64)
+    state_f = np.array([frame[0, :] for frame in energy_frames[-1]], dtype=np.float64)
+    denom = max(1e-20, float(np.max(np.abs(state_0))))
+    drift = float(np.max(np.abs(state_f - state_0)) / denom)
+    return {"passed": drift <= tolerance, "max_relative_drift": drift, "tolerance": tolerance}
+
+
+def validate_pure_diffusion(
+    *,
+    nx: int,
+    dt: float,
+    total_time: float,
+    diffusion_coefficient: float,
+    tolerance: float = 1e-10,
+) -> dict[str, Any]:
+    """Reflective-wall diffusion conserves total mass to round-off."""
+    mask, edges, bcs = _strip_geometry(nx)
+    x = (np.arange(nx, dtype=np.float64) + 0.5) / nx
+    initial_field = (1.0 + 0.4 * np.cos(2.0 * np.pi * x))[None, :]
+    _, _, mass, _, _, _ = run_2d_crank_nicolson(
+        mask=mask,
+        edges=edges,
+        edge_conditions=bcs,
+        initial_field=initial_field,
+        diffusion_coefficient=diffusion_coefficient,
+        dt=dt,
+        total_time=total_time,
+        dx=1.0,
+        store_every=1,
+        energy_gap=0.0,
+        enable_diffusion=True,
+    )
+    drift = float(abs(mass[-1] - mass[0]) / max(1e-20, abs(mass[0])))
+    return {"passed": drift <= tolerance, "mass_relative_drift": drift, "tolerance": tolerance}
+
+
+def validate_pure_scattering(
+    *,
+    nx: int,
+    dt: float,
+    steps: int,
+    gap: float,
+    energy_min_factor: float,
+    energy_max_factor: float,
+    num_energy_bins: int,
+    dynes_gamma: float,
+    tau_s: float,
+    T_c: float,
+    bath_temperature: float,
+    tolerance: float = 2e-5,
+) -> dict[str, Any]:
+    """Scattering redistributes energy but conserves quasiparticle number."""
+    mask, edges, bcs = _strip_geometry(nx)
+    E_bins, _ = build_energy_grid(gap, energy_min_factor, energy_max_factor, num_energy_bins)
+    weights = np.exp(-(((E_bins - 2.6 * gap) / (0.6 * gap)) ** 2))
+    initial_field = np.full((1, nx), 2e-4, dtype=np.float64)
+    _, _, mass, _, _, _ = run_2d_crank_nicolson(
+        mask=mask,
+        edges=edges,
+        edge_conditions=bcs,
+        initial_field=initial_field,
+        diffusion_coefficient=6.0,
+        dt=dt,
+        total_time=steps * dt,
+        dx=1.0,
+        store_every=1,
+        energy_gap=gap,
+        energy_min_factor=energy_min_factor,
+        energy_max_factor=energy_max_factor,
+        num_energy_bins=num_energy_bins,
+        energy_weights=weights,
+        enable_diffusion=False,
+        enable_recombination=False,
+        enable_scattering=True,
+        dynes_gamma=dynes_gamma,
+        tau_s=tau_s,
+        T_c=T_c,
+        bath_temperature=bath_temperature,
+        initial_condition_spec=_thermal_phonon_ic(bath_temperature),
+        freeze_phonon_dynamics=True,
+    )
+    drift = float(abs(mass[-1] - mass[0]) / max(1e-20, abs(mass[0])))
+    return {"passed": drift <= tolerance, "mass_relative_drift": drift, "tolerance": tolerance}
+
+
+def validate_pure_recombination(
+    *,
+    dt: float,
+    steps: int,
+    gap: float,
+    tau_r: float,
+    T_c: float,
+    tolerance_nonincreasing: float = 1e-15,
+) -> dict[str, Any]:
+    """At T=0 recombination can only destroy quasiparticles."""
+    mask, edges, bcs = _strip_geometry(1)
+    initial_field = np.array([[1e-3]], dtype=np.float64)
+    _, _, mass, _, _, _ = run_2d_crank_nicolson(
+        mask=mask,
+        edges=edges,
+        edge_conditions=bcs,
+        initial_field=initial_field,
+        diffusion_coefficient=6.0,
+        dt=dt,
+        total_time=steps * dt,
+        dx=1.0,
+        store_every=1,
+        energy_gap=gap,
+        energy_min_factor=1.5,
+        energy_max_factor=1.5,
+        num_energy_bins=1,
+        enable_diffusion=False,
+        enable_recombination=True,
+        enable_scattering=False,
+        dynes_gamma=0.0,
+        tau_r=tau_r,
+        T_c=T_c,
+        bath_temperature=0.0,
+        initial_condition_spec=_thermal_phonon_ic(0.0),
+        freeze_phonon_dynamics=True,
+    )
+    nonincreasing = all(
+        mass[i + 1] <= mass[i] + tolerance_nonincreasing for i in range(len(mass) - 1)
+    )
+    return {"passed": bool(nonincreasing), "mass_start": mass[0], "mass_end": mass[-1]}
+
+
+def run_fast_validation_suite(params: SimulationParameters | None = None) -> ValidationReport:
+    p = params or SimulationParameters(
+        diffusion_coefficient=6.0,
+        dt=0.1,
+        total_time=1.0,
+        mesh_size=1.0,
+        energy_gap=180.0,
+        energy_min_factor=1.0,
+        energy_max_factor=4.0,
+        num_energy_bins=24,
+        dynes_gamma=0.18,
+        enable_diffusion=True,
+        enable_recombination=True,
+        enable_scattering=True,
+        tau_s=440.0,
+        tau_r=440.0,
+        T_c=1.2,
+        bath_temperature=0.1,
+    )
+    tau_s = float(p.tau_s if p.tau_s is not None else p.tau_0)
+    tau_r = float(p.tau_r if p.tau_r is not None else p.tau_0)
+    return ValidationReport(
+        detailed_balance=validate_detailed_balance(
+            gap=p.energy_gap,
+            energy_min_factor=p.energy_min_factor,
+            energy_max_factor=p.energy_max_factor,
+            num_energy_bins=p.num_energy_bins,
+            tau_s=tau_s,
+            T_c=p.T_c,
+            bath_temperature=p.bath_temperature,
+        ),
+        thermal_stability=validate_thermal_stability(
+            nx=16,
+            dt=min(0.1, p.dt),
+            steps=5,
+            diffusion_coefficient=p.diffusion_coefficient,
+            gap=p.energy_gap,
+            energy_min_factor=p.energy_min_factor,
+            energy_max_factor=p.energy_max_factor,
+            num_energy_bins=p.num_energy_bins,
+            dynes_gamma=p.dynes_gamma,
+            tau_s=tau_s,
+            tau_r=tau_r,
+            T_c=p.T_c,
+            bath_temperature=p.bath_temperature,
+        ),
+        pure_diffusion=validate_pure_diffusion(
+            nx=64,
+            dt=min(0.2, p.dt),
+            total_time=2.0,
+            diffusion_coefficient=p.diffusion_coefficient,
+        ),
+        pure_scattering=validate_pure_scattering(
+            nx=8,
+            dt=min(0.05, p.dt),
+            steps=10,
+            gap=p.energy_gap,
+            energy_min_factor=p.energy_min_factor,
+            energy_max_factor=p.energy_max_factor,
+            num_energy_bins=max(12, p.num_energy_bins),
+            dynes_gamma=p.dynes_gamma,
+            tau_s=tau_s,
+            T_c=p.T_c,
+            bath_temperature=p.bath_temperature,
+        ),
+        pure_recombination=validate_pure_recombination(
+            dt=min(0.1, p.dt),
+            steps=20,
+            gap=p.energy_gap,
+            tau_r=tau_r,
+            T_c=p.T_c,
+        ),
+    )

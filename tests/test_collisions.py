@@ -1,0 +1,162 @@
+"""Collision engine invariants: conservation, positivity, equilibrium."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qpsim_tpu.ops.collisions import build_collision_plan_arrays, make_collision_step
+from qpsim_tpu.ops.dos import (
+    dynes_density_of_states,
+    thermal_phonon_occupation,
+    thermal_qp_weights,
+)
+from qpsim_tpu.ops.energy_grid import build_energy_grid
+from qpsim_tpu.ops.kernels import recombination_kernel_base, scattering_kernel_base
+from qpsim_tpu.ops.phonon_map import build_phonon_frequency_map
+
+GAP, TAU, TC = 180.0, 440.0, 1.2
+
+
+def _setup(ne=12, ny=1, nx=4, T=0.2, scattering=True, recombination=True,
+           update_phonons=True, gamma=0.0, chunk=8):
+    E, dE = build_energy_grid(GAP, 1.0, 4.0, ne)
+    pm = build_phonon_frequency_map(E)
+    plan = build_collision_plan_arrays(
+        dE=dE,
+        rho_by_gap=dynes_density_of_states(E, GAP, gamma)[None],
+        K_r0_by_gap=recombination_kernel_base(E, GAP, TAU, TC)[None] if recombination else None,
+        K_s0_by_gap=scattering_kernel_base(E, GAP, TAU, TC)[None] if scattering else None,
+        gap_id=np.zeros((ny, nx), np.int32),
+        pmap=pm,
+        enable_recombination=recombination,
+        enable_scattering=scattering,
+        update_phonons=update_phonons,
+        pixel_chunk=chunk,
+    )
+    return E, dE, pm, plan
+
+
+def test_pure_scattering_conserves_number():
+    E, dE, pm, plan = _setup(recombination=False, update_phonons=False)
+    ny, nx = 1, 4
+    weights = np.exp(-(((E - 2.6 * GAP) / (0.6 * GAP)) ** 2))
+    q = np.broadcast_to((2e-4 * weights / (weights.sum() * dE))[:, None, None], (12, ny, nx)).copy()
+    ph = np.broadcast_to(
+        thermal_phonon_occupation(pm.omega_bins, 0.2)[:, None, None],
+        (pm.num_omega, ny, nx),
+    ).copy()
+    step = jax.jit(make_collision_step(plan, 0.05))
+    qj, pj = jnp.asarray(q), jnp.asarray(ph)
+    n0 = float(jnp.sum(qj) * dE)
+    for _ in range(10):
+        qj, pj = step(qj, pj)
+    n1 = float(jnp.sum(qj) * dE)
+    assert abs(n1 - n0) / n0 < 2e-5
+    assert float(jnp.min(qj)) >= 0.0
+
+
+def test_pure_recombination_decays_monotonically_at_zero_T():
+    E, dE, pm, plan = _setup(ne=1, scattering=False, T=0.0, update_phonons=False)
+    q = jnp.asarray(np.full((1, 1, 4), 1e-3))
+    ph = jnp.asarray(np.zeros((pm.num_omega, 1, 4)))
+    step = jax.jit(make_collision_step(plan, 0.1))
+    masses = [float(jnp.sum(q))]
+    for _ in range(20):
+        q, ph = step(q, ph)
+        masses.append(float(jnp.sum(q)))
+    assert all(b <= a + 1e-15 for a, b in zip(masses, masses[1:]))
+    assert masses[-1] < masses[0]
+
+
+def test_thermal_equilibrium_is_stationary():
+    T = 0.25
+    E, dE, pm, plan = _setup(ne=16, update_phonons=False)
+    n_eq = thermal_qp_weights(E, GAP, T, 0.0)
+    q = jnp.asarray(np.broadcast_to(n_eq[:, None, None], (16, 1, 4)).copy())
+    ph = jnp.asarray(
+        np.broadcast_to(
+            thermal_phonon_occupation(pm.omega_bins, T)[:, None, None],
+            (pm.num_omega, 1, 4),
+        ).copy()
+    )
+    step = jax.jit(make_collision_step(plan, 0.05))
+    q0 = q
+    for _ in range(10):
+        q, ph = step(q, ph)
+    drift = float(jnp.max(jnp.abs(q - q0)) / jnp.max(jnp.abs(q0)))
+    assert drift < 1e-6
+
+
+def test_pair_breaking_creates_quasiparticles():
+    # hot phonons above 2*gap break pairs: QP number must grow from zero
+    E, dE, pm, plan = _setup(ne=8, scattering=False, update_phonons=True)
+    q = jnp.asarray(np.zeros((8, 1, 4)))
+    ph_vals = np.where(pm.omega_bins >= 2 * GAP, 0.5, 0.0)
+    ph = jnp.asarray(np.broadcast_to(ph_vals[:, None, None], (pm.num_omega, 1, 4)).copy())
+    step = jax.jit(make_collision_step(plan, 0.05))
+    for _ in range(5):
+        q, ph = step(q, ph)
+    assert float(jnp.sum(q)) > 0.0
+
+
+def test_frozen_phonons_do_not_change():
+    E, dE, pm, plan = _setup(update_phonons=False)
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.uniform(0, 1e-4, (12, 1, 4)))
+    ph0 = rng.uniform(0, 0.1, (pm.num_omega, 1, 4))
+    ph = jnp.asarray(ph0)
+    step = jax.jit(make_collision_step(plan, 0.05))
+    for _ in range(3):
+        q, ph = step(q, ph)
+    np.testing.assert_array_equal(np.asarray(ph), ph0)
+
+
+def test_chunking_is_invisible():
+    # same physics regardless of pixel chunk size / padding
+    rng = np.random.default_rng(1)
+    ny, nx = 3, 5
+    results = []
+    for chunk in (4, 8, 16):
+        E, dE, pm, plan = _setup(ny=ny, nx=nx, chunk=chunk)
+        q = jnp.asarray(rng.uniform(0, 1e-4, (12, ny, nx)) * 0 + 1e-4)
+        ph = jnp.asarray(
+            np.broadcast_to(
+                thermal_phonon_occupation(pm.omega_bins, 0.2)[:, None, None],
+                (pm.num_omega, ny, nx),
+            ).copy()
+        )
+        step = jax.jit(make_collision_step(plan, 0.05))
+        q2, p2 = step(q, ph)
+        results.append((np.asarray(q2), np.asarray(p2)))
+    for q2, p2 in results[1:]:
+        np.testing.assert_allclose(q2, results[0][0], atol=1e-15)
+        np.testing.assert_allclose(p2, results[0][1], atol=1e-15)
+
+
+def test_nonuniform_gap_uses_local_kernels():
+    # two regions with different gaps must relax at visibly different rates
+    ny, nx = 1, 2
+    E, dE = build_energy_grid(180.0, 1.0, 4.0, 8)
+    pm = build_phonon_frequency_map(E)
+    gaps = np.array([120.0, 240.0])
+    gap_id = np.array([[0, 1]], dtype=np.int32)
+    plan = build_collision_plan_arrays(
+        dE=dE,
+        rho_by_gap=np.stack([dynes_density_of_states(E, g, 0.0) for g in gaps]),
+        K_r0_by_gap=np.stack([recombination_kernel_base(E, g, TAU, TC) for g in gaps]),
+        K_s0_by_gap=None,
+        gap_id=gap_id,
+        pmap=pm,
+        enable_recombination=True,
+        enable_scattering=False,
+        update_phonons=False,
+        pixel_chunk=8,
+    )
+    q = jnp.asarray(np.full((8, ny, nx), 1e-3))
+    ph = jnp.asarray(np.zeros((pm.num_omega, ny, nx)))
+    step = jax.jit(make_collision_step(plan, 0.5))
+    for _ in range(10):
+        q, ph = step(q, ph)
+    out = np.asarray(q).sum(axis=0)[0]
+    assert out[0] != out[1]
+    assert np.all(out > 0)

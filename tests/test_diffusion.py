@@ -1,0 +1,179 @@
+"""Diffusion backends: exactness, BC semantics, analytic decay rates."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qpsim_tpu.geometry.mask import extract_edge_segments
+from qpsim_tpu.models.params import BoundaryCondition
+from qpsim_tpu.ops.diffusion import (
+    BoundaryAssignmentError,
+    assemble_dense_operator,
+    build_directional_stencils,
+    fold_diffusion,
+)
+from qpsim_tpu.ops.tridiag import tridiag_solve
+from qpsim_tpu.solver.diffusion_backends import ADIDiffusion, DenseSpectralDiffusion
+
+
+def _strip(nx, end_bc="reflective", value=None, aux=None):
+    mask = np.ones((1, nx), dtype=bool)
+    edges = extract_edge_segments(mask)
+    bcs = {}
+    for e in edges:
+        if e.normal in ("up", "down"):
+            bcs[e.edge_id] = BoundaryCondition(kind="reflective")
+        else:
+            bcs[e.edge_id] = BoundaryCondition(kind=end_bc, value=value, aux_value=aux)
+    return mask, edges, bcs
+
+
+def test_tridiag_matches_dense_solve():
+    rng = np.random.default_rng(0)
+    n = 33
+    sub = rng.uniform(0.1, 0.3, (4, n))
+    sup = rng.uniform(0.1, 0.3, (4, n))
+    diag = rng.uniform(1.5, 2.5, (4, n))
+    rhs = rng.uniform(-1, 1, (4, n))
+    x = np.asarray(tridiag_solve(*map(jnp.asarray, (sub, diag, sup, rhs))))
+    for b in range(4):
+        T = np.diag(diag[b]) + np.diag(sub[b, 1:], -1) + np.diag(sup[b, :-1], 1)
+        np.testing.assert_allclose(x[b], np.linalg.solve(T, rhs[b]), atol=1e-11)
+
+
+def test_tridiag_block_decoupling():
+    # zeroed couplings split one line into independent systems
+    n = 8
+    diag = np.full((1, n), 2.0)
+    sub = np.full((1, n), -0.5)
+    sup = np.full((1, n), -0.5)
+    sub[0, 4] = 0.0
+    sup[0, 3] = 0.0
+    rhs = np.arange(n, dtype=np.float64)[None]
+    x = np.asarray(tridiag_solve(*map(jnp.asarray, (sub, diag, sup, rhs))))[0]
+    T1 = np.diag([2.0] * 4) + np.diag([-0.5] * 3, -1) + np.diag([-0.5] * 3, 1)
+    T2 = T1.copy()
+    np.testing.assert_allclose(x[:4], np.linalg.solve(T1, rhs[0, :4]), atol=1e-12)
+    np.testing.assert_allclose(x[4:], np.linalg.solve(T2, rhs[0, 4:]), atol=1e-12)
+
+
+def test_missing_bc_raises():
+    mask = np.ones((3, 3), dtype=bool)
+    edges = extract_edge_segments(mask)
+    with pytest.raises(BoundaryAssignmentError):
+        build_directional_stencils(mask, edges, {}, 1.0)
+
+
+def test_operator_is_symmetric():
+    mask = np.ones((4, 5), dtype=bool)
+    mask[0, 0] = False
+    edges = extract_edge_segments(mask)
+    bcs = {e.edge_id: BoundaryCondition(kind="robin", value=0.3, aux_value=0.1) for e in edges}
+    xs, ys = build_directional_stencils(mask, edges, bcs, 0.8)
+    op = fold_diffusion(xs, ys, mask, 0.8, 2.0)
+    L, _ = assemble_dense_operator(op)
+    np.testing.assert_allclose(L[0], L[0].T, atol=1e-13)
+
+
+def test_adi_equals_dense_on_1d():
+    mask, edges, bcs = _strip(40, end_bc="dirichlet", value=0.1)
+    xs, ys = build_directional_stencils(mask, edges, bcs, 1.0)
+    op = fold_diffusion(xs, ys, mask, 1.0, 3.0)
+    sd = jax.jit(DenseSpectralDiffusion(op).make_step(0.05))
+    sa = jax.jit(ADIDiffusion(op).make_step(0.05))
+    u = jnp.asarray(np.random.default_rng(1).uniform(0, 1, (1, 1, 40)))
+    ud, ua = u, u
+    for _ in range(30):
+        ud, ua = sd(ud), sa(ua)
+    assert float(jnp.max(jnp.abs(ud - ua))) < 1e-12
+
+
+def test_adi_splitting_error_is_second_order():
+    mask = np.ones((10, 12), dtype=bool)
+    edges = extract_edge_segments(mask)
+    bcs = {e.edge_id: BoundaryCondition(kind="dirichlet", value=0.0) for e in edges}
+    xs, ys = build_directional_stencils(mask, edges, bcs, 1.0)
+    op = fold_diffusion(xs, ys, mask, 1.0, 1.0)
+    dense, adi = DenseSpectralDiffusion(op), ADIDiffusion(op)
+    u0 = jnp.asarray(np.random.default_rng(2).uniform(0, 1, (1, 10, 12)))
+    errs = []
+    for dt, nst in [(0.2, 5), (0.1, 10), (0.05, 20)]:
+        sd, sa = jax.jit(dense.make_step(dt)), jax.jit(adi.make_step(dt))
+        ud, ua = u0, u0
+        for _ in range(nst):
+            ud, ua = sd(ud), sa(ua)
+        errs.append(float(jnp.max(jnp.abs(ud - ua))))
+    assert errs[0] > errs[1] > errs[2]
+    assert errs[0] / errs[2] > 8.0
+
+
+@pytest.mark.parametrize("backend_cls", [DenseSpectralDiffusion, ADIDiffusion])
+def test_reflective_mode_decay_rate(backend_cls):
+    # u(x,0) = 1 + cos(pi x / L) with reflective walls decays as exp(-D (pi/L)^2 t)
+    nx, D, dt, steps = 64, 2.0, 0.02, 50
+    mask, edges, bcs = _strip(nx, end_bc="reflective")
+    xs, ys = build_directional_stencils(mask, edges, bcs, 1.0)
+    op = fold_diffusion(xs, ys, mask, 1.0, D)
+    x = np.arange(nx) + 0.5
+    u0 = 1.0 + np.cos(np.pi * x / nx)
+    state = jnp.asarray(u0[None, None, :])
+    step = jax.jit(backend_cls(op).make_step(dt))
+    for _ in range(steps):
+        state = step(state)
+    t = dt * steps
+    # discrete CN eigenvalue of the mode (exact for the discrete operator)
+    lam = -D * (2 - 2 * np.cos(np.pi / nx))  # discrete Laplacian eigenvalue
+    a = 0.5 * dt * lam
+    amp = ((1 + a) / (1 - a)) ** steps
+    expected = 1.0 + amp * np.cos(np.pi * x / nx)
+    np.testing.assert_allclose(np.asarray(state)[0, 0], expected, atol=1e-10)
+
+
+@pytest.mark.parametrize("backend_cls", [DenseSpectralDiffusion, ADIDiffusion])
+def test_dirichlet_relaxes_to_boundary_value(backend_cls):
+    nx, D, g = 16, 5.0, 0.25
+    mask, edges, bcs = _strip(nx, end_bc="dirichlet", value=g)
+    xs, ys = build_directional_stencils(mask, edges, bcs, 1.0)
+    op = fold_diffusion(xs, ys, mask, 1.0, D)
+    state = jnp.asarray(np.zeros((1, 1, nx)))
+    step = jax.jit(backend_cls(op).make_step(0.5))
+    for _ in range(400):
+        state = step(state)
+    np.testing.assert_allclose(np.asarray(state)[0, 0], g, atol=1e-8)
+
+
+def test_neumann_flux_injects_mass_linearly():
+    nx, D, q = 24, 1.5, 0.3
+    mask, edges, bcs = _strip(nx, end_bc="neumann", value=q)
+    xs, ys = build_directional_stencils(mask, edges, bcs, 1.0)
+    op = fold_diffusion(xs, ys, mask, 1.0, D)
+    state = jnp.asarray(np.ones((1, 1, nx)))
+    step = jax.jit(DenseSpectralDiffusion(op).make_step(0.1))
+    masses = [float(jnp.sum(state))]
+    for _ in range(10):
+        state = step(state)
+        masses.append(float(jnp.sum(state)))
+    increments = np.diff(masses)
+    # two neumann ends each inject D*q per unit time
+    np.testing.assert_allclose(increments, 2 * D * q * 0.1, rtol=1e-9)
+
+
+def test_variable_diffusion_harmonic_mean_blocks_zero_D_interface():
+    # cells with D=0 on one side: harmonic mean face D = 0 -> no flux through
+    mask = np.ones((1, 6), dtype=bool)
+    edges = extract_edge_segments(mask)
+    bcs = {e.edge_id: BoundaryCondition(kind="reflective") for e in edges}
+    xs, ys = build_directional_stencils(mask, edges, bcs, 1.0)
+    D = np.zeros((1, 1, 6))
+    D[0, 0, :3] = 2.0  # right half has D = 0
+    op = fold_diffusion(xs, ys, mask, 1.0, D)
+    u0 = np.zeros((1, 1, 6))
+    u0[0, 0, :3] = 1.0
+    state = jnp.asarray(u0)
+    step = jax.jit(DenseSpectralDiffusion(op).make_step(0.1))
+    for _ in range(50):
+        state = step(state)
+    out = np.asarray(state)[0, 0]
+    np.testing.assert_allclose(out[3:], 0.0, atol=1e-14)
+    np.testing.assert_allclose(out[:3].sum(), 3.0, rtol=1e-12)

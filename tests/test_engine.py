@@ -1,0 +1,333 @@
+"""Engine contracts: snapshot semantics, callbacks, Pauli policy, generation."""
+
+import numpy as np
+import pytest
+
+from qpsim_tpu.geometry.mask import extract_edge_segments
+from qpsim_tpu.models.params import (
+    BoundaryCondition,
+    ExternalGenerationSpec,
+    InitialConditionSpec,
+)
+from qpsim_tpu.solver.engine import run_2d_crank_nicolson
+
+
+def _strip(nx=16):
+    mask = np.ones((1, nx), dtype=bool)
+    edges = extract_edge_segments(mask)
+    bcs = {e.edge_id: BoundaryCondition(kind="reflective") for e in edges}
+    return mask, edges, bcs
+
+
+def test_final_time_exact_with_remainder():
+    mask, edges, bcs = _strip()
+    times, frames, mass, clim, ef, eb = run_2d_crank_nicolson(
+        mask=mask,
+        edges=edges,
+        edge_conditions=bcs,
+        initial_field=np.ones(mask.shape),
+        diffusion_coefficient=2.0,
+        dt=0.1,
+        total_time=0.55,
+        dx=1.0,
+        store_every=2,
+    )
+    assert times[0] == 0.0
+    assert abs(times[-1] - 0.55) < 1e-12
+    # stored: t=0, steps 2 & 4 (multiples of 2), and final remainder step 6
+    assert len(times) == 4
+    assert ef is None and eb is None
+
+
+def test_store_every_without_remainder_stores_final_partial():
+    mask, edges, bcs = _strip()
+    times, *_ = run_2d_crank_nicolson(
+        mask=mask,
+        edges=edges,
+        edge_conditions=bcs,
+        initial_field=np.ones(mask.shape),
+        diffusion_coefficient=2.0,
+        dt=0.1,
+        total_time=0.5,
+        dx=1.0,
+        store_every=3,
+    )
+    # steps: 5 total; stored at step 3 and final step 5
+    np.testing.assert_allclose(times, [0.0, 0.3, 0.5], atol=1e-12)
+
+
+def test_progress_callback_contract():
+    mask, edges, bcs = _strip()
+    seen = []
+    run_2d_crank_nicolson(
+        mask=mask,
+        edges=edges,
+        edge_conditions=bcs,
+        initial_field=np.ones(mask.shape),
+        diffusion_coefficient=2.0,
+        dt=0.1,
+        total_time=0.3,
+        dx=1.0,
+        store_every=1,
+        progress_callback=lambda t, frame: seen.append((t, frame.shape)),
+    )
+    assert [t for t, _ in seen] == pytest.approx([0.0, 0.1, 0.2, 0.3])
+    assert all(shape == mask.shape for _, shape in seen)
+
+
+def test_callback_exceptions_are_swallowed():
+    mask, edges, bcs = _strip()
+
+    def bad_callback(t, frame):
+        raise RuntimeError("viewer crashed")
+
+    times, *_ = run_2d_crank_nicolson(
+        mask=mask,
+        edges=edges,
+        edge_conditions=bcs,
+        initial_field=np.ones(mask.shape),
+        diffusion_coefficient=2.0,
+        dt=0.1,
+        total_time=0.2,
+        dx=1.0,
+        progress_callback=bad_callback,
+    )
+    assert len(times) == 3
+
+
+def test_frames_nan_outside_mask():
+    mask = np.ones((4, 6), dtype=bool)
+    mask[0, 0] = False
+    edges = extract_edge_segments(mask)
+    bcs = {e.edge_id: BoundaryCondition(kind="reflective") for e in edges}
+    init = np.ones(mask.shape)
+    _, frames, mass, clim, _, _ = run_2d_crank_nicolson(
+        mask=mask,
+        edges=edges,
+        edge_conditions=bcs,
+        initial_field=init,
+        diffusion_coefficient=1.0,
+        dt=0.1,
+        total_time=0.2,
+        dx=1.0,
+    )
+    for f in frames:
+        assert np.isnan(f[0, 0])
+        assert np.all(np.isfinite(f[mask]))
+    assert clim[0] <= clim[1]
+
+
+def test_diffusion_disabled_requires_no_bcs():
+    mask = np.ones((1, 8), dtype=bool)
+    edges = extract_edge_segments(mask)
+    times, frames, mass, *_ = run_2d_crank_nicolson(
+        mask=mask,
+        edges=edges,
+        edge_conditions={},  # no BCs assigned at all
+        initial_field=np.ones(mask.shape),
+        diffusion_coefficient=1.0,
+        dt=0.1,
+        total_time=0.3,
+        dx=1.0,
+        energy_gap=180.0,
+        num_energy_bins=4,
+        energy_max_factor=3.0,
+        enable_diffusion=False,
+    )
+    np.testing.assert_allclose(mass, mass[0], rtol=1e-12)
+
+
+def test_rejects_unknown_collision_solver():
+    mask, edges, bcs = _strip(4)
+    with pytest.raises(ValueError, match="Unsupported collision solver"):
+        run_2d_crank_nicolson(
+            mask=mask,
+            edges=edges,
+            edge_conditions=bcs,
+            initial_field=np.ones(mask.shape),
+            diffusion_coefficient=1.0,
+            dt=0.1,
+            total_time=0.2,
+            dx=1.0,
+            energy_gap=180.0,
+            num_energy_bins=4,
+            energy_max_factor=3.0,
+            collision_solver="boltzphlow_relaxation",
+        )
+
+
+def test_energy_bins_returned_above_gap():
+    mask, edges, bcs = _strip(4)
+    *_, eb = run_2d_crank_nicolson(
+        mask=mask,
+        edges=edges,
+        edge_conditions=bcs,
+        initial_field=np.ones(mask.shape),
+        diffusion_coefficient=1.0,
+        dt=0.1,
+        total_time=0.2,
+        dx=1.0,
+        energy_gap=200.0,
+        energy_min_factor=1.0,
+        energy_max_factor=4.0,
+        num_energy_bins=6,
+    )
+    assert eb is not None and np.all(eb > 200.0)
+
+
+def test_pulse_injection_adds_mass():
+    mask, edges, bcs = _strip(8)
+    gen = ExternalGenerationSpec(mode="pulse", pulse_start=0.0, pulse_duration=0.2, pulse_rate=1e-4)
+    _, _, mass, *_ = run_2d_crank_nicolson(
+        mask=mask,
+        edges=edges,
+        edge_conditions=bcs,
+        initial_field=np.full(mask.shape, 1e-6),
+        diffusion_coefficient=1.0,
+        dt=0.05,
+        total_time=0.4,
+        dx=1.0,
+        energy_gap=180.0,
+        num_energy_bins=4,
+        energy_max_factor=3.0,
+        external_generation=gen,
+    )
+    assert mass[-1] > mass[0]
+
+
+def test_negative_custom_generation_raises():
+    mask, edges, bcs = _strip(4)
+    gen = ExternalGenerationSpec(mode="custom", custom_body="return 0.0 - 1.0")
+    with pytest.raises(ValueError, match="negative"):
+        run_2d_crank_nicolson(
+            mask=mask,
+            edges=edges,
+            edge_conditions=bcs,
+            initial_field=np.ones(mask.shape),
+            diffusion_coefficient=1.0,
+            dt=0.1,
+            total_time=0.2,
+            dx=1.0,
+            energy_gap=180.0,
+            num_energy_bins=4,
+            energy_max_factor=3.0,
+            external_generation=gen,
+        )
+
+
+def test_full_custom_qp_initial_state_is_honored():
+    mask, edges, bcs = _strip(6)
+    spec = InitialConditionSpec(
+        qp_full_custom_enabled=True,
+        qp_full_custom_body="return 1e-4 * x * np.exp(-E / 400.0)",
+    )
+    _, _, _, _, ef, eb = run_2d_crank_nicolson(
+        mask=mask,
+        edges=edges,
+        edge_conditions=bcs,
+        initial_field=np.ones(mask.shape),
+        diffusion_coefficient=1.0,
+        dt=0.1,
+        total_time=0.1,
+        dx=1.0,
+        energy_gap=180.0,
+        num_energy_bins=4,
+        energy_max_factor=3.0,
+        enable_diffusion=False,
+        initial_condition_spec=spec,
+    )
+    x = (np.arange(6) + 0.5) / 6
+    expected0 = 1e-4 * x * np.exp(-eb[0] / 400.0)
+    np.testing.assert_allclose(np.asarray(ef[0][0])[0], expected0, rtol=1e-12)
+
+
+def test_pauli_error_raises_and_warn_mode_warns():
+    mask, edges, bcs = _strip(4)
+    # absurdly large initial density drives f = n/rho far above 1
+    common = dict(
+        mask=mask,
+        edges=edges,
+        edge_conditions=bcs,
+        initial_field=np.full(mask.shape, 1e9),
+        diffusion_coefficient=1.0,
+        dt=0.05,
+        total_time=0.1,
+        dx=1.0,
+        energy_gap=180.0,
+        num_energy_bins=4,
+        energy_max_factor=3.0,
+        enable_scattering=True,
+        bath_temperature=0.1,
+    )
+    with pytest.raises(ValueError, match="Pauli occupation exceeded"):
+        run_2d_crank_nicolson(**common)
+    with pytest.warns(UserWarning):
+        run_2d_crank_nicolson(**common, enforce_pauli=False)
+
+
+def test_phonon_history_energy_mode():
+    mask, edges, bcs = _strip(4)
+    out = {}
+    run_2d_crank_nicolson(
+        mask=mask,
+        edges=edges,
+        edge_conditions=bcs,
+        initial_field=np.full(mask.shape, 1e-5),
+        diffusion_coefficient=1.0,
+        dt=0.1,
+        total_time=0.2,
+        dx=1.0,
+        energy_gap=180.0,
+        num_energy_bins=4,
+        energy_max_factor=3.0,
+        enable_recombination=True,
+        enable_scattering=True,
+        bath_temperature=0.2,
+        phonon_history_out=out,
+    )
+    assert out["phonon_metadata"]["mode"] == "dynamic_local_coupled"
+    assert len(out["phonon_frames"]) == 3
+    assert out["phonon_energy_bins"].ndim == 1
+    nw = out["phonon_energy_bins"].size
+    assert len(out["phonon_energy_frames"][0]) == nw
+
+
+def test_phonon_history_scalar_mode_scaffold():
+    mask, edges, bcs = _strip(4)
+    out = {}
+    run_2d_crank_nicolson(
+        mask=mask,
+        edges=edges,
+        edge_conditions=bcs,
+        initial_field=np.ones(mask.shape),
+        diffusion_coefficient=1.0,
+        dt=0.1,
+        total_time=0.2,
+        dx=1.0,
+        bath_temperature=0.17,
+        phonon_history_out=out,
+    )
+    assert out["phonon_metadata"]["mode"] == "fixed_temperature"
+    assert np.allclose(out["phonon_frames"][0][mask], 0.17)
+
+
+def test_adi_and_dense_backends_agree_on_2d():
+    mask = np.ones((8, 9), dtype=bool)
+    edges = extract_edge_segments(mask)
+    bcs = {e.edge_id: BoundaryCondition(kind="dirichlet", value=0.0) for e in edges}
+    init = np.zeros(mask.shape)
+    init[4, 4] = 1.0
+    kw = dict(
+        mask=mask,
+        edges=edges,
+        edge_conditions=bcs,
+        initial_field=init,
+        diffusion_coefficient=1.0,
+        dt=0.01,
+        total_time=0.1,
+        dx=1.0,
+    )
+    _, frames_d, *_ = run_2d_crank_nicolson(diffusion_backend="dense", **kw)
+    _, frames_a, *_ = run_2d_crank_nicolson(diffusion_backend="adi", **kw)
+    scale = np.nanmax(np.abs(frames_d[-1]))
+    assert np.nanmax(np.abs(frames_d[-1] - frames_a[-1])) / scale < 1e-4
