@@ -19,7 +19,80 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["tridiag_solve", "tridiag_solve_along"]
+__all__ = ["tridiag_solve", "tridiag_solve_along", "tridiag_solve_pcr", "set_default_solver"]
+
+
+def _shift_fwd(arr: jax.Array, s: int, fill: float) -> jax.Array:
+    """Value of index i−s along the last axis (fill past the edge)."""
+    pad = jnp.full(arr.shape[:-1] + (s,), fill, dtype=arr.dtype)
+    return jnp.concatenate([pad, arr[..., :-s]], axis=-1)
+
+
+def _shift_bwd(arr: jax.Array, s: int, fill: float) -> jax.Array:
+    """Value of index i+s along the last axis (fill past the edge)."""
+    pad = jnp.full(arr.shape[:-1] + (s,), fill, dtype=arr.dtype)
+    return jnp.concatenate([arr[..., s:], pad], axis=-1)
+
+
+def tridiag_solve_pcr(
+    sub: jax.Array,
+    diag: jax.Array,
+    sup: jax.Array,
+    rhs: jax.Array,
+) -> jax.Array:
+    """Parallel cyclic reduction along the last axis (TPU fast path).
+
+    Thomas (`tridiag_solve`) is a length-N sequential scan — latency-bound on
+    TPU where each scan step is a tiny fused op.  PCR does ⌈log₂N⌉ levels of
+    fully vectorised elimination (a handful of shifted multiply-adds each),
+    so a 1024-long solve is ~10 bandwidth-bound passes instead of 2048
+    dispatches.  Stable for the diagonally dominant Crank–Nicolson systems
+    this framework produces; identical block-decoupling semantics (zero
+    couplings isolate intervals exactly: eliminations multiply through the
+    zero coefficients).
+    """
+    n = rhs.shape[-1]
+    if n == 1:
+        return rhs / diag
+    a = sub.at[..., 0].set(0.0)
+    c = sup.at[..., -1].set(0.0)
+    b = diag
+    d = rhs
+    s = 1
+    while s < n:
+        b_m = _shift_fwd(b, s, 1.0)
+        b_p = _shift_bwd(b, s, 1.0)
+        alpha = -a / b_m
+        gamma = -c / b_p
+        b = b + alpha * _shift_fwd(c, s, 0.0) + gamma * _shift_bwd(a, s, 0.0)
+        d = d + alpha * _shift_fwd(d, s, 0.0) + gamma * _shift_bwd(d, s, 0.0)
+        a = alpha * _shift_fwd(a, s, 0.0)
+        c = gamma * _shift_bwd(c, s, 0.0)
+        s *= 2
+    return d / b
+
+
+_DEFAULT_SOLVER = "auto"
+
+
+def set_default_solver(name: str) -> None:
+    """Select the batched tridiagonal algorithm: 'auto', 'thomas' or 'pcr'.
+
+    'auto' uses PCR on TPU (dispatch-latency dominated scans) and Thomas on
+    CPU (lower flop count, scans are cheap there).
+    """
+    global _DEFAULT_SOLVER
+    if name not in ("auto", "thomas", "pcr"):
+        raise ValueError(f"Unknown tridiagonal solver: {name!r}")
+    _DEFAULT_SOLVER = name
+
+
+def _use_pcr() -> bool:
+    if _DEFAULT_SOLVER == "pcr":
+        return True
+    if _DEFAULT_SOLVER == "thomas":
+        return False
+    return jax.default_backend() in ("tpu", "gpu")
 
 
 def tridiag_solve(
@@ -33,7 +106,21 @@ def tridiag_solve(
     ``sub[..., i]`` couples row i to i−1 (entry ignored at i=0) and
     ``sup[..., i]`` couples row i to i+1 (ignored at the last row).
     All arrays share one shape; batching is over the leading axes.
+    Dispatches to PCR on TPU/GPU and the Thomas scan on CPU (see
+    :func:`set_default_solver`).
     """
+    if _use_pcr():
+        return tridiag_solve_pcr(sub, diag, sup, rhs)
+    return _tridiag_solve_thomas(sub, diag, sup, rhs)
+
+
+def _tridiag_solve_thomas(
+    sub: jax.Array,
+    diag: jax.Array,
+    sup: jax.Array,
+    rhs: jax.Array,
+) -> jax.Array:
+    """Sequential Thomas algorithm via two lax.scans (CPU path)."""
     n = rhs.shape[-1]
     if n == 1:
         return rhs / diag

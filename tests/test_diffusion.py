@@ -177,3 +177,22 @@ def test_variable_diffusion_harmonic_mean_blocks_zero_D_interface():
     out = np.asarray(state)[0, 0]
     np.testing.assert_allclose(out[3:], 0.0, atol=1e-14)
     np.testing.assert_allclose(out[:3].sum(), 3.0, rtol=1e-12)
+
+
+def test_pcr_matches_thomas():
+    from qpsim_tpu.ops.tridiag import tridiag_solve_pcr, _tridiag_solve_thomas
+
+    rng = np.random.default_rng(5)
+    for n in (1, 2, 3, 7, 16, 33, 100):
+        sub = rng.uniform(0.05, 0.3, (3, n))
+        sup = rng.uniform(0.05, 0.3, (3, n))
+        diag = rng.uniform(1.2, 2.0, (3, n))
+        rhs = rng.uniform(-1, 1, (3, n))
+        # decouple an interval in one batch row (masked-geometry pattern)
+        if n >= 8:
+            sub[1, n // 2] = 0.0
+            sup[1, n // 2 - 1] = 0.0
+        args = tuple(map(jnp.asarray, (sub, diag, sup, rhs)))
+        x_pcr = np.asarray(tridiag_solve_pcr(*args))
+        x_tho = np.asarray(_tridiag_solve_thomas(*args))
+        np.testing.assert_allclose(x_pcr, x_tho, atol=1e-11, err_msg=f"n={n}")

@@ -1,0 +1,151 @@
+"""Multi-device sharding: sharded step ≡ single-chip step on a virtual mesh.
+
+conftest forces an 8-device CPU platform (xla_force_host_platform_device_count)
+so these tests exercise real ppermute/all_to_all/psum collectives.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qpsim_tpu.geometry.mask import extract_edge_segments
+from qpsim_tpu.models.params import BoundaryCondition
+from qpsim_tpu.ops.collisions import build_collision_plan_arrays, make_collision_step
+from qpsim_tpu.ops.diffusion import build_directional_stencils, fold_diffusion
+from qpsim_tpu.ops.dos import dynes_density_of_states, thermal_phonon_occupation
+from qpsim_tpu.ops.energy_grid import build_energy_grid
+from qpsim_tpu.ops.kernels import recombination_kernel_base, scattering_kernel_base
+from qpsim_tpu.ops.phonon_map import build_phonon_frequency_map
+from qpsim_tpu.parallel.ensemble import build_diffusion_sweep_step, sweep_diffusion_decay
+from qpsim_tpu.parallel.mesh import make_mesh, state_sharding
+from qpsim_tpu.parallel.sharded import build_sharded_step
+from qpsim_tpu.solver.diffusion_backends import ADIDiffusion
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 2, reason="needs multiple (virtual) devices"
+)
+
+GAP, TAU, TC, TBATH = 180.0, 440.0, 1.2, 0.2
+
+
+def _geometry(ny, nx):
+    mask = np.ones((ny, nx), dtype=bool)
+    edges = extract_edge_segments(mask)
+    bcs = {}
+    for e in edges:
+        bcs[e.edge_id] = BoundaryCondition(
+            kind="dirichlet" if e.normal in ("left", "right") else "reflective", value=0.0
+        )
+    return mask, edges, bcs
+
+
+def test_sharded_diffusion_matches_single_chip():
+    ny, nx = 32, 24
+    mask, edges, bcs = _geometry(ny, nx)
+    xs, ys = build_directional_stencils(mask, edges, bcs, 1.0)
+    op = fold_diffusion(xs, ys, mask, 1.0, np.array([2.0, 5.0]))
+    dt = 0.05
+
+    mesh = make_mesh(n_space=len(jax.devices()))
+    sharded = build_sharded_step(mesh, op, dt, dtype=jnp.float64)
+    single = jax.jit(ADIDiffusion(op, dtype=jnp.float64).make_step(dt))
+
+    rng = np.random.default_rng(0)
+    q0 = rng.uniform(0, 1, (2, ny, nx))
+    q_sh = jax.device_put(jnp.asarray(q0), sharded.q_sharding)
+    ph_sh = jax.device_put(jnp.zeros((1, ny, nx)), sharded.ph_sharding)
+    q_single = jnp.asarray(q0)
+    for _ in range(5):
+        q_sh, ph_sh, mass = sharded.step(q_sh, ph_sh)
+        q_single = single(q_single)
+    np.testing.assert_allclose(np.asarray(q_sh), np.asarray(q_single), atol=1e-12)
+    assert abs(float(mass) - float(jnp.sum(q_single))) < 1e-10
+
+
+def test_sharded_full_coupled_matches_single_chip():
+    ny, nx = 16, 16
+    ne = 6
+    mask, edges, bcs = _geometry(ny, nx)
+    E, dE = build_energy_grid(GAP, 1.0, 3.0, ne)
+    pm = build_phonon_frequency_map(E)
+    rho = dynes_density_of_states(E, GAP, 0.0)
+    Kr = recombination_kernel_base(E, GAP, TAU, TC)
+    Ks = scattering_kernel_base(E, GAP, TAU, TC)
+    D_bins = 6.0 * np.sqrt(np.maximum(0.0, 1.0 - (GAP / E) ** 2))
+    xs, ys = build_directional_stencils(mask, edges, bcs, 1.0)
+    op = fold_diffusion(xs, ys, mask, 1.0, D_bins)
+    dt = 0.05
+
+    mesh = make_mesh(n_space=len(jax.devices()))
+    sharded = build_sharded_step(
+        mesh,
+        op,
+        dt,
+        collisions=dict(
+            dE=dE, rho=rho, K_r0=Kr, K_s0=Ks, pmap=pm,
+            enable_recombination=True, enable_scattering=True, update_phonons=True,
+        ),
+        dtype=jnp.float64,
+    )
+
+    # single-chip composition: C(dt/2) → D(dt) → C(dt/2)
+    plan = build_collision_plan_arrays(
+        dE=dE, rho_by_gap=rho[None], K_r0_by_gap=Kr[None], K_s0_by_gap=Ks[None],
+        gap_id=np.zeros((ny, nx), np.int32), pmap=pm,
+        enable_recombination=True, enable_scattering=True, update_phonons=True,
+    )
+    col_half = make_collision_step(plan, 0.5 * dt)
+    diff = ADIDiffusion(op, dtype=jnp.float64).make_step(dt)
+
+    @jax.jit
+    def single(q, ph):
+        q, ph = col_half(q, ph)
+        q = diff(q)
+        q, ph = col_half(q, ph)
+        return q, ph
+
+    rng = np.random.default_rng(1)
+    q0 = rng.uniform(0, 1e-4, (ne, ny, nx))
+    ph0 = np.broadcast_to(
+        thermal_phonon_occupation(pm.omega_bins, TBATH)[:, None, None],
+        (pm.num_omega, ny, nx),
+    ).copy()
+    q_sh = jax.device_put(jnp.asarray(q0), sharded.q_sharding)
+    ph_sh = jax.device_put(jnp.asarray(ph0), sharded.ph_sharding)
+    q_s, ph_s = jnp.asarray(q0), jnp.asarray(ph0)
+    for _ in range(3):
+        q_sh, ph_sh, _ = sharded.step(q_sh, ph_sh)
+        q_s, ph_s = single(q_s, ph_s)
+    np.testing.assert_allclose(np.asarray(q_sh), np.asarray(q_s), atol=1e-13)
+    np.testing.assert_allclose(np.asarray(ph_sh), np.asarray(ph_s), atol=1e-13)
+
+
+def test_vmapped_sweep_orders_by_diffusivity():
+    traces = sweep_diffusion_decay(
+        width=32, height=16, D_values=np.array([1.0, 4.0, 8.0]), steps=20, dt=0.05,
+        dtype=jnp.float64,
+    )
+    assert traces.shape == (3, 21)
+    finals = traces[:, -1]
+    # faster diffusion spreads the peak faster
+    assert finals[0] > finals[1] > finals[2] > 0
+
+
+def test_sweep_member_matches_scalar_run():
+    ny, nx = 16, 16
+    mask = np.ones((ny, nx), dtype=bool)
+    edges = extract_edge_segments(mask)
+    bcs = {e.edge_id: BoundaryCondition(kind="reflective") for e in edges}
+    step = build_diffusion_sweep_step(mask, edges, bcs, 1.0, 0.05, dtype=jnp.float64)
+    xs, ys = build_directional_stencils(mask, edges, bcs, 1.0)
+    op = fold_diffusion(xs, ys, mask, 1.0, 3.0)
+    single = jax.jit(ADIDiffusion(op, dtype=jnp.float64).make_step(0.05))
+    rng = np.random.default_rng(2)
+    u0 = rng.uniform(0, 1, (1, ny, nx))
+    batch = jnp.asarray(np.stack([u0, u0 * 2]))
+    d = jnp.asarray([3.0, 3.0])
+    out = step(batch, d)
+    ref = single(jnp.asarray(u0))
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(ref), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(out[1]), 2 * np.asarray(ref), atol=1e-12)
