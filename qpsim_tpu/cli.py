@@ -1,0 +1,208 @@
+"""Command-line interface: ``python -m qpsim_tpu <command>``.
+
+The reference ships only a Tkinter GUI (``app.py``); this CLI exposes the
+same workflows headlessly — run a setup, precompute caches, validate
+physics, generate the analytic benchmark suite, inspect GDS layouts — plus
+TPU-specific commands (device info, benchmarks).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+
+def _cmd_info(args: argparse.Namespace) -> int:
+    import jax
+
+    from . import __version__
+
+    print(f"qpsim_tpu {__version__}")
+    print(f"jax {jax.__version__}, backend: {jax.default_backend()}")
+    for d in jax.devices():
+        print(f"  device: {d}")
+    from .geometry.gds import native_raster_available
+
+    print(f"native GDS rasterizer: {'yes' if native_raster_available() else 'no (numpy fallback)'}")
+    return 0
+
+
+def _cmd_validate(args: argparse.Namespace) -> int:
+    from .validation import run_fast_validation_suite
+
+    report = run_fast_validation_suite()
+    payload = report.as_dict()
+    if args.json:
+        print(json.dumps(payload, indent=2, default=float))
+    else:
+        for name, section in payload.items():
+            if isinstance(section, dict):
+                status = "PASS" if section.get("passed") else "FAIL"
+                detail = {
+                    k: v for k, v in section.items() if k not in ("passed",)
+                }
+                print(f"{status}  {name}: {detail}")
+        print("overall:", "PASS" if payload["overall_passed"] else "FAIL")
+    return 0 if payload["overall_passed"] else 1
+
+
+def _cmd_run(args: argparse.Namespace) -> int:
+    from .io.storage import load_setup
+    from .runner import run_setup
+
+    setup_path = Path(args.setup)
+    setup = load_setup(setup_path)
+    print(f"setup '{setup.name}' ({setup.setup_id}): "
+          f"{len(setup.geometry.edges)} edges, gap={setup.parameters.energy_gap} ueV")
+
+    def progress(t, frame):
+        print(f"  t = {t:.6g} ns", file=sys.stderr)
+
+    result, saved = run_setup(
+        setup,
+        setup_path=setup_path,
+        progress_callback=progress if args.verbose else None,
+        save=not args.no_save,
+        save_path=Path(args.output) if args.output else None,
+        diffusion_backend=args.backend,
+    )
+    meta = result.metadata
+    print(f"done: {len(result.times)} stored frames, final t = {result.times[-1]:.6g} ns")
+    print(f"mass: {result.mass_over_time[0]:.6g} -> {result.mass_over_time[-1]:.6g}")
+    print(f"energy diagnostics ({meta['diagnostics_mode']}): "
+          f"residual range [{min(meta['energy_exchange_residual']):.3g}, "
+          f"{max(meta['energy_exchange_residual']):.3g}]")
+    if saved:
+        print(f"saved: {saved}")
+    elif "save_error" in meta:
+        print(f"save failed: {meta['save_error']}", file=sys.stderr)
+        return 1
+    return 0
+
+
+def _cmd_precompute(args: argparse.Namespace) -> int:
+    import numpy as np
+
+    from .geometry.mask import mask_from_lists
+    from .io.precompute import estimate_precompute_memory, precompute_arrays
+    from .io.storage import load_setup, save_precomputed
+
+    setup_path = Path(args.setup)
+    setup = load_setup(setup_path)
+    mask = mask_from_lists(setup.geometry.mask)
+    arrays = precompute_arrays(
+        mask,
+        setup.geometry.edges,
+        setup.boundary_conditions,
+        setup.parameters,
+        progress_callback=lambda msg: print(f"  {msg}", file=sys.stderr),
+        include_collision_kernels=args.kernels,
+    )
+    est = estimate_precompute_memory(
+        int(mask.sum()),
+        setup.parameters.num_energy_bins,
+        bool(np.asarray(arrays["is_uniform"]).reshape(-1)[0]),
+        args.kernels,
+    )
+    path = save_precomputed(setup_path, arrays)
+    print(f"saved {path} (~{est / 1e6:.1f} MB payload)")
+    return 0
+
+
+def _cmd_gen_tests(args: argparse.Namespace) -> int:
+    from .testcases.generator import generate_test_suite
+    from .io.storage import save_test_suite
+
+    suite = generate_test_suite(
+        nx=args.nx, total_time=args.total_time, store_every=args.store_every
+    )
+    path = save_test_suite(suite, Path(args.output) if args.output else None)
+    n = sum(len(g.cases) for g in suite.geometry_groups)
+    print(f"generated {n} cases in {len(suite.geometry_groups)} groups -> {path}")
+    return 0
+
+
+def _cmd_gds_info(args: argparse.Namespace) -> int:
+    from collections import Counter
+
+    from .geometry.gds import read_gds_library, read_gds_polygons
+
+    lib = read_gds_library(args.file)
+    print(f"library '{lib.name}': {len(lib.cells)} cells, "
+          f"unit {lib.unit_user} user / {lib.unit_meters} m")
+    for cell in lib.cells.values():
+        print(f"  cell '{cell.name}': {len(cell.polygons)} polygons, "
+              f"{len(cell.references)} references")
+    polys = read_gds_polygons(args.file)
+    per_layer = Counter(p.layer for p in polys)
+    for layer in sorted(per_layer):
+        print(f"  layer {layer}: {per_layer[layer]} flattened polygons")
+    return 0
+
+
+def _cmd_bench(args: argparse.Namespace) -> int:
+    repo_root = Path(__file__).resolve().parent.parent
+    sys.path.insert(0, str(repo_root))
+    import bench
+
+    bench.main()
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        prog="qpsim_tpu",
+        description="TPU-native quasiparticle & phonon kinetics simulator.",
+    )
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    sub.add_parser("info", help="show versions, devices, native components").set_defaults(
+        fn=_cmd_info
+    )
+
+    v = sub.add_parser("validate", help="run the fast physics validation suite")
+    v.add_argument("--json", action="store_true", help="machine-readable output")
+    v.set_defaults(fn=_cmd_validate)
+
+    r = sub.add_parser("run", help="run a setup JSON file")
+    r.add_argument("setup", help="path to a setup .json")
+    r.add_argument("--output", help="explicit output path for the simulation JSON")
+    r.add_argument("--no-save", action="store_true", help="don't persist the result")
+    r.add_argument("--backend", default="auto", choices=("auto", "dense", "adi"))
+    r.add_argument("--verbose", action="store_true", help="print stored-step progress")
+    r.set_defaults(fn=_cmd_run)
+
+    p = sub.add_parser("precompute", help="build + save a setup's .precompute.npz sidecar")
+    p.add_argument("setup")
+    p.add_argument("--kernels", action="store_true", help="include collision kernels")
+    p.set_defaults(fn=_cmd_precompute)
+
+    g = sub.add_parser("gen-tests", help="generate the 28-case analytic benchmark suite")
+    g.add_argument("--nx", type=int, default=100)
+    g.add_argument("--total-time", type=float, default=8.0, dest="total_time")
+    g.add_argument("--store-every", type=int, default=2, dest="store_every")
+    g.add_argument("--output")
+    g.set_defaults(fn=_cmd_gen_tests)
+
+    gi = sub.add_parser("gds-info", help="inspect a GDSII file")
+    gi.add_argument("file")
+    gi.set_defaults(fn=_cmd_gds_info)
+
+    b = sub.add_parser("bench", help="run the headline benchmark (prints one JSON line)")
+    b.set_defaults(fn=_cmd_bench)
+    return parser
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    try:
+        return args.fn(args)
+    except (FileNotFoundError, ValueError) as exc:
+        print(f"error: {exc}", file=sys.stderr)
+        return 2
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

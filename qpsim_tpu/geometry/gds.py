@@ -177,6 +177,8 @@ def _iter_records(data: bytes):
 
 def read_gds_library(path: str | Path) -> GdsLibrary:
     data = Path(path).read_bytes()
+    if len(data) < 4 or struct.unpack_from(">HBB", data, 0)[1] != _HEADER:
+        raise ValueError(f"Not a GDSII stream file (missing HEADER record): {path}")
     lib_name = ""
     unit_user, unit_meters = 1e-3, 1e-9
     cells: dict[str, GdsCell] = {}

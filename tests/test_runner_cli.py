@@ -1,0 +1,124 @@
+"""High-level runner and CLI workflows."""
+
+import json
+
+import numpy as np
+import pytest
+
+from qpsim_tpu.cli import main as cli_main
+from qpsim_tpu.fields import default_initial_condition
+from qpsim_tpu.geometry.mask import create_intrinsic_geometry
+from qpsim_tpu.io.storage import load_simulation, save_setup
+from qpsim_tpu.models.params import (
+    BoundaryCondition,
+    ExternalGenerationSpec,
+    SetupData,
+    SimulationParameters,
+)
+from qpsim_tpu.runner import run_setup
+
+
+def _setup(export_phonons=False, collisions=True, gen_mode="none"):
+    geo = create_intrinsic_geometry(width=16, height=10)
+    bcs = {e.edge_id: BoundaryCondition(kind="reflective") for e in geo.edges}
+    params = SimulationParameters(
+        diffusion_coefficient=6.0,
+        dt=0.05,
+        total_time=0.3,
+        mesh_size=1.0,
+        store_every=2,
+        energy_gap=180.0,
+        energy_min_factor=1.0,
+        energy_max_factor=3.0,
+        num_energy_bins=6,
+        enable_recombination=collisions,
+        enable_scattering=collisions,
+        bath_temperature=0.2,
+        export_phonon_history=export_phonons,
+        external_generation=ExternalGenerationSpec(
+            mode=gen_mode, pulse_start=0.0, pulse_duration=0.1, pulse_rate=1e-5
+        ),
+    )
+    ic = default_initial_condition()
+    ic.spatial_kind = "uniform"
+    ic.spatial_params = {"value": 1e-4}
+    return SetupData(
+        setup_id="deadbeef0001",
+        name="runner test",
+        created_at="2026-08-16T00:00:00+00:00",
+        geometry=geo,
+        boundary_conditions=bcs,
+        parameters=params,
+        initial_condition=ic,
+    )
+
+
+def test_run_setup_closed_system_diagnostics(tmp_path):
+    result, path = run_setup(_setup(), save=True, save_path=tmp_path / "out.json")
+    assert path is not None
+    meta = result.metadata
+    assert meta["diagnostics_mode"] == "conservation_residual"
+    res = np.asarray(meta["energy_exchange_residual"])
+    totals = np.asarray(meta["energy_qp_total"]) + np.asarray(meta["energy_phonon_total"])
+    assert res[0] == 0.0
+    # collisions conserve E_qp + E_ph up to integrator splitting error
+    assert np.max(np.abs(res)) / max(1e-30, totals[0]) < 1e-3
+    # round-trips through storage
+    loaded = load_simulation(path)
+    assert loaded.metadata["diagnostics_mode"] == "conservation_residual"
+    assert loaded.energy_bins is not None
+    assert loaded.phonon_frames is None  # export_phonon_history off
+
+
+def test_run_setup_exports_phonons_when_requested(tmp_path):
+    result, _ = run_setup(
+        _setup(export_phonons=True), save=True, save_path=tmp_path / "out.json"
+    )
+    assert result.phonon_frames is not None
+    assert result.phonon_energy_frames is not None
+    assert result.phonon_metadata["mode"] == "dynamic_local_coupled"
+
+
+def test_run_setup_open_system_mode(tmp_path):
+    result, _ = run_setup(_setup(gen_mode="pulse"), save=False)
+    assert result.metadata["diagnostics_mode"] == "open_system"
+    # pulse injects energy: residual grows positive
+    assert result.metadata["energy_exchange_residual"][-1] > 0
+
+
+def test_cli_run_and_validate(tmp_path, capsys):
+    setup = _setup()
+    setup_path = save_setup(setup, tmp_path / "s.json")
+    rc = cli_main(["run", str(setup_path), "--output", str(tmp_path / "sim.json")])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "stored frames" in out
+    assert (tmp_path / "sim.json").exists()
+
+    rc = cli_main(["info"])
+    assert rc == 0
+    assert "qpsim_tpu" in capsys.readouterr().out
+
+
+def test_cli_precompute_and_gds_info(tmp_path, capsys):
+    setup = _setup()
+    setup.parameters.gap_expression = "return 180.0 + 10.0 * x"
+    setup_path = save_setup(setup, tmp_path / "s.json")
+    rc = cli_main(["precompute", str(setup_path), "--kernels"])
+    assert rc == 0
+    assert (tmp_path / "s.precompute.npz").exists()
+    # and the runner picks the sidecar up (no stale reason recorded)
+    from qpsim_tpu.io.storage import load_setup
+
+    result, _ = run_setup(load_setup(setup_path), setup_path=setup_path, save=False)
+    assert "precompute_stale_reason" not in result.metadata
+
+    from qpsim_tpu.geometry.gds import write_gds
+
+    gds = write_gds(
+        tmp_path / "c.gds",
+        {"TOP": [(1, np.array([[0, 0], [10, 0], [10, 5], [0, 5]], dtype=float))]},
+    )
+    rc = cli_main(["gds-info", str(gds)])
+    out = capsys.readouterr().out
+    assert rc == 0 and "layer 1: 1 flattened polygons" in out
