@@ -67,6 +67,7 @@ def _cmd_run(args: argparse.Namespace) -> int:
         save=not args.no_save,
         save_path=Path(args.output) if args.output else None,
         diffusion_backend=args.backend,
+        checkpoint_dir=args.checkpoint_dir,
     )
     meta = result.metadata
     print(f"done: {len(result.times)} stored frames, final t = {result.times[-1]:.6g} ns")
@@ -172,6 +173,12 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--no-save", action="store_true", help="don't persist the result")
     r.add_argument("--backend", default="auto", choices=("auto", "dense", "adi"))
     r.add_argument("--verbose", action="store_true", help="print stored-step progress")
+    r.add_argument(
+        "--checkpoint-dir",
+        dest="checkpoint_dir",
+        help="orbax checkpoint directory: snapshots are saved there and an "
+        "interrupted run resumes from the latest one",
+    )
     r.set_defaults(fn=_cmd_run)
 
     p = sub.add_parser("precompute", help="build + save a setup's .precompute.npz sidecar")

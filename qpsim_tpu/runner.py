@@ -97,6 +97,7 @@ def run_setup(
     save_path: Path | None = None,
     diffusion_backend: str = "auto",
     dtype=None,
+    checkpoint_dir: str | Path | None = None,
 ) -> tuple[SimulationResultData, str | None]:
     """Run one setup end-to-end and (optionally) persist the result.
 
@@ -128,6 +129,12 @@ def run_setup(
     collisions_on = p.enable_recombination or p.enable_scattering
     want_phonons = bool(p.export_phonon_history) or (p.energy_gap > 0 and collisions_on)
     phonon_sink: dict[str, Any] | None = {} if want_phonons else None
+
+    checkpointer = None
+    if checkpoint_dir is not None and p.energy_gap > 0:
+        from .io.checkpoint import SimulationCheckpointer
+
+        checkpointer = SimulationCheckpointer(checkpoint_dir)
 
     times, frames, mass, color_limits, energy_frames, energy_bins = run_2d_crank_nicolson(
         mask=mask,
@@ -162,6 +169,7 @@ def run_setup(
         progress_callback=progress_callback,
         diffusion_backend=diffusion_backend,
         dtype=dtype,
+        checkpointer=checkpointer,
     )
 
     area = float(p.mesh_size * p.mesh_size)

@@ -146,6 +146,7 @@ def run_2d_crank_nicolson(
     diffusion_backend: str = "auto",
     dtype=None,
     pixel_chunk: int = DEFAULT_PIXEL_CHUNK,
+    checkpointer=None,
 ) -> tuple:
     """Run an (optionally energy-resolved) masked 2D diffusion–collision sim.
 
@@ -221,6 +222,7 @@ def run_2d_crank_nicolson(
             diffusion_backend=diffusion_backend,
             dtype=dtype,
             pixel_chunk=pixel_chunk,
+            checkpointer=checkpointer,
         )
 
     return _run_scalar(
@@ -384,6 +386,7 @@ def _run_energy_resolved(
     diffusion_backend,
     dtype,
     pixel_chunk,
+    checkpointer=None,
 ):
     gap = float(energy_gap)
     ny, nx = mask.shape
@@ -661,21 +664,58 @@ def _run_energy_resolved(
         m = float(np.sum(integrated) * dx * dx)
         return frame, energy_frame, m
 
-    frame0, eframe0, mass0 = snapshot(q_np)
-    times = [0.0]
-    frames = [frame0]
-    energy_frames = [eframe0]
-    mass = [mass0]
-    if record_phonons:
-        record_phonon_snapshot(ph_np)
-    _notify(progress_callback, 0.0, frames[0])
-
-    # --- main loop --------------------------------------------------------------
+    times: list[float] = []
+    frames: list[np.ndarray] = []
+    energy_frames: list[list[np.ndarray]] = []
+    mass: list[float] = []
     current_time = 0.0
     step_counter = 0
+    stored_idx = 0
+    completed_steps = 0
+
+    resume = checkpointer.latest() if checkpointer is not None else None
+    if resume is not None:
+        # Rebuild the stored history from checkpoints and continue the loop
+        # from the latest one — results match an uninterrupted run exactly.
+        for payload in checkpointer.load_through(resume["stored_idx"]):
+            frame, eframe, m = snapshot(np.asarray(payload["q"], dtype=np.float64))
+            times.append(payload["time_ns"])
+            frames.append(frame)
+            energy_frames.append(eframe)
+            mass.append(m)
+            if record_phonons and "ph" in payload:
+                record_phonon_snapshot(np.asarray(payload["ph"], dtype=np.float64))
+        q = jnp.asarray(resume["q"], dtype=dtype)
+        if "ph" in resume:
+            ph = jnp.asarray(resume["ph"], dtype=dtype)
+        completed_steps = resume["step"]
+        step_counter = completed_steps
+        current_time = resume["time_ns"]
+        # stored_idx advances through the skipped segments below, reaching
+        # resume["stored_idx"] exactly when the replay is complete.
+    else:
+        frame0, eframe0, mass0 = snapshot(q_np)
+        times.append(0.0)
+        frames.append(frame0)
+        energy_frames.append(eframe0)
+        mass.append(mass0)
+        if record_phonons:
+            record_phonon_snapshot(ph_np)
+        _notify(progress_callback, 0.0, frames[0])
+        if checkpointer is not None:
+            checkpointer.save_step(0, step=0, time_ns=0.0, q=q_np, ph=ph_np)
+
+    # --- main loop --------------------------------------------------------------
     gen_mode = external_generation.normalized_mode() if external_generation else "none"
+    cumulative = 0
 
     for seg in segments:
+        if cumulative + seg.length <= completed_steps:
+            cumulative += seg.length
+            if seg.stored:
+                stored_idx += 1
+            continue
+        cumulative += seg.length
         if host_gen:
             for _ in range(seg.length):
                 g_host = evaluate_generation_host(
@@ -722,15 +762,28 @@ def _run_energy_resolved(
                     int(stats_np[3][i]),
                 )
         if seg.stored:
+            stored_idx += 1
             q_host = np.asarray(q, dtype=np.float64)
+            ph_host = np.asarray(ph, dtype=np.float64)
             frame, energy_frame, m = snapshot(q_host)
             times.append(float(current_time))
             frames.append(frame)
             energy_frames.append(energy_frame)
             mass.append(m)
             if record_phonons:
-                record_phonon_snapshot(np.asarray(ph, dtype=np.float64))
+                record_phonon_snapshot(ph_host)
             _notify(progress_callback, current_time, frame)
+            if checkpointer is not None:
+                checkpointer.save_step(
+                    stored_idx,
+                    step=step_counter,
+                    time_ns=float(current_time),
+                    q=q_host,
+                    ph=ph_host,
+                )
+
+    if checkpointer is not None:
+        checkpointer.finalize()
 
     if phonon_history_out is not None:
         phonon_history_out.clear()
