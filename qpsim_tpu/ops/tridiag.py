@@ -76,13 +76,19 @@ _DEFAULT_SOLVER = "auto"
 
 
 def set_default_solver(name: str) -> None:
-    """Select the batched tridiagonal algorithm: 'auto', 'thomas' or 'pcr'.
+    """Select the batched tridiagonal algorithm.
 
-    'auto' uses PCR on TPU (dispatch-latency dominated scans) and Thomas on
-    CPU (lower flop count, scans are cheap there).
+    'auto'   — PCR on TPU/GPU (scans are dispatch-latency bound there),
+               Thomas on CPU (lower flop count, cheap scans);
+    'thomas' — sequential two-scan Thomas;
+    'pcr'    — parallel cyclic reduction (XLA; best fused inside lax.scan);
+    'pallas' — in-VMEM Thomas Pallas kernel (TPU only; single HBM pass per
+               solve, but its in-kernel sequential sweep is latency-bound —
+               measured slightly slower than scan-fused PCR at 1024², kept
+               as an alternative backend).
     """
     global _DEFAULT_SOLVER
-    if name not in ("auto", "thomas", "pcr"):
+    if name not in ("auto", "thomas", "pcr", "pallas"):
         raise ValueError(f"Unknown tridiagonal solver: {name!r}")
     _DEFAULT_SOLVER = name
 
@@ -109,6 +115,10 @@ def tridiag_solve(
     Dispatches to PCR on TPU/GPU and the Thomas scan on CPU (see
     :func:`set_default_solver`).
     """
+    if _DEFAULT_SOLVER == "pallas":
+        from .pallas_tridiag import tridiag_solve_pallas
+
+        return tridiag_solve_pallas(sub, diag, sup, rhs)
     if _use_pcr():
         return tridiag_solve_pcr(sub, diag, sup, rhs)
     return _tridiag_solve_thomas(sub, diag, sup, rhs)

@@ -196,3 +196,22 @@ def test_pcr_matches_thomas():
         x_pcr = np.asarray(tridiag_solve_pcr(*args))
         x_tho = np.asarray(_tridiag_solve_thomas(*args))
         np.testing.assert_allclose(x_pcr, x_tho, atol=1e-11, err_msg=f"n={n}")
+
+
+def test_pallas_thomas_kernel_interpret_mode():
+    from qpsim_tpu.ops.pallas_tridiag import tridiag_solve_pallas
+    from qpsim_tpu.ops.tridiag import _tridiag_solve_thomas
+
+    rng = np.random.default_rng(9)
+    for shape in [(4, 17), (2, 3, 40)]:
+        sub = rng.uniform(0.05, 0.3, shape)
+        sup = rng.uniform(0.05, 0.3, shape)
+        diag = rng.uniform(1.3, 2.2, shape)
+        rhs = rng.uniform(-1, 1, shape)
+        # decouple one interval (masked-geometry pattern)
+        sub[..., shape[-1] // 2] = 0.0
+        sup[..., shape[-1] // 2 - 1] = 0.0
+        args = tuple(map(jnp.asarray, (sub, diag, sup, rhs)))
+        x_p = np.asarray(tridiag_solve_pallas(*args, interpret=True))
+        x_t = np.asarray(_tridiag_solve_thomas(*args))
+        np.testing.assert_allclose(x_p, x_t, atol=1e-11)
