@@ -1,0 +1,254 @@
+"""Pallas TPU kernel: fused Fischer–Catelani collision substep.
+
+The XLA collision path (``ops.collisions``) materialises (P, NE, NE) pair
+tensors in HBM — at 256²×16 bins that is ~0.5 GB of traffic per substep and
+it dominates the step time.  This kernel keeps a tile of pixels entirely in
+VMEM and walks the NE² energy-pair interactions as **statically unrolled
+row operations** (pixels on lanes), so HBM sees each state element exactly
+once per substep.
+
+It exploits the structure of the standard cell-centered energy grid:
+E_i − E_j and E_i + E_j depend only on i−j and i+j (Toeplitz/Hankel), so
+the phonon-occupation lookups are NE+2NE−1 static rows of n_ph — no
+gathers — and the kernel coefficients K^s₀/K^r₀ are baked in as scalar
+constants.
+
+Supported: uniform gap, uniform energy grid (the production configuration);
+the general path stays on ``ops.collisions``.  Physics and update formulas
+are identical (see that module's docstring); parity is tested in interpret
+mode and on hardware.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .phonon_map import PhononFrequencyMap
+
+__all__ = ["build_pallas_collision_step", "pallas_collisions_supported"]
+
+_EPS_RHO = 1e-30
+_MU_FLOOR = 1e-14
+_AFFINE_CLIP = 80.0
+_DEFAULT_TILE = 2048
+_MAX_UNROLLED_BINS = 32
+
+
+def _expm1(x):
+    """expm1 substitute — the primitive has no Pallas TPU lowering.
+
+    Taylor below |x| < 1e-2 (relative error ~x⁴/120 ≲ 1e-10), exp(x)−1 above,
+    where cancellation is no longer an issue.
+    """
+    taylor = x * (1.0 + x * (0.5 + x * ((1.0 / 6.0) + x * (1.0 / 24.0))))
+    return jnp.where(jnp.abs(x) < 1e-2, taylor, jnp.exp(x) - 1.0)
+
+
+def _uniform_pair_rows(E_bins: np.ndarray, pmap: PhononFrequencyMap):
+    """Static ω-row tables for a uniform grid: diff_row[k]=ω(k·dE), sum_row[m]."""
+    ne = E_bins.size
+    diffs = np.diff(E_bins)
+    if ne > 1 and not np.allclose(diffs, diffs[0], rtol=1e-9):
+        return None
+    diff_row = [int(pmap.idx_diff[k, 0]) for k in range(ne)]  # |E_k − E_0| = k·dE
+    sum_row = [int(pmap.idx_sum[min(m, ne - 1), m - min(m, ne - 1)]) for m in range(2 * ne - 1)]
+    return diff_row, sum_row
+
+
+def pallas_collisions_supported(E_bins: np.ndarray, n_gaps: int) -> bool:
+    e = np.asarray(E_bins)
+    if e.size < 2 or e.size > _MAX_UNROLLED_BINS or n_gaps != 1:
+        return False
+    diffs = np.diff(e)
+    return bool(np.allclose(diffs, diffs[0], rtol=1e-9))
+
+
+@dataclass(frozen=True)
+class _Physics:
+    ne: int
+    nw: int
+    nw_pad: int
+    dE: float
+    Ks: tuple | None  # NE×NE nested tuples of python floats
+    Kr: tuple | None
+    rho: tuple
+    diff_row: tuple
+    sum_row: tuple
+    update_phonons: bool
+
+
+def _make_kernel(phys: _Physics, dt: float):
+    ne = phys.ne
+    dE = phys.dE
+    Ks, Kr, rho = phys.Ks, phys.Kr, phys.rho
+    diff_row, sum_row = phys.diff_row, phys.sum_row
+    dt = float(dt)
+
+    def kernel(q_ref, ph_ref, q_out, ph_out):
+        q = [q_ref[i, :] for i in range(ne)]
+        partner = []
+        for i in range(ne):
+            r = rho[i]
+            if r > _EPS_RHO:
+                f = q[i] * (1.0 / r)
+                partner.append(r * jnp.maximum(1.0 - f, 0.0))
+            else:
+                partner.append(jnp.zeros_like(q[i]))
+
+        # static phonon-occupation rows: D[k] = n_ph(k·dE), S[m] = n_ph(E_i+E_j)|i+j=m
+        D = [None] + [ph_ref[diff_row[k], :] for k in range(1, ne)]
+        S = [ph_ref[sum_row[m], :] for m in range(2 * ne - 1)] if Kr is not None else None
+
+        zeros = jnp.zeros_like(q[0])
+        gain_s = [zeros for _ in range(ne)]  # Σ_i Ks[i,j]·Np(i,j)·q_i  (pre partner_j)
+        loss = [zeros for _ in range(ne)]
+        gain_r = [zeros for _ in range(ne)]  # Σ_j Kr[i,j]·S·partner_j (pre partner_i)
+        ph_a: dict[int, jax.Array] = {}
+        ph_b: dict[int, jax.Array] = {}
+
+        def acc(table, idx, val, sign=1.0):
+            cur = table.get(idx)
+            table[idx] = (val if sign > 0 else -val) if cur is None else (
+                cur + val if sign > 0 else cur - val
+            )
+
+        for i in range(ne):
+            for j in range(ne):
+                if Ks is not None and i != j:
+                    ks = Ks[i][j]
+                    if ks != 0.0:
+                        np_ij = (1.0 + D[i - j]) if i > j else D[j - i]
+                        w = (dE * ks) * np_ij
+                        loss[i] = loss[i] + w * partner[j]
+                        gain_s[j] = gain_s[j] + w * q[i]
+                        if phys.update_phonons:
+                            base = (dE * ks) * (q[i] * partner[j])
+                            if i > j:
+                                acc(ph_a, diff_row[i - j], base)
+                                acc(ph_b, diff_row[i - j], base)
+                            else:
+                                acc(ph_b, diff_row[j - i], base, sign=-1.0)
+                if Kr is not None:
+                    kr = Kr[i][j]
+                    if kr != 0.0:
+                        s_ij = S[i + j]
+                        loss[i] = loss[i] + (2.0 * dE * kr) * (1.0 + s_ij) * q[j]
+                        gain_r[i] = gain_r[i] + (2.0 * dE * kr) * s_ij * partner[j]
+                        if phys.update_phonons:
+                            m = sum_row[i + j]
+                            base_rec = (dE * kr) * (q[i] * q[j])
+                            acc(ph_a, m, base_rec)
+                            acc(ph_b, m, base_rec)
+                            base_pb = (dE * kr) * (partner[i] * partner[j])
+                            acc(ph_b, m, base_pb, sign=-1.0)
+
+        # QP update: positivity-preserving exponential relaxation
+        for i in range(ne):
+            gain = partner[i] * (gain_s[i] + gain_r[i])
+            mu = jnp.maximum(loss[i], 0.0)
+            decay = jnp.exp(-mu * dt)
+            coeff = jnp.where(mu < _MU_FLOOR, dt, -_expm1(-mu * dt) / jnp.maximum(mu, _MU_FLOOR))
+            q_out[i, :] = jnp.maximum(decay * q[i] + coeff * jnp.maximum(gain, 0.0), 0.0)
+
+        # phonon update: frozen-coefficient affine growth on touched ω rows
+        for w in range(phys.nw_pad):
+            if phys.update_phonons and (w in ph_a or w in ph_b):
+                y = ph_ref[w, :]
+                a_term = ph_a.get(w, zeros)
+                b_term = ph_b.get(w, zeros)
+                x = jnp.clip(b_term * dt, -_AFFINE_CLIP, _AFFINE_CLIP)
+                safe_b = jnp.where(jnp.abs(b_term) < _MU_FLOOR, 1.0, b_term)
+                coeff = jnp.where(jnp.abs(b_term) < _MU_FLOOR, dt, _expm1(x) / safe_b)
+                ph_out[w, :] = jnp.maximum(jnp.exp(x) * y + coeff * a_term, 0.0)
+            else:
+                ph_out[w, :] = ph_ref[w, :]
+
+    return kernel
+
+
+def build_pallas_collision_step(
+    *,
+    E_bins: np.ndarray,
+    dE: float,
+    rho: np.ndarray,
+    K_s0: np.ndarray | None,
+    K_r0: np.ndarray | None,
+    pmap: PhononFrequencyMap,
+    dt: float,
+    update_phonons: bool = True,
+    tile: int = _DEFAULT_TILE,
+    interpret: bool = False,
+):
+    """Build ``(n_qp, n_ph) -> (n_qp, n_ph)`` backed by the Pallas kernel.
+
+    State shapes: n_qp (NE, Ny, Nx), n_ph (NW, Ny, Nx) — identical contract
+    to ``ops.collisions.make_collision_step``.  Returns None when the
+    configuration is outside the kernel's support envelope.
+    """
+    e = np.asarray(E_bins, dtype=np.float64)
+    ne = int(e.size)
+    if not pallas_collisions_supported(e, 1):
+        return None
+    rows = _uniform_pair_rows(e, pmap)
+    if rows is None:
+        return None
+    diff_row, sum_row = rows
+    nw = pmap.num_omega
+    nw_pad = ((nw + 7) // 8) * 8
+
+    to_tuple = lambda M: tuple(tuple(float(v) for v in row) for row in np.asarray(M))
+    phys = _Physics(
+        ne=ne,
+        nw=nw,
+        nw_pad=nw_pad,
+        dE=float(dE),
+        Ks=None if K_s0 is None else to_tuple(K_s0),
+        Kr=None if K_r0 is None else to_tuple(K_r0),
+        rho=tuple(float(v) for v in np.asarray(rho)),
+        diff_row=tuple(diff_row),
+        sum_row=tuple(sum_row),
+        update_phonons=bool(update_phonons),
+    )
+    kernel = _make_kernel(phys, dt)
+
+    def step(n_qp: jax.Array, n_ph: jax.Array):
+        if phys.Ks is None and phys.Kr is None:
+            return n_qp, n_ph
+        ne_, ny, nx = n_qp.shape
+        p_live = ny * nx
+        q = n_qp.reshape(ne_, p_live)
+        ph = n_ph.reshape(nw, p_live)
+        pad_rows = nw_pad - nw
+        if pad_rows:
+            ph = jnp.pad(ph, ((0, pad_rows), (0, 0)))
+        pad_cols = (-p_live) % tile
+        if pad_cols:
+            q = jnp.pad(q, ((0, 0), (0, pad_cols)))
+            ph = jnp.pad(ph, ((0, 0), (0, pad_cols)))
+        p_pad = q.shape[1]
+        grid = (p_pad // tile,)
+        q_spec = pl.BlockSpec((ne_, tile), lambda t: (0, t), memory_space=pltpu.VMEM)
+        ph_spec = pl.BlockSpec((nw_pad, tile), lambda t: (0, t), memory_space=pltpu.VMEM)
+        q_new, ph_new = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[q_spec, ph_spec],
+            out_specs=(q_spec, ph_spec),
+            out_shape=(
+                jax.ShapeDtypeStruct((ne_, p_pad), n_qp.dtype),
+                jax.ShapeDtypeStruct((nw_pad, p_pad), n_ph.dtype),
+            ),
+            interpret=interpret,
+        )(q, ph)
+        q_out = q_new[:, :p_live].reshape(ne_, ny, nx)
+        ph_out = ph_new[:nw, :p_live].reshape(nw, ny, nx)
+        return q_out, ph_out
+
+    return step
