@@ -157,6 +157,38 @@ def bench_coupled_2d(ny=256, nx=256, ne=16, length=100) -> dict:
     }
 
 
+def bench_ensemble_sweep(n_members=32, member=(64, 64), ne=8, length=100) -> dict:
+    """32-member coupled parameter sweep as one super-grid (pallas collisions)."""
+    import jax
+    import jax.numpy as jnp
+
+    from qpsim_tpu.parallel.ensemble import build_film_ensemble
+
+    ens = build_film_ensemble(
+        n_members=n_members,
+        member_shape=member,
+        num_energy_bins=ne,
+        dt=0.05,
+        dtype=jnp.float32,
+    )
+    rng = np.random.default_rng(0)
+    q_members = rng.uniform(0, 1e-5, (n_members, ne, *member))
+    ph_members = ens.thermal_phonons(np.linspace(0.1, 0.4, n_members))
+    q, ph = ens.pack(q_members, ph_members)
+
+    @jax.jit
+    def chunk(state):
+        return jax.lax.scan(lambda c, _: (ens.step(*c), None), state, None, length=length)[0]
+
+    state = (jnp.asarray(q, jnp.float32), jnp.asarray(ph, jnp.float32))
+    per_step, _ = _timed_chunk(chunk, state, length, f"ensemble {n_members}x{member}x{ne}")
+    return {
+        "ensemble_members": n_members,
+        "ensemble_ms_per_step": per_step * 1e3,
+        "ensemble_member_steps_per_s": n_members / per_step,
+    }
+
+
 def bench_mkid_pulse(total_steps=10_000, nx=1024, ne=16) -> dict:
     """10k-step MKID pulse: 1D wire, coupled scattering+recombination+pulse."""
     import jax
@@ -200,6 +232,7 @@ def main() -> None:
     log(f"backend: {jax.default_backend()} devices: {jax.devices()}")
     rate = bench_scalar_cn_1024()
     extras = bench_coupled_2d()
+    extras.update(bench_ensemble_sweep())
     extras.update(bench_mkid_pulse())
     payload = {
         "metric": "cell-steps/sec (2D CN, 1024^2 grid)",

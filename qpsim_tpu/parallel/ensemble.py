@@ -20,7 +20,12 @@ from ..models.params import BoundaryCondition
 from ..ops.diffusion import build_directional_stencils, fold_diffusion
 from ..ops.tridiag import tridiag_solve, tridiag_solve_along
 
-__all__ = ["build_diffusion_sweep_step", "sweep_diffusion_decay"]
+__all__ = [
+    "build_diffusion_sweep_step",
+    "sweep_diffusion_decay",
+    "FilmEnsemble",
+    "build_film_ensemble",
+]
 
 
 def build_diffusion_sweep_step(
@@ -106,3 +111,182 @@ def sweep_diffusion_decay(
         u = step(u, d)
         traces.append(np.asarray(u[:, 0, height // 2, width // 2]))
     return np.stack(traces, axis=1)
+
+
+# ---------------------------------------------------------------------------
+# film ensembles: B independent films as one masked super-grid
+# ---------------------------------------------------------------------------
+#
+# An ensemble of B identical-geometry films stacked along y IS a single
+# masked film whose members are disconnected components: the directional
+# stencils already zero couplings across member boundaries (each member has
+# its own boundary faces), so the ordinary single-chip step — diffusion,
+# collisions, Pallas kernels — batches the whole sweep with no new machinery.
+# Per-member collision parameters (τ_s, τ_r) ride the same unique-kernel
+# mechanism used for non-uniform gaps: member id → kernel stack index.
+
+from dataclasses import dataclass as _dataclass
+
+from ..ops.collisions import build_collision_plan_arrays, make_collision_step
+from ..ops.dos import (
+    diffusion_coefficient_of_energy,
+    dynes_density_of_states,
+    thermal_phonon_occupation,
+)
+from ..ops.energy_grid import build_energy_grid
+from ..ops.kernels import recombination_kernel_base, scattering_kernel_base
+from ..ops.phonon_map import build_phonon_frequency_map
+from ..solver.diffusion_backends import ADIDiffusion
+
+
+@_dataclass
+class FilmEnsemble:
+    """A B-member sweep materialised as one super-grid simulation step.
+
+    The super-grid stacks members along y with one masked-off separator row
+    between them (member m occupies rows [m·(ny+1), m·(ny+1)+ny)).
+    """
+
+    step: Callable  # (q, ph) -> (q, ph)
+    n_members: int
+    member_shape: tuple[int, int]
+    super_shape: tuple[int, int]
+    num_energy_bins: int
+    num_omega: int
+    E_bins: np.ndarray
+    omega_bins: np.ndarray
+    dE: float
+
+    @property
+    def _stride(self) -> int:
+        return self.member_shape[0] + 1
+
+    def _member_rows(self, m: int) -> slice:
+        return slice(m * self._stride, m * self._stride + self.member_shape[0])
+
+    def pack(self, q_members: np.ndarray, ph_members: np.ndarray):
+        """(B, NE, ny, nx), (B, NW, ny, nx) → super-grid (NE, Y, nx), (NW, Y, nx)."""
+        ne = q_members.shape[1]
+        nw = ph_members.shape[1]
+        q = np.zeros((ne, *self.super_shape), dtype=np.float64)
+        ph = np.zeros((nw, *self.super_shape), dtype=np.float64)
+        for m in range(self.n_members):
+            q[:, self._member_rows(m), :] = q_members[m]
+            ph[:, self._member_rows(m), :] = ph_members[m]
+        return q, ph
+
+    def unpack(self, q, ph):
+        q = np.asarray(q)
+        ph = np.asarray(ph)
+        qm = np.stack([q[:, self._member_rows(m), :] for m in range(self.n_members)])
+        pm_ = np.stack([ph[:, self._member_rows(m), :] for m in range(self.n_members)])
+        return qm, pm_
+
+    def thermal_phonons(self, bath_temperatures: np.ndarray) -> np.ndarray:
+        """(B,) bath temperatures → (B, NW, ny, nx) thermal member states."""
+        ny, nx = self.member_shape
+        out = np.empty((self.n_members, self.num_omega, ny, nx))
+        for m, t in enumerate(np.asarray(bath_temperatures)):
+            out[m] = thermal_phonon_occupation(self.omega_bins, float(t))[:, None, None]
+        return out
+
+
+def build_film_ensemble(
+    *,
+    n_members: int,
+    member_shape: tuple[int, int] = (64, 64),
+    gap: float = 180.0,
+    num_energy_bins: int = 8,
+    energy_max_factor: float = 4.0,
+    D0: float = 6.0,
+    tau_s: np.ndarray | float = 440.0,
+    tau_r: np.ndarray | float = 440.0,
+    T_c: float = 1.2,
+    dt: float = 0.05,
+    dtype=jnp.float32,
+    dynes_gamma: float = 0.0,
+) -> FilmEnsemble:
+    """Build a Strang step over a B-member film ensemble (reflective walls).
+
+    ``tau_s``/``tau_r`` may be scalars or (B,) arrays — per-member collision
+    times become per-member kernel stacks selected by a member-id plane.
+    """
+    ny, nx = member_shape
+    b = int(n_members)
+    tau_s = np.broadcast_to(np.asarray(tau_s, dtype=np.float64), (b,))
+    tau_r = np.broadcast_to(np.asarray(tau_r, dtype=np.float64), (b,))
+
+    # members stacked along y with one masked-off separator row between them
+    gapped = np.zeros(((ny + 1) * b - 1, nx), dtype=bool)
+    for m in range(b):
+        gapped[m * (ny + 1) : m * (ny + 1) + ny, :] = True
+    edges = extract_edge_segments(gapped)
+    bcs = {e.edge_id: BoundaryCondition(kind="reflective") for e in edges}
+
+    E_bins, dE = build_energy_grid(gap, 1.0, energy_max_factor, num_energy_bins)
+    pmap = build_phonon_frequency_map(E_bins)
+    rho = dynes_density_of_states(E_bins, gap, dynes_gamma)
+
+    x_st, y_st = build_directional_stencils(gapped, edges, bcs, 1.0)
+    op = fold_diffusion(
+        x_st, y_st, gapped, 1.0, diffusion_coefficient_of_energy(D0, E_bins, gap)
+    )
+    diff = ADIDiffusion(op, dtype=dtype).make_step(dt)
+
+    uniform_taus = bool(np.all(tau_s == tau_s[0]) and np.all(tau_r == tau_r[0]))
+    col_half = None
+    if uniform_taus:
+        # identical member kernels: the Pallas collision kernel applies
+        from ..ops.pallas_collisions import build_pallas_collision_step
+
+        col_half = build_pallas_collision_step(
+            E_bins=E_bins,
+            dE=dE,
+            rho=rho,
+            K_s0=scattering_kernel_base(E_bins, gap, float(tau_s[0]), T_c),
+            K_r0=recombination_kernel_base(E_bins, gap, float(tau_r[0]), T_c),
+            pmap=pmap,
+            dt=0.5 * dt,
+            update_phonons=True,
+            interpret=jax.default_backend() != "tpu",
+        )
+    if col_half is None:
+        member_id = np.zeros(gapped.shape, dtype=np.int32)
+        for m in range(b):
+            member_id[m * (ny + 1) : m * (ny + 1) + ny, :] = m
+        plan = build_collision_plan_arrays(
+            dE=dE,
+            rho_by_gap=np.broadcast_to(rho, (b, num_energy_bins)).copy(),
+            K_r0_by_gap=np.stack(
+                [recombination_kernel_base(E_bins, gap, float(t), T_c) for t in tau_r]
+            ),
+            K_s0_by_gap=np.stack(
+                [scattering_kernel_base(E_bins, gap, float(t), T_c) for t in tau_s]
+            ),
+            gap_id=member_id,
+            pmap=pmap,
+            enable_recombination=True,
+            enable_scattering=True,
+            update_phonons=True,
+            dtype=dtype,
+            pixel_chunk=gapped.size,
+        )
+        col_half = make_collision_step(plan, 0.5 * dt)
+
+    def step(q, ph):
+        q, ph = col_half(q, ph)
+        q = diff(q)
+        q, ph = col_half(q, ph)
+        return q, ph
+
+    return FilmEnsemble(
+        step=step,
+        n_members=b,
+        member_shape=(ny, nx),
+        super_shape=gapped.shape,
+        num_energy_bins=num_energy_bins,
+        num_omega=pmap.num_omega,
+        E_bins=E_bins,
+        omega_bins=pmap.omega_bins,
+        dE=dE,
+    )

@@ -149,3 +149,48 @@ def test_sweep_member_matches_scalar_run():
     ref = single(jnp.asarray(u0))
     np.testing.assert_allclose(np.asarray(out[0]), np.asarray(ref), atol=1e-12)
     np.testing.assert_allclose(np.asarray(out[1]), 2 * np.asarray(ref), atol=1e-12)
+
+
+def test_film_ensemble_members_independent_and_match_solo():
+    import jax.numpy as jnp
+
+    from qpsim_tpu.parallel.ensemble import build_film_ensemble
+    from qpsim_tpu.ops.dos import dynes_density_of_states
+
+    ny, nx, ne, b = 8, 10, 6, 3
+    taus = np.array([200.0, 440.0, 800.0])
+    ens = build_film_ensemble(
+        n_members=b, member_shape=(ny, nx), num_energy_bins=ne,
+        energy_max_factor=3.0, tau_s=taus, tau_r=taus, dt=0.1,
+        dtype=jnp.float64,
+    )
+    rng = np.random.default_rng(0)
+    base_q = rng.uniform(0, 1e-4, (ne, ny, nx))
+    q_members = np.stack([base_q.copy() for _ in range(b)])
+    ph_members = ens.thermal_phonons(np.full(b, 0.2))
+    q, ph = ens.pack(q_members, ph_members)
+    qj, pj = jnp.asarray(q), jnp.asarray(ph)
+    import jax
+
+    stepped = jax.jit(ens.step)
+    for _ in range(4):
+        qj, pj = stepped(qj, pj)
+    qm, pm_ = ens.unpack(qj, pj)
+    # same IC, different tau -> members evolve differently
+    assert not np.allclose(qm[0], qm[1])
+    assert not np.allclose(qm[1], qm[2])
+    # each member equals a solo run with its own tau
+    solo = build_film_ensemble(
+        n_members=1, member_shape=(ny, nx), num_energy_bins=ne,
+        energy_max_factor=3.0, tau_s=taus[1:2], tau_r=taus[1:2], dt=0.1,
+        dtype=jnp.float64,
+    )
+    qs, ps = solo.pack(q_members[1:2], ph_members[1:2])
+    qsj, psj = jnp.asarray(qs), jnp.asarray(ps)
+    solo_step = jax.jit(solo.step)
+    for _ in range(4):
+        qsj, psj = solo_step(qsj, psj)
+    qsm, _ = solo.unpack(qsj, psj)
+    np.testing.assert_allclose(qm[1], qsm[0], atol=1e-15)
+    # separator rows stay empty
+    assert float(np.abs(np.asarray(qj)[:, ny, :]).max()) == 0.0
