@@ -1,0 +1,220 @@
+"""Differentiable simulation: gradients through the solver.
+
+A capability the reference cannot offer: because the whole time step is
+traced JAX, observables are differentiable with respect to physical
+parameters — enabling gradient-based fitting of D₀, τₛ, τᵣ, pulse energies
+etc. against measured decay curves (the standard MKID analysis task).
+
+``make_differentiable_decay`` builds a pure function
+``params -> observable_trace`` where ``params = {"D0", "tau_s", "tau_r"}``
+are traced scalars: the diffusion coefficients and collision kernels are
+reconstructed *inside* the trace (K ∝ 1/τ, D(E) = D₀√(1−(Δ/E)²)), so
+``jax.grad`` / ``jax.jacfwd`` flow end-to-end through the Strang-split
+integrator.  Uses the XLA collision path (the Pallas kernel has no VJP) and
+ADI diffusion with on-the-fly coefficients.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .constants import K_B_UEV_PER_K
+from .geometry.mask import extract_edge_segments
+from .models.params import BoundaryCondition
+from .ops.dos import dynes_density_of_states, thermal_phonon_occupation
+from .ops.energy_grid import build_energy_grid
+from .ops.phonon_map import build_phonon_frequency_map
+from .ops.diffusion import build_directional_stencils, fold_diffusion
+from .ops.tridiag import tridiag_solve, tridiag_solve_along
+
+__all__ = ["make_differentiable_decay", "fit_parameters"]
+
+
+def _traced_kernels(E: jnp.ndarray, gap: float, T_c: float):
+    """Base collision kernels as traced functions of 1/τ (K ∝ 1/τ)."""
+    kTc = K_B_UEV_PER_K * T_c
+    e_sum = E[:, None] + E[None, :]
+    e_diff = E[:, None] - E[None, :]
+    e_prod = jnp.maximum(E[:, None] * E[None, :], 1e-30)
+    kr_shape = (e_sum / kTc) ** 2 / kTc * (1.0 + gap**2 / e_prod)
+    ks_shape = e_diff**2 / kTc**3 * jnp.maximum(1.0 - gap**2 / e_prod, 0.0)
+    ks_shape = ks_shape * (1.0 - jnp.eye(E.shape[0]))
+    return kr_shape, ks_shape
+
+
+def make_differentiable_decay(
+    *,
+    nx: int = 64,
+    gap: float = 180.0,
+    num_energy_bins: int = 8,
+    energy_max_factor: float = 4.0,
+    T_c: float = 1.2,
+    bath_temperature: float = 0.2,
+    dt: float = 0.05,
+    n_steps: int = 40,
+    n0: float = 1e-4,
+    dtype=jnp.float64,
+    phonon_feedback: bool = True,
+) -> Callable:
+    """Build ``decay(params) -> (n_steps+1,) total-QP trace`` on a 1D wire.
+
+    ``params``: dict with traced scalars ``D0``, ``tau_s``, ``tau_r``.
+    Fully differentiable (reverse and forward mode).
+
+    ``phonon_feedback=False`` freezes the bath at thermal occupation — the
+    standard "phonons escape to the substrate instantly" modelling limit, in
+    which recombination is a true loss channel and decay curves carry strong
+    τᵣ sensitivity.  With feedback on (closed film) re-breaking largely
+    cancels recombination and total QP number is nearly conserved.
+    """
+    mask = np.ones((1, nx), dtype=bool)
+    edges = extract_edge_segments(mask)
+    bcs = {e.edge_id: BoundaryCondition(kind="reflective") for e in edges}
+    E_np, dE = build_energy_grid(gap, 1.0, energy_max_factor, num_energy_bins)
+    pmap = build_phonon_frequency_map(E_np)
+    rho_np = dynes_density_of_states(E_np, gap, 0.0)
+
+    # unit-D stencils; D(E) folds in at trace time so dD/dD0 flows
+    x_st, y_st = build_directional_stencils(mask, edges, bcs, 1.0)
+    unit = fold_diffusion(x_st, y_st, mask, 1.0, 1.0)
+    ax_lo = jnp.asarray(unit.ax_lo, dtype=dtype)
+    ax_hi = jnp.asarray(unit.ax_hi, dtype=dtype)
+    ax_diag = jnp.asarray(unit.ax_diag, dtype=dtype)
+    ay_lo = jnp.asarray(unit.ay_lo, dtype=dtype)
+    ay_hi = jnp.asarray(unit.ay_hi, dtype=dtype)
+    ay_diag = jnp.asarray(unit.ay_diag, dtype=dtype)
+
+    E = jnp.asarray(E_np, dtype=dtype)
+    rho = jnp.asarray(rho_np, dtype=dtype)
+    kr_shape, ks_shape = _traced_kernels(E, gap, T_c)
+    idx_diff = jnp.asarray(pmap.idx_diff.reshape(-1))
+    idx_sum = jnp.asarray(pmap.idx_sum.reshape(-1))
+    emit = jnp.asarray((pmap.diff_sign > 0).astype(np.float64), dtype=dtype)
+    absorb = jnp.asarray((pmap.diff_sign < 0).astype(np.float64), dtype=dtype)
+    scatter_diff = jnp.asarray(pmap.scatter_diff, dtype=dtype)
+    scatter_sum = jnp.asarray(pmap.scatter_sum, dtype=dtype)
+    nw = pmap.num_omega
+    ne = num_energy_bins
+
+    ph0 = jnp.asarray(
+        np.broadcast_to(
+            thermal_phonon_occupation(pmap.omega_bins, bath_temperature)[:, None], (nw, nx)
+        ).copy(),
+        dtype=dtype,
+    )
+    weights = rho_np / max(1e-30, float(np.sum(rho_np) * dE))
+    q0 = jnp.asarray(np.broadcast_to(weights[:, None] * n0, (ne, nx)).copy(), dtype=dtype)
+
+    def collide(q, ph, K_r0, K_s0, dt_c):
+        # pixel-batched: q (NE, NX), ph (NW, NX)
+        qT, phT = q.T, ph.T  # (NX, NE), (NX, NW)
+        f = qT / jnp.maximum(rho[None, :], 1e-30)
+        omf = jnp.maximum(1.0 - f, 0.0)
+        partner = rho[None, :] * omf
+        n_diff = jnp.take(phT, idx_diff, axis=-1).reshape(-1, ne, ne)
+        n_sum = jnp.take(phT, idx_sum, axis=-1).reshape(-1, ne, ne)
+        np_diff = emit * (1.0 + n_diff) + absorb * n_diff
+        Ks_eff = K_s0 * np_diff
+        gain = dE * partner * jnp.einsum("cji,cj->ci", Ks_eff, qT)
+        loss = dE * jnp.einsum("cij,cj->ci", Ks_eff, partner)
+        loss = loss + 2.0 * dE * jnp.einsum("ij,cij,cj->ci", K_r0, 1.0 + n_sum, qT)
+        gain = gain + 2.0 * dE * partner * jnp.einsum("ij,cij,cj->ci", K_r0, n_sum, partner)
+        mu = jnp.maximum(loss, 0.0)
+        coeff = jnp.where(mu < 1e-14, dt_c, -jnp.expm1(-mu * dt_c) / jnp.maximum(mu, 1e-14))
+        q_new = jnp.maximum(jnp.exp(-mu * dt_c) * qT + coeff * jnp.maximum(gain, 0.0), 0.0)
+        base_sc = dE * (qT[:, :, None] * K_s0 * partner[:, None, :])
+        e_flat = (base_sc * emit).reshape(-1, ne * ne) @ scatter_diff
+        a_flat = (base_sc * absorb).reshape(-1, ne * ne) @ scatter_diff
+        base_rec = dE * (qT[:, :, None] * K_r0 * qT[:, None, :])
+        rec = base_rec.reshape(-1, ne * ne) @ scatter_sum
+        base_pb = dE * (partner[:, :, None] * K_r0 * partner[:, None, :])
+        pb = base_pb.reshape(-1, ne * ne) @ scatter_sum
+        a_ph = e_flat + rec
+        b_ph = e_flat - a_flat + rec - pb
+        x = jnp.clip(b_ph * dt_c, -80.0, 80.0)
+        safe_b = jnp.where(jnp.abs(b_ph) < 1e-14, 1.0, b_ph)
+        cph = jnp.where(jnp.abs(b_ph) < 1e-14, dt_c, jnp.expm1(x) / safe_b)
+        ph_new = jnp.maximum(jnp.exp(x) * phT + cph * a_ph, 0.0)
+        if not phonon_feedback:
+            ph_new = phT
+        return q_new.T, ph_new.T
+
+    def diffuse(q, D0, dt_d):
+        D_bins = D0 * jnp.sqrt(jnp.maximum(0.0, 1.0 - (gap / E) ** 2))
+        D = D_bins[:, None, None]
+        alpha = 0.5 * dt_d
+        u = q[:, None, :]  # (NE, 1, NX)
+        rhs = u + alpha * D * (
+            ay_lo * jnp.roll(u, 1, -2) + ay_hi * jnp.roll(u, -1, -2) + ay_diag * u
+        )
+        shape = rhs.shape
+        u_star = tridiag_solve(
+            jnp.broadcast_to(-alpha * D * ax_lo, shape),
+            jnp.broadcast_to(1.0 - alpha * D * ax_diag, shape),
+            jnp.broadcast_to(-alpha * D * ax_hi, shape),
+            rhs,
+        )
+        rhs2 = u_star + alpha * D * (
+            ax_lo * jnp.roll(u_star, 1, -1) + ax_hi * jnp.roll(u_star, -1, -1) + ax_diag * u_star
+        )
+        u_new = tridiag_solve_along(
+            -2,
+            jnp.broadcast_to(-alpha * D * ay_lo, shape),
+            jnp.broadcast_to(1.0 - alpha * D * ay_diag, shape),
+            jnp.broadcast_to(-alpha * D * ay_hi, shape),
+            rhs2,
+        )
+        return u_new[:, 0, :]
+
+    def decay(params) -> jax.Array:
+        D0 = params["D0"]
+        K_r0 = kr_shape / params["tau_r"]
+        K_s0 = ks_shape / params["tau_s"]
+
+        def step(state, _):
+            q, ph = state
+            q, ph = collide(q, ph, K_r0, K_s0, 0.5 * dt)
+            q = diffuse(q, D0, dt)
+            q, ph = collide(q, ph, K_r0, K_s0, 0.5 * dt)
+            return (q, ph), jnp.sum(q) * dE
+
+        (_, _), totals = jax.lax.scan(step, (q0, ph0), None, length=n_steps)
+        return jnp.concatenate([jnp.array([jnp.sum(q0) * dE], dtype=dtype), totals])
+
+    return decay
+
+
+def fit_parameters(
+    observed: jnp.ndarray,
+    initial_params: dict,
+    *,
+    decay_fn: Callable,
+    learning_rate: float = 0.05,
+    n_iters: int = 100,
+) -> dict:
+    """Fit (log-space) physical parameters to an observed decay curve.
+
+    Plain Adam via optax on ``log params`` (positivity-preserving); returns
+    the fitted parameter dict.
+    """
+    import optax
+
+    log_params = {k: jnp.log(jnp.asarray(v, dtype=jnp.float64)) for k, v in initial_params.items()}
+
+    def loss_fn(lp):
+        params = {k: jnp.exp(v) for k, v in lp.items()}
+        pred = decay_fn(params)
+        return jnp.mean((pred - observed) ** 2 / jnp.maximum(observed, 1e-30) ** 2)
+
+    opt = optax.adam(learning_rate)
+    state = opt.init(log_params)
+    grad_fn = jax.jit(jax.value_and_grad(loss_fn))
+    for _ in range(n_iters):
+        _, grads = grad_fn(log_params)
+        updates, state = opt.update(grads, state)
+        log_params = optax.apply_updates(log_params, updates)
+    return {k: float(jnp.exp(v)) for k, v in log_params.items()}

@@ -1,0 +1,88 @@
+"""Differentiable simulation: gradients through the coupled solver."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qpsim_tpu.diff import fit_parameters, make_differentiable_decay
+
+_CFG = dict(
+    nx=16,
+    num_energy_bins=6,
+    energy_max_factor=3.0,
+    dt=2.0,
+    n_steps=25,
+    n0=0.5,
+    bath_temperature=0.0,
+    phonon_feedback=False,  # phonons escape instantly: recombination is a loss
+)
+
+
+@pytest.fixture(scope="module")
+def decay_fn():
+    return make_differentiable_decay(**_CFG)
+
+
+def test_decay_matches_engine(decay_fn):
+    # the differentiable path reproduces the engine's frozen-bath physics
+    from qpsim_tpu.geometry.mask import extract_edge_segments
+    from qpsim_tpu.models.params import BoundaryCondition
+    from qpsim_tpu.solver.engine import run_2d_crank_nicolson
+
+    params = {"D0": jnp.asarray(6.0), "tau_s": jnp.asarray(440.0), "tau_r": jnp.asarray(300.0)}
+    trace = np.asarray(decay_fn(params))
+
+    mask = np.ones((1, _CFG["nx"]), dtype=bool)
+    edges = extract_edge_segments(mask)
+    bcs = {e.edge_id: BoundaryCondition(kind="reflective") for e in edges}
+    _, _, mass, *_ = run_2d_crank_nicolson(
+        mask=mask, edges=edges, edge_conditions=bcs,
+        initial_field=np.full(mask.shape, _CFG["n0"]),
+        diffusion_coefficient=6.0, dt=_CFG["dt"],
+        total_time=_CFG["dt"] * _CFG["n_steps"], dx=1.0, store_every=1,
+        energy_gap=180.0, energy_max_factor=3.0, num_energy_bins=6,
+        enable_recombination=True, enable_scattering=True,
+        tau_s=440.0, tau_r=300.0, bath_temperature=0.0,
+        freeze_phonon_dynamics=True,
+    )
+    np.testing.assert_allclose(trace, mass, rtol=1e-9)
+    # the curve visibly decays in this regime
+    assert trace[-1] < 0.97 * trace[0]
+
+
+def test_gradients_match_finite_differences(decay_fn):
+    def total_final(params):
+        return decay_fn(params)[-1]
+
+    params = {"D0": jnp.asarray(6.0), "tau_s": jnp.asarray(440.0), "tau_r": jnp.asarray(300.0)}
+    grads = jax.grad(total_final)(params)
+    for key, eps in (("tau_r", 1e-2), ("tau_s", 1e-2)):
+        up = dict(params)
+        up[key] = params[key] + eps
+        dn = dict(params)
+        dn[key] = params[key] - eps
+        fd = (total_final(up) - total_final(dn)) / (2 * eps)
+        assert float(grads[key]) == pytest.approx(float(fd), rel=2e-4), key
+    # physical sign: slower recombination (larger tau_r) keeps more QPs
+    assert float(grads["tau_r"]) > 0
+
+
+def test_parameter_recovery_by_gradient_fit(decay_fn):
+    # Fit the identifiable parameter: total QP number is insensitive to tau_s
+    # (scattering conserves number), so only tau_r is recoverable from this
+    # observable — fix the others and recover tau_r from a wrong guess.
+    true_params = {"D0": 6.0, "tau_s": 440.0, "tau_r": 250.0}
+    observed = decay_fn({k: jnp.asarray(v) for k, v in true_params.items()})
+
+    def decay_tau_r(params):
+        return decay_fn({"D0": jnp.asarray(6.0), "tau_s": jnp.asarray(440.0), **params})
+
+    fitted = fit_parameters(
+        observed,
+        {"tau_r": 600.0},  # wrong guess, 2.4x off
+        decay_fn=decay_tau_r,
+        learning_rate=0.08,
+        n_iters=150,
+    )
+    assert fitted["tau_r"] == pytest.approx(250.0, rel=0.02)

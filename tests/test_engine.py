@@ -356,3 +356,35 @@ def test_pallas_collision_backend_matches_xla():
     np.testing.assert_allclose(mass_p, mass_x, rtol=1e-12)
     for a, b in zip(ef_x[-1], ef_p[-1]):
         np.testing.assert_allclose(np.nan_to_num(a), np.nan_to_num(b), atol=1e-18, rtol=1e-10)
+
+
+def test_nonuniform_gap_end_to_end():
+    # gap map via expression: auto-precompute kicks in, per-pixel kernels and
+    # variable-D diffusion run, and the lower-gap half diffuses faster
+    mask = np.ones((2, 16), dtype=bool)
+    edges = extract_edge_segments(mask)
+    bcs = {e.edge_id: BoundaryCondition(kind="reflective") for e in edges}
+    init = np.zeros(mask.shape)
+    init[:, 7:9] = 1e-4  # central bump
+    times, frames, mass, _, ef, eb = run_2d_crank_nicolson(
+        mask=mask,
+        edges=edges,
+        edge_conditions=bcs,
+        initial_field=init,
+        diffusion_coefficient=6.0,
+        dt=0.05,
+        total_time=0.5,
+        dx=1.0,
+        energy_gap=180.0,
+        num_energy_bins=6,
+        energy_max_factor=3.0,
+        enable_recombination=True,
+        enable_scattering=True,
+        bath_temperature=0.2,
+        gap_expression="return 140.0 + 80.0 * x",  # gap rises left->right
+    )
+    assert np.isfinite(mass).all()
+    final = np.nan_to_num(frames[-1])
+    # lower gap on the left -> higher D(E) -> more spreading leftwards
+    left, right = final[:, :7].sum(), final[:, 9:].sum()
+    assert left > right > 0
