@@ -157,6 +157,65 @@ def bench_coupled_2d(ny=256, nx=256, ne=16, length=100) -> dict:
     }
 
 
+def bench_masked_512(length: int = 200) -> dict:
+    """Driver config #3: ADI CN on a masked 512² donut, absorbing/reflective."""
+    import jax
+    import jax.numpy as jnp
+
+    from qpsim_tpu.geometry.mask import extract_edge_segments
+    from qpsim_tpu.geometry.raster import rasterize_polygons
+    from qpsim_tpu.models.params import BoundaryCondition
+    from qpsim_tpu.ops.diffusion import build_directional_stencils, fold_diffusion
+    from qpsim_tpu.solver.diffusion_backends import ADIDiffusion
+
+    n = 512
+    ang = np.linspace(0, 2 * np.pi, 24, endpoint=False)
+    outer = np.column_stack([n / 2 + 0.46 * n * np.cos(ang), n / 2 + 0.46 * n * np.sin(ang)])
+    inner = np.column_stack(
+        [n / 2 + 0.18 * n * np.cos(ang[::-1]), n / 2 + 0.18 * n * np.sin(ang[::-1])]
+    )
+    mask = rasterize_polygons([outer, inner], np.arange(n) + 0.5, np.arange(n) + 0.5)
+    edges = extract_edge_segments(mask)
+    bcs = {}
+    for e in edges:
+        r = np.hypot(0.5 * (e.x0 + e.x1) - n / 2, 0.5 * (e.y0 + e.y1) - n / 2)
+        bcs[e.edge_id] = BoundaryCondition(kind="absorbing" if r > 0.32 * n else "reflective")
+    x_st, y_st = build_directional_stencils(mask, edges, bcs, 1.0)
+    op = fold_diffusion(x_st, y_st, mask, 1.0, 6.0)
+    one = ADIDiffusion(op, dtype=jnp.float32).make_step(0.1)
+
+    @jax.jit
+    def chunk(u):
+        return jax.lax.scan(lambda c, _: (one(c), None), u, None, length=length)[0]
+
+    u0 = np.zeros((1, n, n), np.float32)
+    u0[0][mask] = 1.0
+    per_step, _ = _timed_chunk(chunk, jnp.asarray(u0), length, "masked 512^2 donut")
+    return {"masked_512_cell_steps_per_s": n * n / per_step}
+
+
+def bench_coupled_full_scale(length: int = 20) -> dict:
+    """Driver config #5 scale: full coupled physics at 1024² × 16 bins."""
+    import jax
+    import jax.numpy as jnp
+
+    diff, col_half, q0, ph0 = _coupled_pieces(1024, 1024, 16, 0.05, jnp.float32)
+
+    def step(state, _):
+        q, ph = state
+        q, ph = col_half(q, ph)
+        q = diff(q)
+        q, ph = col_half(q, ph)
+        return (q, ph), None
+
+    @jax.jit
+    def chunk(state):
+        return jax.lax.scan(step, state, None, length=length)[0]
+
+    per_step, _ = _timed_chunk(chunk, (q0, ph0), length, "coupled 1024^2 x 16")
+    return {"coupled_1024_ms_per_step": per_step * 1e3}
+
+
 def bench_ensemble_sweep(n_members=32, member=(64, 64), ne=8, length=100) -> dict:
     """32-member coupled parameter sweep as one super-grid (pallas collisions)."""
     import jax
@@ -231,7 +290,9 @@ def main() -> None:
 
     log(f"backend: {jax.default_backend()} devices: {jax.devices()}")
     rate = bench_scalar_cn_1024()
-    extras = bench_coupled_2d()
+    extras = bench_masked_512()
+    extras.update(bench_coupled_2d())
+    extras.update(bench_coupled_full_scale())
     extras.update(bench_ensemble_sweep())
     extras.update(bench_mkid_pulse())
     payload = {

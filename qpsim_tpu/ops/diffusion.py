@@ -77,11 +77,20 @@ class DirectionalStencil:
 
 @dataclass
 class SplitOperator:
-    """Diffusion operator with D fully folded in, ready for device upload.
+    """Diffusion operator with D folded in, ready for device upload.
 
     All arrays broadcast to (NB, Ny, Nx) where NB is the number of energy
     bins (1 in scalar mode).  ``diag`` already includes the −(a_lo + a_hi)
     interior part plus the D-scaled boundary diagonal.
+
+    When D is spatially uniform per bin, every term is *linear in D*, so the
+    operator factors as ``bin_scale[b] × (unit-D geometric arrays)``: the
+    spatial arrays stay (1, Ny, Nx) and ``bin_scale`` holds D(E) as
+    (NB, 1, 1).  Consumers must multiply lazily (in-graph broadcast) — this
+    keeps per-bin coefficient constants out of HBM and out of compile
+    payloads (a materialised (50, 1024, 1024)×6 coefficient set is ~1 GB).
+    ``bin_scale`` is None for spatially-varying D (harmonic-mean face
+    coefficients are not separable).
     """
 
     ax_lo: np.ndarray
@@ -93,13 +102,22 @@ class SplitOperator:
     ay_diag: np.ndarray
     sy: np.ndarray
     mask: np.ndarray  # (Ny, Nx) bool
+    bin_scale: np.ndarray | None = None  # (NB, 1, 1) or None
 
     @property
     def num_bins(self) -> int:
+        if self.bin_scale is not None:
+            return int(self.bin_scale.shape[0])
         return int(self.ax_lo.shape[0])
 
     def source_total(self) -> np.ndarray:
         return self.sx + self.sy
+
+    def materialized(self, field: np.ndarray) -> np.ndarray:
+        """One field with bin_scale folded in (host-side, for assembly/tests)."""
+        if self.bin_scale is None:
+            return field
+        return self.bin_scale * field
 
 
 def _face_bc_lookup(
@@ -249,10 +267,12 @@ def fold_diffusion(
             diag = -(a_lo + a_hi) + st.bc_diag[None] * D_here
             src = st.bc_src[None] * D_here
         else:
-            a_lo = D_arr * st.couple_lo[None] * inv_dx2
-            a_hi = D_arr * st.couple_hi[None] * inv_dx2
-            diag = -(a_lo + a_hi) + D_arr * st.bc_diag[None]
-            src = D_arr * st.bc_src[None]
+            # uniform D per bin: every term is linear in D — keep unit-D
+            # geometry and factor D out as bin_scale
+            a_lo = st.couple_lo[None] * inv_dx2
+            a_hi = st.couple_hi[None] * inv_dx2
+            diag = -(a_lo + a_hi) + st.bc_diag[None]
+            src = st.bc_src[None].copy()
         return a_lo, a_hi, diag, src
 
     ax_lo, ax_hi, ax_diag, sx = fold(x_st, axis=1)
@@ -267,6 +287,7 @@ def fold_diffusion(
         ay_diag=ay_diag,
         sy=sy,
         mask=m,
+        bin_scale=None if spatially_varying else D_arr,
     )
 
 
@@ -294,22 +315,31 @@ def assemble_dense_operator(op: SplitOperator) -> tuple[np.ndarray, np.ndarray]:
     L = np.zeros((nb, p, p), dtype=np.float64)
     src = np.zeros((nb, p), dtype=np.float64)
 
+    ax_lo = op.materialized(op.ax_lo)
+    ax_hi = op.materialized(op.ax_hi)
+    ax_diag = op.materialized(op.ax_diag)
+    ay_lo = op.materialized(op.ay_lo)
+    ay_hi = op.materialized(op.ay_hi)
+    ay_diag = op.materialized(op.ay_diag)
+    sx = op.materialized(op.sx)
+    sy = op.materialized(op.sy)
+
     rows_idx, cols_idx = np.nonzero(m)
     for k, (r, c) in enumerate(zip(rows_idx.tolist(), cols_idx.tolist())):
         for b in range(nb):
-            bb = min(b, op.ax_lo.shape[0] - 1)
-            L[b, k, k] += op.ax_diag[bb, r, c] + op.ay_diag[bb, r, c]
-            src[b, k] = op.sx[bb, r, c] + op.sy[bb, r, c]
-            if op.ax_lo[bb, r, c] != 0.0:
+            bb = min(b, ax_lo.shape[0] - 1)
+            L[b, k, k] += ax_diag[bb, r, c] + ay_diag[bb, r, c]
+            src[b, k] = sx[bb, r, c] + sy[bb, r, c]
+            if ax_lo[bb, r, c] != 0.0:
                 q = dense_to_compact[r * nx + (c - 1)]
-                L[b, k, q] += op.ax_lo[bb, r, c]
-            if op.ax_hi[bb, r, c] != 0.0:
+                L[b, k, q] += ax_lo[bb, r, c]
+            if ax_hi[bb, r, c] != 0.0:
                 q = dense_to_compact[r * nx + (c + 1)]
-                L[b, k, q] += op.ax_hi[bb, r, c]
-            if op.ay_lo[bb, r, c] != 0.0:
+                L[b, k, q] += ax_hi[bb, r, c]
+            if ay_lo[bb, r, c] != 0.0:
                 q = dense_to_compact[(r - 1) * nx + c]
-                L[b, k, q] += op.ay_lo[bb, r, c]
-            if op.ay_hi[bb, r, c] != 0.0:
+                L[b, k, q] += ay_lo[bb, r, c]
+            if ay_hi[bb, r, c] != 0.0:
                 q = dense_to_compact[(r + 1) * nx + c]
-                L[b, k, q] += op.ay_hi[bb, r, c]
+                L[b, k, q] += ay_hi[bb, r, c]
     return L, src

@@ -108,7 +108,9 @@ def build_sharded_step(
     alpha = 0.5 * float(dt)
 
     def dev(a):
-        return jnp.asarray(np.broadcast_to(a, (a.shape[0], ny, nx)), dtype=dtype)
+        a = op.materialized(a)  # fold bin_scale for per-shard blocking
+        nb = max(a.shape[0], op.num_bins)
+        return jnp.asarray(np.broadcast_to(a, (nb, ny, nx)), dtype=dtype)
 
     ax_lo, ax_hi, ax_diag = dev(op.ax_lo), dev(op.ax_hi), dev(op.ax_diag)
     ay_lo, ay_hi, ay_diag = dev(op.ay_lo), dev(op.ay_hi), dev(op.ay_diag)

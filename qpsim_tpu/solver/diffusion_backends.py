@@ -108,15 +108,43 @@ class DenseSpectralDiffusion:
 
 
 class ADIDiffusion:
-    """Peaceman–Rachford ADI with batched tridiagonal solves."""
+    """Peaceman–Rachford ADI with batched tridiagonal solves.
+
+    Uniform-per-bin operators arrive factored (unit-D geometry ×
+    ``bin_scale``); the scale multiplies lazily in-graph so (NB, Ny, Nx)
+    coefficient constants are never materialised in HBM or compile payloads.
+    """
+
+    #: factored operators with at most this many coefficient elements are
+    #: pre-multiplied on the host (cheaper per step); larger ones multiply
+    #: lazily in-graph to keep coefficients out of HBM/compile payloads.
+    MATERIALIZE_MAX_ELEMENTS = 4_000_000
 
     def __init__(self, op: SplitOperator, dtype=jnp.float64):
         self.dtype = dtype
         self.mask = np.asarray(op.mask, dtype=bool)
         as_dev = lambda a: jnp.asarray(a, dtype=dtype)
-        self.ax_lo, self.ax_hi, self.ax_diag = map(as_dev, (op.ax_lo, op.ax_hi, op.ax_diag))
-        self.ay_lo, self.ay_hi, self.ay_diag = map(as_dev, (op.ay_lo, op.ay_hi, op.ay_diag))
-        self.src = as_dev(op.source_total())
+        ny, nx = self.mask.shape
+        if (
+            op.bin_scale is not None
+            and op.num_bins * ny * nx <= self.MATERIALIZE_MAX_ELEMENTS
+        ):
+            fold = op.materialized
+            self.scale = None
+        else:
+            fold = lambda a: a
+            self.scale = None if op.bin_scale is None else as_dev(op.bin_scale)
+        self.ax_lo, self.ax_hi, self.ax_diag = (
+            as_dev(fold(op.ax_lo)),
+            as_dev(fold(op.ax_hi)),
+            as_dev(fold(op.ax_diag)),
+        )
+        self.ay_lo, self.ay_hi, self.ay_diag = (
+            as_dev(fold(op.ay_lo)),
+            as_dev(fold(op.ay_hi)),
+            as_dev(fold(op.ay_diag)),
+        )
+        self.src = as_dev(fold(op.source_total()))
         self.num_bins = op.num_bins
 
     @staticmethod
@@ -131,27 +159,31 @@ class ADIDiffusion:
 
     def make_step(self, dt: float):
         alpha = 0.5 * float(dt)
-        ax_lo, ax_hi, ax_diag = self.ax_lo, self.ax_hi, self.ax_diag
-        ay_lo, ay_hi, ay_diag = self.ay_lo, self.ay_hi, self.ay_diag
-        src = self.src
         apply_dir = self._apply_dir
-
-        sub_x = -alpha * ax_lo
-        dia_x = 1.0 - alpha * ax_diag
-        sup_x = -alpha * ax_hi
-        sub_y = -alpha * ay_lo
-        dia_y = 1.0 - alpha * ay_diag
-        sup_y = -alpha * ay_hi
+        scale = self.scale
+        fax_lo, fax_hi, fax_diag = self.ax_lo, self.ax_hi, self.ax_diag
+        fay_lo, fay_hi, fay_diag = self.ay_lo, self.ay_hi, self.ay_diag
+        fsrc = self.src
 
         def step(state: jax.Array) -> jax.Array:
+            # bin_scale folds in here, INSIDE the trace: the (NB, Ny, Nx)
+            # coefficients exist only as fused values, never as constants.
+            if scale is not None:
+                ax_lo, ax_hi, ax_diag = scale * fax_lo, scale * fax_hi, scale * fax_diag
+                ay_lo, ay_hi, ay_diag = scale * fay_lo, scale * fay_hi, scale * fay_diag
+                src = scale * fsrc
+            else:
+                ax_lo, ax_hi, ax_diag = fax_lo, fax_hi, fax_diag
+                ay_lo, ay_hi, ay_diag = fay_lo, fay_hi, fay_diag
+                src = fsrc
+
             u = state
             # x-implicit half: (I − αLx) u* = u + α·Ly u + α·s
             rhs = u + alpha * apply_dir(u, ay_lo, ay_hi, ay_diag, axis=-2) + alpha * src
-            bsub, bdia, bsup = jnp.broadcast_arrays(sub_x, dia_x, sup_x)
             u_star = tridiag_solve(
-                jnp.broadcast_to(bsub, rhs.shape),
-                jnp.broadcast_to(bdia, rhs.shape),
-                jnp.broadcast_to(bsup, rhs.shape),
+                jnp.broadcast_to(-alpha * ax_lo, rhs.shape),
+                jnp.broadcast_to(1.0 - alpha * ax_diag, rhs.shape),
+                jnp.broadcast_to(-alpha * ax_hi, rhs.shape),
                 rhs,
             )
             # y-implicit half: (I − αLy) u⁺ = u* + α·Lx u* + α·s
@@ -160,12 +192,11 @@ class ADIDiffusion:
                 + alpha * apply_dir(u_star, ax_lo, ax_hi, ax_diag, axis=-1)
                 + alpha * src
             )
-            csub, cdia, csup = jnp.broadcast_arrays(sub_y, dia_y, sup_y)
             u_new = tridiag_solve_along(
                 -2,
-                jnp.broadcast_to(csub, rhs2.shape),
-                jnp.broadcast_to(cdia, rhs2.shape),
-                jnp.broadcast_to(csup, rhs2.shape),
+                jnp.broadcast_to(-alpha * ay_lo, rhs2.shape),
+                jnp.broadcast_to(1.0 - alpha * ay_diag, rhs2.shape),
+                jnp.broadcast_to(-alpha * ay_hi, rhs2.shape),
                 rhs2,
             )
             return u_new
