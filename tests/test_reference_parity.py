@@ -1,0 +1,182 @@
+"""Direct parity against the original implementation (when present).
+
+Mirrors the reference's own golden-model pattern — its
+``test_old_mkid_simulation_parity.py`` skips unless the legacy simulator is
+installed; here the 'legacy' is the reference itself, mounted read-only at
+/root/reference during development.  These tests never import reference code
+into the package — they only compare numerical outputs.
+"""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+_REFERENCE = Path("/root/reference")
+pytestmark = pytest.mark.skipif(
+    not (_REFERENCE / "qpsim" / "solver.py").exists(),
+    reason="reference implementation not mounted",
+)
+
+if (_REFERENCE / "qpsim").exists() and str(_REFERENCE) not in sys.path:
+    sys.path.append(str(_REFERENCE))
+
+
+def test_kernel_parity():
+    from qpsim import solver as ref  # type: ignore
+
+    from qpsim_tpu.ops.energy_grid import build_energy_grid
+    from qpsim_tpu.ops.kernels import (
+        recombination_kernel,
+        recombination_kernel_base,
+        scattering_kernel,
+        scattering_kernel_base,
+    )
+    from qpsim_tpu.ops.dos import dynes_density_of_states
+
+    E, dE = build_energy_grid(180.0, 1.0, 4.0, 24)
+    E_ref, dE_ref = ref.build_energy_grid(180.0, 1.0, 4.0, 24)
+    np.testing.assert_allclose(E, E_ref, rtol=0)
+    assert dE == dE_ref
+    for mine, theirs in (
+        (scattering_kernel_base(E, 180.0, 440.0, 1.2), ref.scattering_kernel_base(E, 180.0, 440.0, 1.2)),
+        (recombination_kernel_base(E, 180.0, 500.0, 1.2), ref.recombination_kernel_base(E, 180.0, 500.0, 1.2)),
+        (scattering_kernel(E, 180.0, 440.0, 1.2, 0.3), ref.scattering_kernel(E, 180.0, 440.0, 1.2, 0.3)),
+        (recombination_kernel(E, 180.0, 500.0, 1.2, 0.3), ref.recombination_kernel(E, 180.0, 500.0, 1.2, 0.3)),
+        (dynes_density_of_states(E, 180.0, 0.18), ref._dynes_density_of_states(E, 180.0, 0.18)),
+    ):
+        scale = max(1e-30, np.max(np.abs(theirs)))
+        assert np.max(np.abs(mine - theirs)) / scale < 1e-13
+
+
+def test_operator_parity_random_geometry():
+    from qpsim.models import BoundaryCondition as RefBC  # type: ignore
+    from qpsim.solver import build_laplacian_with_boundaries  # type: ignore
+
+    from qpsim_tpu.geometry.mask import extract_edge_segments
+    from qpsim_tpu.models.params import BoundaryCondition
+    from qpsim_tpu.ops.diffusion import (
+        assemble_dense_operator,
+        build_directional_stencils,
+        fold_diffusion,
+    )
+
+    rng = np.random.default_rng(11)
+    kinds = ["reflective", "absorbing", "dirichlet", "neumann", "robin"]
+    for _ in range(5):
+        ny, nx = rng.integers(3, 9, size=2)
+        mask = rng.random((ny, nx)) > 0.35
+        mask[ny // 2, nx // 2] = True
+        edges = extract_edge_segments(mask)
+        dx = float(rng.uniform(0.4, 1.6))
+        ref_bcs, my_bcs = {}, {}
+        for e in edges:
+            k = kinds[int(rng.integers(0, 5))]
+            v, av = float(rng.uniform(-1, 1)), float(rng.uniform(-1, 1))
+            ref_bcs[e.edge_id] = RefBC(kind=k, value=v, aux_value=av)
+            my_bcs[e.edge_id] = BoundaryCondition(kind=k, value=v, aux_value=av)
+        L_ref, src_ref, _ = build_laplacian_with_boundaries(mask, edges, ref_bcs, dx)
+        xs, ys = build_directional_stencils(mask, edges, my_bcs, dx)
+        op = fold_diffusion(xs, ys, mask, dx, 1.0)
+        L_mine, src_mine = assemble_dense_operator(op)
+        np.testing.assert_allclose(L_mine[0], L_ref.toarray(), atol=1e-13)
+        np.testing.assert_allclose(src_mine[0], src_ref, atol=1e-13)
+
+
+def test_end_to_end_coupled_parity():
+    from qpsim.models import BoundaryCondition as RefBC  # type: ignore
+    from qpsim.solver import run_2d_crank_nicolson as ref_run  # type: ignore
+
+    from qpsim_tpu.geometry.mask import extract_edge_segments
+    from qpsim_tpu.models.params import BoundaryCondition
+    from qpsim_tpu.solver.engine import run_2d_crank_nicolson as my_run
+
+    mask = np.ones((3, 8), dtype=bool)
+    mask[0, 0] = False
+    edges = extract_edge_segments(mask)
+    ref_bcs = {e.edge_id: RefBC(kind="reflective") for e in edges}
+    my_bcs = {e.edge_id: BoundaryCondition(kind="reflective") for e in edges}
+    init = np.zeros(mask.shape)
+    init[mask] = np.linspace(0.5, 1.0, int(mask.sum())) * 1e-4
+    kw = dict(
+        diffusion_coefficient=6.0,
+        dt=0.05,
+        total_time=0.27,  # exercises the remainder step
+        dx=1.0,
+        store_every=2,
+        energy_gap=180.0,
+        energy_min_factor=1.0,
+        energy_max_factor=3.0,
+        num_energy_bins=6,
+        dynes_gamma=0.1,
+        enable_recombination=True,
+        enable_scattering=True,
+        tau_s=440.0,
+        tau_r=500.0,
+        T_c=1.2,
+        bath_temperature=0.2,
+    )
+    t_r, f_r, m_r, c_r, ef_r, eb_r = ref_run(
+        mask=mask, edges=edges, edge_conditions=ref_bcs, initial_field=init, **kw
+    )
+    t_m, f_m, m_m, c_m, ef_m, eb_m = my_run(
+        mask=mask,
+        edges=edges,
+        edge_conditions=my_bcs,
+        initial_field=init,
+        diffusion_backend="dense",
+        collision_backend="xla",
+        **kw,
+    )
+    np.testing.assert_allclose(t_m, t_r, atol=1e-12)
+    np.testing.assert_allclose(eb_m, eb_r, rtol=0)
+    np.testing.assert_allclose(m_m, m_r, rtol=1e-10)
+    scale = max(np.nanmax(np.abs(f)) for f in f_r)
+    for fr, fm in zip(f_r, f_m):
+        assert np.nanmax(np.abs(fr - fm)) / scale < 1e-10
+    escale = max(np.nanmax(np.abs(np.asarray(t))) for t in ef_r)
+    for er, em in zip(ef_r, ef_m):
+        assert np.nanmax(np.abs(np.asarray(er) - np.asarray(em))) / escale < 1e-9
+
+
+def test_collision_step_parity_vs_reference_pixel_loop():
+    from qpsim import solver as ref  # type: ignore
+
+    import jax
+    import jax.numpy as jnp
+
+    from qpsim_tpu.ops.collisions import build_collision_plan_arrays, make_collision_step
+    from qpsim_tpu.ops.dos import dynes_density_of_states
+    from qpsim_tpu.ops.energy_grid import build_energy_grid
+    from qpsim_tpu.ops.kernels import recombination_kernel_base, scattering_kernel_base
+    from qpsim_tpu.ops.phonon_map import build_phonon_frequency_map
+
+    E, dE = build_energy_grid(180.0, 1.0, 4.0, 10)
+    pm = build_phonon_frequency_map(E)
+    ob, oid, ois, ds = ref._build_phonon_frequency_map(E)
+    np.testing.assert_allclose(pm.omega_bins, ob, rtol=0)
+
+    rho = dynes_density_of_states(E, 180.0, 0.1)
+    Ks = scattering_kernel_base(E, 180.0, 440.0, 1.2)
+    Kr = recombination_kernel_base(E, 180.0, 500.0, 1.2)
+    rng = np.random.default_rng(3)
+    P = 9
+    state = rng.uniform(0, 0.2, (10, P)) * rho[:, None]
+    phon = rng.uniform(0, 0.05, (pm.num_omega, P))
+    st_ref, ph_ref = state.copy(), phon.copy()
+    ref.apply_collision_step_fischer_catelani_uniform(
+        st_ref, ph_ref, Kr, Ks, rho, oid, ois, ds, dE, 0.07,
+        enable_recombination=True, enable_scattering=True, update_phonons=True,
+    )
+    plan = build_collision_plan_arrays(
+        dE=dE, rho_by_gap=rho[None], K_r0_by_gap=Kr[None], K_s0_by_gap=Ks[None],
+        gap_id=np.zeros((1, P), np.int32), pmap=pm,
+        enable_recombination=True, enable_scattering=True, update_phonons=True,
+        pixel_chunk=16,
+    )
+    step = jax.jit(make_collision_step(plan, 0.07))
+    qn, pn = step(jnp.asarray(state[:, None, :]), jnp.asarray(phon[:, None, :]))
+    # parity limited by the reference's exp(x)−1 cancellation (we use expm1)
+    assert np.max(np.abs(np.asarray(qn)[:, 0, :] - st_ref)) / np.max(np.abs(st_ref)) < 1e-10
+    assert np.max(np.abs(np.asarray(pn)[:, 0, :] - ph_ref)) / np.max(np.abs(ph_ref)) < 1e-10
