@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 __all__ = ["tridiag_solve", "tridiag_solve_along", "tridiag_solve_pcr", "set_default_solver"]
 
@@ -74,6 +75,12 @@ def tridiag_solve_pcr(
 
 _DEFAULT_SOLVER = "auto"
 
+#: with at least this many lines solved together, the sequential Thomas scan
+#: amortises its per-step dispatch across enough lanes to beat PCR's
+#: log-depth passes (measured on v5e at N=1024: PCR wins at 1–2k lines,
+#: Thomas wins 3–6x from ~8k lines up).
+_THOMAS_BATCH_THRESHOLD = 8192
+
 
 def set_default_solver(name: str) -> None:
     """Select the batched tridiagonal algorithm.
@@ -120,6 +127,9 @@ def tridiag_solve(
 
         return tridiag_solve_pallas(sub, diag, sup, rhs)
     if _use_pcr():
+        batch = int(np.prod(rhs.shape[:-1])) if rhs.ndim > 1 else 1
+        if _DEFAULT_SOLVER == "auto" and batch >= _THOMAS_BATCH_THRESHOLD:
+            return _tridiag_solve_thomas(sub, diag, sup, rhs)
         return tridiag_solve_pcr(sub, diag, sup, rhs)
     return _tridiag_solve_thomas(sub, diag, sup, rhs)
 
