@@ -14,6 +14,7 @@ Public API mirrors the reference package façade
 
 from .validation import ValidationReport, run_fast_validation_suite
 from .solver.engine import run_2d_crank_nicolson
+from .runner import run_setup
 
 __version__ = "0.1.0"
 
@@ -21,5 +22,6 @@ __all__ = [
     "ValidationReport",
     "run_fast_validation_suite",
     "run_2d_crank_nicolson",
+    "run_setup",
     "__version__",
 ]

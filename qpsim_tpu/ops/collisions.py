@@ -54,6 +54,10 @@ _MU_FLOOR = 1e-14
 _AFFINE_CLIP = 80.0
 _RHO_FLOOR = 1e-30
 
+# full-f32 contractions: the TPU default matmul precision is bf16, whose
+# 8-bit mantissa would cost ~1e-3 relative in the pair sums
+_PRECISION = jax.lax.Precision.HIGHEST
+
 
 @dataclass
 class CollisionPlan:
@@ -193,26 +197,26 @@ def make_collision_step(plan: CollisionPlan, dt: float):
             n_diff = jnp.take(ph, plan.idx_diff, axis=-1).reshape(-1, ne, ne)
             np_diff = plan.emit_mask * (1.0 + n_diff) + plan.absorb_mask * n_diff
             Ks_eff = K_s0 * np_diff  # (C, NE, NE)
-            gain = gain + dE * partner * jnp.einsum("cji,cj->ci", Ks_eff, q)
-            loss = loss + dE * jnp.einsum("cij,cj->ci", Ks_eff, partner)
+            gain = gain + dE * partner * jnp.einsum("cji,cj->ci", Ks_eff, q, precision=_PRECISION)
+            loss = loss + dE * jnp.einsum("cij,cj->ci", Ks_eff, partner, precision=_PRECISION)
             if plan.update_phonons:
                 base_sc = dE * (q[:, :, None] * K_s0 * partner[:, None, :])
-                emit = (base_sc * plan.emit_mask).reshape(-1, ne * ne) @ plan.scatter_diff
-                absorb = (base_sc * plan.absorb_mask).reshape(-1, ne * ne) @ plan.scatter_diff
+                emit = jnp.matmul((base_sc * plan.emit_mask).reshape(-1, ne * ne), plan.scatter_diff, precision=_PRECISION)
+                absorb = jnp.matmul((base_sc * plan.absorb_mask).reshape(-1, ne * ne), plan.scatter_diff, precision=_PRECISION)
                 a_ph = a_ph + emit
                 b_ph = b_ph + emit - absorb
 
         if plan.enable_recombination and K_r0 is not None:
             n_sum = jnp.take(ph, plan.idx_sum, axis=-1).reshape(-1, ne, ne)
-            loss = loss + 2.0 * dE * jnp.einsum("cij,cj->ci", K_r0 * (1.0 + n_sum), q)
+            loss = loss + 2.0 * dE * jnp.einsum("cij,cj->ci", K_r0 * (1.0 + n_sum), q, precision=_PRECISION)
             gain = gain + 2.0 * dE * partner * jnp.einsum(
-                "cij,cj->ci", K_r0 * n_sum, partner
+                "cij,cj->ci", K_r0 * n_sum, partner, precision=_PRECISION
             )
             if plan.update_phonons:
                 base_rec = dE * (q[:, :, None] * K_r0 * q[:, None, :])
-                rec = base_rec.reshape(-1, ne * ne) @ plan.scatter_sum
+                rec = jnp.matmul(base_rec.reshape(-1, ne * ne), plan.scatter_sum, precision=_PRECISION)
                 base_pb = dE * (partner[:, :, None] * K_r0 * partner[:, None, :])
-                pb = base_pb.reshape(-1, ne * ne) @ plan.scatter_sum
+                pb = jnp.matmul(base_pb.reshape(-1, ne * ne), plan.scatter_sum, precision=_PRECISION)
                 a_ph = a_ph + rec
                 b_ph = b_ph + rec - pb
 

@@ -89,16 +89,20 @@ class DenseSpectralDiffusion:
         ny, nx = self.mask.shape
         shared = self._shared
 
+        # this backend exists for exactness: force full-f32 MXU passes (the
+        # TPU default matmul precision is bf16, costing ~1e-3 relative)
+        precision = jax.lax.Precision.HIGHEST
+
         def step(state: jax.Array) -> jax.Array:
             nb = state.shape[0]
             u = state.reshape(nb, ny * nx)[:, mask_flat]  # (NB, P)
             if shared:
                 q = Q[0]
-                v = u @ q  # (NB,P) — projections onto eigenbasis
-                u_new = (v * ratio_d) @ q.T
+                v = jnp.matmul(u, q, precision=precision)  # projections onto eigenbasis
+                u_new = jnp.matmul(v * ratio_d, q.T, precision=precision)
             else:
-                v = jnp.einsum("bqp,bq->bp", Q, u)
-                u_new = jnp.einsum("bpq,bq->bp", Q, v * ratio_d)
+                v = jnp.einsum("bqp,bq->bp", Q, u, precision=precision)
+                u_new = jnp.einsum("bpq,bq->bp", Q, v * ratio_d, precision=precision)
             u_new = u_new + s_eff_d
             out = jnp.zeros((nb, ny * nx), dtype=state.dtype)
             out = out.at[:, mask_flat].set(u_new.astype(state.dtype))
