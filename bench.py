@@ -46,10 +46,12 @@ def _sync(tree) -> float:
 def _timed_chunk(fn, state, length: int, label: str):
     out = fn(state)
     _sync(out)  # warmup + queue drain
-    t0 = time.time()
-    out = fn(out)
-    _sync(out)
-    per_step = (time.time() - t0) / length
+    per_step = float("inf")
+    for _ in range(2):  # best of 2: the tunnel occasionally hiccups
+        t0 = time.time()
+        out = fn(out)
+        _sync(out)
+        per_step = min(per_step, (time.time() - t0) / length)
     log(f"{label}: {per_step * 1e3:.3f} ms/step")
     return per_step, out
 
