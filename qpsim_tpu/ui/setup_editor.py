@@ -72,6 +72,7 @@ class SetupEditor(tk.Toplevel):
             ("Import GDS…", self.load_gds),
             ("Parameters…", self.edit_parameters),
             ("Initial conditions…", self.edit_initial_conditions),
+            ("Preview IC", self.preview_initial_condition),
             ("Generation…", self.edit_generation),
             ("Materials…", lambda: show_material_reference(self)),
             ("Precompute", self.run_precompute),
@@ -253,6 +254,26 @@ class SetupEditor(tk.Toplevel):
         spec = ask_initial_condition(self, self.initial_condition)
         if spec is not None:
             self.initial_condition = spec
+
+    def preview_initial_condition(self):
+        """Render the initial QP field before launching (launch-dialog preview)."""
+        if self.mask is None:
+            messagebox.showinfo("No geometry", "Load a geometry first.", parent=self)
+            return
+        try:
+            from ..fields import build_initial_field
+
+            field = build_initial_field(self.mask, self.initial_condition)
+        except Exception as exc:
+            messagebox.showerror("Initial condition failed", str(exc), parent=self)
+            return
+        shown = np.where(self.mask, field, np.nan)
+        self.ax.clear()
+        self.ax.imshow(shown, origin="lower", cmap="inferno", interpolation="nearest")
+        self.ax.set_title("initial condition preview (click geometry buttons to return)")
+        self.ax.set_xticks([])
+        self.ax.set_yticks([])
+        self.canvas.draw_idle()
 
     def edit_generation(self):
         spec = ask_external_generation(self, self.parameters.external_generation)
