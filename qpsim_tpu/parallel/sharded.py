@@ -107,11 +107,23 @@ def build_sharded_step(
         )
     alpha = 0.5 * float(dt)
 
+    # fold bin_scale on the host below the same budget the single-chip ADI
+    # backend uses; above it, shard the unit-D geometry and multiply lazily
+    # inside the sharded step (scale is tiny and replicated).
+    from ..solver.diffusion_backends import ADIDiffusion
+
+    eager = (
+        op.bin_scale is None
+        or op.num_bins * ny * nx <= ADIDiffusion.MATERIALIZE_MAX_ELEMENTS
+    )
+
     def dev(a):
-        a = op.materialized(a)  # fold bin_scale for per-shard blocking
-        nb = max(a.shape[0], op.num_bins)
+        if eager:
+            a = op.materialized(a)
+        nb = max(a.shape[0], op.num_bins if eager else 1)
         return jnp.asarray(np.broadcast_to(a, (nb, ny, nx)), dtype=dtype)
 
+    lazy_scale = None if eager else jnp.asarray(op.bin_scale, dtype=dtype)
     ax_lo, ax_hi, ax_diag = dev(op.ax_lo), dev(op.ax_hi), dev(op.ax_diag)
     ay_lo, ay_hi, ay_diag = dev(op.ay_lo), dev(op.ay_hi), dev(op.ay_diag)
     src = dev(op.source_total())
@@ -150,6 +162,11 @@ def build_sharded_step(
     cols = P(None, None, SPACE_AXIS)
 
     def local_diffusion(u, axl, axh, axd, ayl, ayh, ayd, aylT, ayhT, aydT, s):
+        if lazy_scale is not None:
+            axl, axh, axd = lazy_scale * axl, lazy_scale * axh, lazy_scale * axd
+            ayl, ayh, ayd = lazy_scale * ayl, lazy_scale * ayh, lazy_scale * ayd
+            aylT, ayhT, aydT = lazy_scale * aylT, lazy_scale * ayhT, lazy_scale * aydT
+            s = lazy_scale * s
         # x-implicit half: (I − αLx) u* = u + α·Ly u + α·s   (halo for Ly)
         rhs = u + alpha * _halo_apply_y(u, ayl, ayh, ayd, SPACE_AXIS) + alpha * s
         u_star = tridiag_solve(

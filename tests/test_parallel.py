@@ -194,3 +194,27 @@ def test_film_ensemble_members_independent_and_match_solo():
     np.testing.assert_allclose(qm[1], qsm[0], atol=1e-15)
     # separator rows stay empty
     assert float(np.abs(np.asarray(qj)[:, ny, :]).max()) == 0.0
+
+
+def test_sharded_lazy_bin_scale_matches_single_chip(monkeypatch):
+    # force the lazy-scale path (normally only taken on very large grids)
+    from qpsim_tpu.solver.diffusion_backends import ADIDiffusion
+
+    monkeypatch.setattr(ADIDiffusion, "MATERIALIZE_MAX_ELEMENTS", 0)
+    ny, nx = 16, 16
+    mask, edges, bcs = _geometry(ny, nx)
+    xs, ys = build_directional_stencils(mask, edges, bcs, 1.0)
+    op = fold_diffusion(xs, ys, mask, 1.0, np.array([2.0, 5.0, 7.0]))
+    assert op.bin_scale is not None
+    mesh = make_mesh(n_space=len(jax.devices()))
+    sharded = build_sharded_step(mesh, op, 0.05, dtype=jnp.float64)
+    single = jax.jit(ADIDiffusion(op, dtype=jnp.float64).make_step(0.05))
+    rng = np.random.default_rng(7)
+    q0 = rng.uniform(0, 1, (3, ny, nx))
+    q_sh = jax.device_put(jnp.asarray(q0), sharded.q_sharding)
+    ph_sh = jax.device_put(jnp.zeros((1, ny, nx)), sharded.ph_sharding)
+    q_single = jnp.asarray(q0)
+    for _ in range(4):
+        q_sh, ph_sh, _ = sharded.step(q_sh, ph_sh)
+        q_single = single(q_single)
+    np.testing.assert_allclose(np.asarray(q_sh), np.asarray(q_single), atol=1e-12)
