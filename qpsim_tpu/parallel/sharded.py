@@ -132,6 +132,46 @@ def build_sharded_step(
     col_half = None
     if collisions is not None:
         pmap: PhononFrequencyMap = collisions["pmap"]
+        # collisions are pixel-local, so the VMEM Pallas kernel drops straight
+        # into the per-shard step: auto-selected on TPU when the uniform-grid
+        # envelope holds and E_bins are provided, XLA integrator otherwise
+        # (including the CPU-mesh dry runs, where Pallas TPU kernels can't run).
+        use_pallas = collisions.get("use_pallas", "auto")
+        want_pallas = use_pallas is True or (
+            use_pallas == "auto" and jax.default_backend() == "tpu"
+        )
+        e_bins = collisions.get("E_bins")
+        if want_pallas and e_bins is not None:
+            from ..ops.pallas_collisions import build_pallas_collision_step
+
+            col_half = build_pallas_collision_step(
+                E_bins=np.asarray(e_bins),
+                dE=collisions["dE"],
+                rho=np.asarray(collisions["rho"]),
+                K_s0=(
+                    np.asarray(collisions["K_s0"])
+                    if collisions.get("enable_scattering", False)
+                    and collisions.get("K_s0") is not None
+                    else None
+                ),
+                K_r0=(
+                    np.asarray(collisions["K_r0"])
+                    if collisions.get("enable_recombination", False)
+                    and collisions.get("K_r0") is not None
+                    else None
+                ),
+                pmap=pmap,
+                dt=0.5 * float(dt),
+                update_phonons=collisions.get("update_phonons", True),
+            )
+            if use_pallas is True and col_half is None:
+                raise ValueError(
+                    "use_pallas=True but the configuration is outside the "
+                    "Pallas collision kernel's support envelope"
+                )
+        if col_half is not None:
+            nw = pmap.num_omega
+    if collisions is not None and col_half is None:
         plan_local = build_collision_plan_arrays(
             dE=collisions["dE"],
             rho_by_gap=np.asarray(collisions["rho"])[None],
@@ -155,7 +195,7 @@ def build_sharded_step(
         )
         col_half = make_collision_step(plan_local, 0.5 * float(dt))
         nw = plan_local.num_omega
-    else:
+    elif collisions is None:
         nw = 1
 
     rows = P(None, SPACE_AXIS, None)

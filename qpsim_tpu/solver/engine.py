@@ -241,6 +241,7 @@ def run_2d_crank_nicolson(
         progress_callback=progress_callback,
         diffusion_backend=diffusion_backend,
         dtype=dtype,
+        checkpointer=checkpointer,
     )
 
 
@@ -281,6 +282,7 @@ def _run_scalar(
     progress_callback,
     diffusion_backend,
     dtype,
+    checkpointer=None,
 ):
     interior0 = initial_field[mask].astype(np.float64)
     ny, nx = mask.shape
@@ -309,22 +311,65 @@ def _run_scalar(
                 step_fns[key] = jax.jit(run)
         return step_fns[key]
 
-    times = [0.0]
-    frames = [reconstruct_field(mask, interior0)]
-    mass = [float(np.sum(interior0) * dx * dx)]
-    _notify(progress_callback, 0.0, frames[0])
+    def snapshot(q_host: np.ndarray):
+        values = q_host[0][mask]
+        return reconstruct_field(mask, values), float(np.sum(values) * dx * dx)
 
+    times: list[float] = []
+    frames: list[np.ndarray] = []
+    mass: list[float] = []
     current_time = 0.0
+    step_counter = 0
+    stored_idx = 0
+    completed_steps = 0
+
+    resume = checkpointer.latest() if checkpointer is not None else None
+    if resume is not None:
+        # Rebuild the stored history from checkpoints and continue from the
+        # latest one — results match an uninterrupted run exactly.
+        for payload in checkpointer.load_through(resume["stored_idx"]):
+            frame, m = snapshot(np.asarray(payload["q"], dtype=np.float64))
+            times.append(payload["time_ns"])
+            frames.append(frame)
+            mass.append(m)
+        state = jnp.asarray(resume["q"], dtype=dtype)
+        completed_steps = resume["step"]
+        step_counter = completed_steps
+        current_time = resume["time_ns"]
+    else:
+        times.append(0.0)
+        frames.append(reconstruct_field(mask, interior0))
+        mass.append(float(np.sum(interior0) * dx * dx))
+        _notify(progress_callback, 0.0, frames[0])
+        if checkpointer is not None:
+            checkpointer.save_step(0, step=0, time_ns=0.0, q=state_np)
+
+    cumulative = 0
     for seg in segments:
+        if cumulative + seg.length <= completed_steps:
+            cumulative += seg.length
+            if seg.stored:
+                stored_idx += 1
+            continue
+        cumulative += seg.length
         state = segment_fn(seg.dt, seg.length)(state)
+        step_counter += seg.length
         current_time += seg.dt * seg.length
         if seg.stored:
-            values = np.asarray(state[0], dtype=np.float64)[mask]
+            stored_idx += 1
+            q_host = np.asarray(state, dtype=np.float64)
+            frame, m = snapshot(q_host)
             times.append(float(current_time))
-            frame = reconstruct_field(mask, values)
             frames.append(frame)
-            mass.append(float(np.sum(values) * dx * dx))
+            mass.append(m)
             _notify(progress_callback, current_time, frame)
+            if checkpointer is not None:
+                checkpointer.save_step(
+                    stored_idx, step=step_counter, time_ns=float(current_time), q=q_host
+                )
+
+    if checkpointer is not None:
+        checkpointer.finalize()
 
     if phonon_history_out is not None:
         ph_frames, ph_energy, ph_bins, ph_meta = build_fixed_phonon_history(

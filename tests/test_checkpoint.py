@@ -90,6 +90,35 @@ def test_resume_from_complete_run_is_noop(tmp_path):
     _compare(first, second)
 
 
+def test_scalar_mode_resume_reproduces_uninterrupted_run(tmp_path):
+    kw = _problem()
+    # scalar (energy-integrated legacy) branch: no energy grid, no collisions
+    for key in (
+        "energy_gap",
+        "energy_min_factor",
+        "energy_max_factor",
+        "num_energy_bins",
+        "enable_recombination",
+        "enable_scattering",
+    ):
+        kw.pop(key)
+    baseline = run_2d_crank_nicolson(**kw)
+
+    ck = SimulationCheckpointer(tmp_path / "ck")
+    run_2d_crank_nicolson(**{**kw, "total_time": 0.3}, checkpointer=ck)
+    assert ck.all_steps() == [0, 1, 2]
+
+    ck2 = SimulationCheckpointer(tmp_path / "ck")
+    resumed = run_2d_crank_nicolson(**kw, checkpointer=ck2)
+    times_a, frames_a, mass_a, *_ = baseline
+    times_b, frames_b, mass_b, *_ = resumed
+    np.testing.assert_allclose(times_a, times_b, atol=0)
+    assert mass_a == mass_b
+    for fa, fb in zip(frames_a, frames_b):
+        np.testing.assert_array_equal(np.nan_to_num(fa), np.nan_to_num(fb))
+    assert ck2.all_steps() == [0, 1, 2, 3, 4]
+
+
 def test_phase_timer_and_trace(tmp_path):
     import jax.numpy as jnp
 

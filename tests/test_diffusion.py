@@ -198,6 +198,47 @@ def test_pcr_matches_thomas():
         np.testing.assert_allclose(x_pcr, x_tho, atol=1e-11, err_msg=f"n={n}")
 
 
+def test_wang_partition_matches_thomas():
+    from qpsim_tpu.ops.tridiag import _tridiag_solve_thomas, tridiag_solve_wang
+
+    rng = np.random.default_rng(11)
+    # N spanning: single chunk, exact multiples, ragged tails, chunk > N
+    for n, chunk in [(1, 8), (7, 8), (64, 16), (100, 32), (129, 64), (1024, 128)]:
+        sub = rng.uniform(0.05, 0.3, (3, n))
+        sup = rng.uniform(0.05, 0.3, (3, n))
+        diag = rng.uniform(1.2, 2.0, (3, n))
+        rhs = rng.uniform(-1, 1, (3, n))
+        # decouple intervals both inside chunks and straddling chunk edges
+        if n >= 8:
+            for cut in (n // 2, chunk if chunk < n else n // 3):
+                sub[1, cut] = 0.0
+                sup[1, cut - 1] = 0.0
+        args = tuple(map(jnp.asarray, (sub, diag, sup, rhs)))
+        x_w = np.asarray(tridiag_solve_wang(*args, chunk=chunk))
+        x_t = np.asarray(_tridiag_solve_thomas(*args))
+        np.testing.assert_allclose(x_w, x_t, atol=1e-11, err_msg=f"n={n}")
+
+
+def test_wang_as_default_solver_in_adi_step():
+    from qpsim_tpu.ops.tridiag import set_default_solver
+
+    ny, nx = 24, 40
+    mask = np.ones((ny, nx), dtype=bool)
+    edges = extract_edge_segments(mask)
+    bcs = {e.edge_id: BoundaryCondition(kind="reflective") for e in edges}
+    xs, ys = build_directional_stencils(mask, edges, bcs, 1.0)
+    op = fold_diffusion(xs, ys, mask, 1.0, 6.0)
+    u0 = jnp.asarray(np.random.default_rng(3).uniform(0, 1, (1, ny, nx)))
+    base = ADIDiffusion(op, dtype=jnp.float64).make_step(0.1)
+    ref = base(u0)
+    set_default_solver("wang")
+    try:
+        out = ADIDiffusion(op, dtype=jnp.float64).make_step(0.1)(u0)
+    finally:
+        set_default_solver("auto")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-12)
+
+
 def test_pallas_thomas_kernel_interpret_mode():
     from qpsim_tpu.ops.pallas_tridiag import tridiag_solve_pallas
     from qpsim_tpu.ops.tridiag import _tridiag_solve_thomas
