@@ -50,6 +50,7 @@ _BGNSTR, _STRNAME, _ENDSTR = 0x05, 0x06, 0x07
 _BOUNDARY, _PATH, _SREF, _AREF = 0x08, 0x09, 0x0A, 0x0B
 _LAYER, _DATATYPE, _XY, _ENDEL = 0x0D, 0x0E, 0x10, 0x11
 _SNAME, _COLROW, _STRANS, _MAG, _ANGLE = 0x12, 0x13, 0x1A, 0x1B, 0x1C
+_WIDTH, _PATHTYPE, _BGNEXTN, _ENDEXTN = 0x0F, 0x21, 0x30, 0x31
 
 
 def gds_support_available() -> bool:
@@ -200,7 +201,8 @@ def read_gds_library(path: str | Path) -> GdsLibrary:
             current = None
         elif rectype in (_BOUNDARY, _PATH, _SREF, _AREF):
             element = {"kind": rectype, "layer": 0, "datatype": 0, "strans": 0,
-                       "mag": 1.0, "angle": 0.0, "colrow": (1, 1)}
+                       "mag": 1.0, "angle": 0.0, "colrow": (1, 1),
+                       "width": 0.0, "pathtype": 0, "bgnextn": 0.0, "endextn": 0.0}
         elif element is not None:
             if rectype == _LAYER:
                 element["layer"] = struct.unpack(">h", payload[:2])[0]
@@ -216,6 +218,14 @@ def read_gds_library(path: str | Path) -> GdsLibrary:
                 element["angle"] = _parse_real8(payload, 0)
             elif rectype == _COLROW:
                 element["colrow"] = struct.unpack(">hh", payload[:4])
+            elif rectype == _WIDTH:
+                element["width"] = float(struct.unpack(">i", payload[:4])[0])
+            elif rectype == _PATHTYPE:
+                element["pathtype"] = struct.unpack(">h", payload[:2])[0]
+            elif rectype == _BGNEXTN:
+                element["bgnextn"] = float(struct.unpack(">i", payload[:4])[0])
+            elif rectype == _ENDEXTN:
+                element["endextn"] = float(struct.unpack(">i", payload[:4])[0])
             elif rectype == _XY:
                 coords = np.frombuffer(payload, dtype=">i4").astype(np.float64)
                 element["xy"] = coords.reshape(-1, 2)
@@ -260,7 +270,101 @@ def _finish_element(cell: GdsCell, element: dict, unit_user: float) -> None:
                 row_step=row_step,
             )
         )
-    # PATH elements carry no area; the reference's polygon set ignores them too.
+    elif kind == _PATH:
+        width = float(element.get("width", 0.0)) * unit_user
+        poly = _path_to_polygon(
+            pts,
+            width,
+            int(element.get("pathtype", 0)),
+            float(element.get("bgnextn", 0.0)) * unit_user,
+            float(element.get("endextn", 0.0)) * unit_user,
+        )
+        if poly is not None:
+            cell.polygons.append(
+                GdsPolygon(
+                    layer=int(element["layer"]),
+                    datatype=int(element["datatype"]),
+                    points=poly,
+                )
+            )
+
+
+#: miter joins longer than this many half-widths fall back to a bevel
+_MITER_LIMIT = 4.0
+#: segments per semicircular (pathtype 1) end cap
+_CAP_SEGMENTS = 8
+
+
+def _path_to_polygon(
+    pts: np.ndarray, width: float, pathtype: int, bgnextn: float, endextn: float
+) -> np.ndarray | None:
+    """Stroke a PATH centerline into a boundary polygon.
+
+    The reference renders PATH elements through gdstk's path-to-polygon
+    conversion; this is the self-contained equivalent: constant-width offset
+    with mitred joins (bevelled past ``_MITER_LIMIT``), flush (pathtype 0),
+    half-width-extended square (2), custom-extension (4) or semicircular
+    (1, ``_CAP_SEGMENTS``-segment approximation) end caps.
+    """
+    pts = np.asarray(pts, dtype=np.float64)
+    # drop zero-length segments
+    if pts.shape[0] >= 2:
+        keep = np.ones(pts.shape[0], dtype=bool)
+        keep[1:] = np.linalg.norm(np.diff(pts, axis=0), axis=1) > 1e-12
+        pts = pts[keep]
+    if pts.shape[0] < 2 or width <= 0.0:
+        return None
+    h = 0.5 * width
+    if pathtype == 2:
+        ext0 = ext1 = h
+    elif pathtype == 4:
+        ext0, ext1 = bgnextn, endextn
+    else:  # flush (0) and round (1): caps centred on the endpoints
+        ext0 = ext1 = 0.0
+
+    d = np.diff(pts, axis=0)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    normals = np.column_stack([-d[:, 1], d[:, 0]])
+    p0 = pts[0] - ext0 * d[0]
+    p1 = pts[-1] + ext1 * d[-1]
+
+    def side(sign: float) -> list[np.ndarray]:
+        out = [p0 + sign * h * normals[0]]
+        for i in range(1, pts.shape[0] - 1):
+            n_a, n_b = normals[i - 1], normals[i]
+            denom = 1.0 + float(n_a @ n_b)
+            if denom > 2.0 / (_MITER_LIMIT**2):
+                out.append(pts[i] + sign * h * (n_a + n_b) / denom)
+            else:  # near-reversal: bevel with both segment offsets
+                out.append(pts[i] + sign * h * n_a)
+                out.append(pts[i] + sign * h * n_b)
+        out.append(p1 + sign * h * normals[-1])
+        return out
+
+    left = side(1.0)
+    right = side(-1.0)
+
+    def arc(center, frm, to) -> list[np.ndarray]:
+        # the ring (left forward, right reversed) runs clockwise before the
+        # final orientation fix, so caps bulge outward by decreasing angle
+        a0 = np.arctan2(frm[1] - center[1], frm[0] - center[0])
+        a1 = np.arctan2(to[1] - center[1], to[0] - center[0])
+        while a1 >= a0:
+            a1 -= 2.0 * np.pi
+        angles = a0 + (a1 - a0) * np.arange(1, _CAP_SEGMENTS) / _CAP_SEGMENTS
+        return [center + h * np.array([np.cos(t), np.sin(t)]) for t in angles]
+
+    ring: list[np.ndarray] = []
+    ring.extend(left)
+    if pathtype == 1:
+        ring.extend(arc(pts[-1], left[-1], right[-1]))
+    ring.extend(reversed(right))
+    if pathtype == 1:
+        ring.extend(arc(pts[0], right[0], left[0]))
+    poly = np.asarray(ring)
+    if polygon_signed_area(poly) < 0:
+        poly = poly[::-1]
+    return poly
 
 
 def read_gds_polygons(path: str | Path) -> list[GdsPolygon]:
@@ -455,6 +559,10 @@ def write_gds(
     Points are in user units (µm by default) and converted to integer
     database units with the given UNITS record.  Enough for fixtures,
     round-trip tests, and exporting rasterized geometries back to layout.
+
+    An entry may also be ``(layer, points, width)`` or
+    ``(layer, points, width, pathtype)`` — written as a PATH element with
+    the given centerline and width.
     """
     ts = struct.pack(">12h", 2026, 1, 1, 0, 0, 0, 2026, 1, 1, 0, 0, 0)
     blob = bytearray()
@@ -465,14 +573,25 @@ def write_gds(
     for cell_name, polys in polygons_by_cell.items():
         blob += _record(_BGNSTR, 2, ts)
         blob += _ascii_record(_STRNAME, cell_name)
-        for layer, points in polys:
+        for entry in polys:
+            layer, points = entry[0], entry[1]
             pts = np.asarray(points, dtype=np.float64)
             db = np.rint(pts / unit_user).astype(np.int64)
-            closed = np.vstack([db, db[:1]])
-            blob += _record(_BOUNDARY, 0)
-            blob += _record(_LAYER, 2, struct.pack(">h", int(layer)))
-            blob += _record(_DATATYPE, 2, struct.pack(">h", 0))
-            blob += _record(_XY, 3, closed.astype(">i4").tobytes())
+            if len(entry) >= 3:  # PATH: centerline + width (+ pathtype)
+                blob += _record(_PATH, 0)
+                blob += _record(_LAYER, 2, struct.pack(">h", int(layer)))
+                blob += _record(_DATATYPE, 2, struct.pack(">h", 0))
+                if len(entry) >= 4:
+                    blob += _record(_PATHTYPE, 2, struct.pack(">h", int(entry[3])))
+                width_db = int(round(float(entry[2]) / unit_user))
+                blob += _record(_WIDTH, 3, struct.pack(">i", width_db))
+                blob += _record(_XY, 3, db.astype(">i4").tobytes())
+            else:
+                closed = np.vstack([db, db[:1]])
+                blob += _record(_BOUNDARY, 0)
+                blob += _record(_LAYER, 2, struct.pack(">h", int(layer)))
+                blob += _record(_DATATYPE, 2, struct.pack(">h", 0))
+                blob += _record(_XY, 3, closed.astype(">i4").tobytes())
             blob += _record(_ENDEL, 0)
         blob += _record(_ENDSTR, 0)
     blob += _record(_ENDLIB, 0)

@@ -37,15 +37,35 @@ from ..ops.diffusion import (
     active_indices,
     assemble_dense_operator,
 )
-from ..ops.tridiag import tridiag_solve, tridiag_solve_along
+from ..ops.tridiag import tridiag_solve, tridiag_solve_along, wang_apply, wang_factor
 
-__all__ = ["DenseSpectralDiffusion", "ADIDiffusion", "choose_backend"]
+__all__ = [
+    "DenseSpectralDiffusion",
+    "ADIDiffusion",
+    "PrefactoredWangADI",
+    "choose_backend",
+]
 
 #: grids with at most this many interior cells default to the dense backend.
 DENSE_BACKEND_MAX_CELLS = 4096
 
 
-class DenseSpectralDiffusion:
+class _AuxStepMixin:
+    """Default aux-step protocol: no auxiliary arrays.
+
+    ``make_step_aux(dt)`` returns ``(step_fn, aux)`` where the engine calls
+    ``step_fn(state, aux)`` and passes ``aux`` through its jit boundary as an
+    *argument*.  Backends whose per-step data is too large to bake into the
+    compile payload (the remote TPU compiler caps request size) override
+    this to ship the data as device arrays instead.
+    """
+
+    def make_step_aux(self, dt: float):
+        step = self.make_step(dt)
+        return (lambda state, aux: step(state)), ()
+
+
+class DenseSpectralDiffusion(_AuxStepMixin):
     """Exact unsplit CN via spectral decomposition of the masked operator."""
 
     def __init__(self, op: SplitOperator, dtype=jnp.float64):
@@ -111,7 +131,7 @@ class DenseSpectralDiffusion:
         return step
 
 
-class ADIDiffusion:
+class ADIDiffusion(_AuxStepMixin):
     """Peaceman–Rachford ADI with batched tridiagonal solves.
 
     Uniform-per-bin operators arrive factored (unit-D geometry ×
@@ -208,15 +228,119 @@ class ADIDiffusion:
         return step
 
 
+class PrefactoredWangADI(ADIDiffusion):
+    """ADI with once-per-operator Wang-partition factorizations.
+
+    The CN tridiagonal systems are fixed for a run, but inside a fused scan
+    XLA cannot split their coefficient eliminations from the rhs recurrences
+    (one ``lax.scan`` op), so Thomas/PCR redo them every step.  This backend
+    factors both directional systems once (device arrays, shipped through
+    the engine's jit boundary as arguments — never compile-payload
+    constants) and solves each step with the rhs recurrences only.
+
+    Measured on v5e at (16·1024 lines × N=1024): 1.4x over fused Thomas
+    when the coefficients are full (NB, Ny, Nx) arrays (per-pixel gaps),
+    but a net LOSS on uniform-gap operators whose coefficients broadcast
+    from (1, Ny, Nx) — there the factor-array traffic (10 full-size reads
+    per step) exceeds what the eliminations cost to redo.  Hence opt-in
+    (``diffusion_backend='wang'``), not part of 'auto'.  Factor memory:
+    10 arrays of (NB, Ny, Nx).
+    """
+
+    #: Wang chunk length (lanes per scan step = batch × N/chunk)
+    CHUNK = 64
+    #: minimum solve lines per direction for this backend to win over
+    #: PCR/Thomas (below it the factor traffic dominates)
+    MIN_LINES = 8192
+
+    def make_step_aux(self, dt: float):
+        alpha = 0.5 * float(dt)
+        ny, nx = self.mask.shape
+        nb = self.num_bins
+        scale = self.scale
+
+        def build_factors(ax_lo, ax_hi, ax_diag, ay_lo, ay_hi, ay_diag, sc=None):
+            def mat(t):
+                if sc is not None:
+                    t = sc * t
+                return jnp.broadcast_to(t, (nb, ny, nx))
+
+            fx = wang_factor(
+                -alpha * mat(ax_lo),
+                1.0 - alpha * mat(ax_diag),
+                -alpha * mat(ax_hi),
+                chunk=self.CHUNK,
+            )
+            mv = lambda t: jnp.moveaxis(mat(t), -2, -1)
+            fy = wang_factor(
+                -alpha * mv(ay_lo),
+                1.0 - alpha * mv(ay_diag),
+                -alpha * mv(ay_hi),
+                chunk=self.CHUNK,
+            )
+            return fx, fy
+
+        coeff_args = (
+            self.ax_lo, self.ax_hi, self.ax_diag,
+            self.ay_lo, self.ay_hi, self.ay_diag,
+        )
+        if scale is None:
+            aux = jax.jit(build_factors)(*coeff_args)
+        else:
+            aux = jax.jit(build_factors)(*coeff_args, scale)
+
+        apply_dir = self._apply_dir
+        fax_lo, fax_hi, fax_diag = self.ax_lo, self.ax_hi, self.ax_diag
+        fay_lo, fay_hi, fay_diag = self.ay_lo, self.ay_hi, self.ay_diag
+        fsrc = self.src
+
+        def step(state: jax.Array, aux) -> jax.Array:
+            fx, fy = aux
+            if scale is not None:
+                ax_lo, ax_hi, ax_diag = scale * fax_lo, scale * fax_hi, scale * fax_diag
+                ay_lo, ay_hi, ay_diag = scale * fay_lo, scale * fay_hi, scale * fay_diag
+                src = scale * fsrc
+            else:
+                ax_lo, ax_hi, ax_diag = fax_lo, fax_hi, fax_diag
+                ay_lo, ay_hi, ay_diag = fay_lo, fay_hi, fay_diag
+                src = fsrc
+            u = state
+            rhs = u + alpha * apply_dir(u, ay_lo, ay_hi, ay_diag, axis=-2) + alpha * src
+            u_star = wang_apply(fx, rhs)
+            rhs2 = (
+                u_star
+                + alpha * apply_dir(u_star, ax_lo, ax_hi, ax_diag, axis=-1)
+                + alpha * src
+            )
+            u_new = jnp.moveaxis(wang_apply(fy, jnp.moveaxis(rhs2, -2, -1)), -1, -2)
+            return u_new
+
+        return step, aux
+
+    def make_step(self, dt: float):
+        # closure-capture variant: convenient for tests/small grids, but the
+        # factor arrays land in the compile payload — prefer make_step_aux
+        # in jitted time loops.
+        step, aux = self.make_step_aux(dt)
+        return lambda state: step(state, aux)
+
+
 def choose_backend(op: SplitOperator, dtype, preference: str = "auto"):
-    """Pick a diffusion backend: 'dense', 'adi', or 'auto' (size-based)."""
+    """Pick a diffusion backend: 'dense', 'adi', 'wang', or 'auto'."""
     if preference == "dense":
         return DenseSpectralDiffusion(op, dtype)
     if preference == "adi":
         return ADIDiffusion(op, dtype)
+    if preference == "wang":
+        return PrefactoredWangADI(op, dtype)
     if preference != "auto":
         raise ValueError(f"Unknown diffusion backend: {preference!r}")
     n_cells = int(np.asarray(op.mask, dtype=bool).sum())
     if n_cells <= DENSE_BACKEND_MAX_CELLS:
         return DenseSpectralDiffusion(op, dtype)
+    # NOTE: PrefactoredWangADI stays out of 'auto': on v5e at 1024²×16 its
+    # factor-array traffic (10 full-size reads/step) costs more than the
+    # coefficient eliminations it saves, because the uniform-gap operators
+    # broadcast from (1, Ny, Nx) and are nearly free to re-eliminate
+    # (measured 15.1 vs 14.4 ms/step on the full coupled step).
     return ADIDiffusion(op, dtype)

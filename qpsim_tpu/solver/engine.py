@@ -303,12 +303,15 @@ def _run_scalar(
             if backend is None:
                 step_fns[key] = jax.jit(lambda s: s)
             else:
-                one = backend.make_step(seg_dt)
+                one, aux = backend.make_step_aux(seg_dt)
 
-                def run(s):
-                    return jax.lax.scan(lambda c, _: (one(c), None), s, None, length=length)[0]
+                def run(s, a):
+                    return jax.lax.scan(
+                        lambda c, _: (one(c, a), None), s, None, length=length
+                    )[0]
 
-                step_fns[key] = jax.jit(run)
+                jit_run = jax.jit(run)
+                step_fns[key] = lambda s, _aux=aux: jit_run(s, _aux)
         return step_fns[key]
 
     def snapshot(q_host: np.ndarray):
@@ -670,36 +673,43 @@ def _run_energy_resolved(
             return seg_cache[key]
         col_half = make_col(0.5 * seg_dt)
         col_full = make_col(seg_dt)
-        diff_step = backend.make_step(seg_dt) if backend is not None else None
+        if backend is not None:
+            # aux holds backend data too large for the compile payload
+            # (e.g. prefactored solves); it crosses the jit boundary as an
+            # argument and rides the scan as a loop invariant.
+            diff_step, diff_aux = backend.make_step_aux(seg_dt)
+        else:
+            diff_step, diff_aux = None, ()
 
-        def body(carry, idx):
-            qq, pp, t0 = carry
-            t = t0 + idx.astype(t0.dtype) * seg_dt
-            gen_nonfinite = jnp.asarray(False)
-            gen_negative = jnp.asarray(False)
-            if gen.traced_fn is not None:
-                g = gen.traced_fn(t)
-                gen_nonfinite = ~jnp.all(jnp.isfinite(jnp.where(mask_dev, g, 0.0)))
-                gen_negative = jnp.any(jnp.where(mask_dev, g, 0.0) < 0)
-                qq = qq + seg_dt * g
-            if collisions_on and diff_step is not None:
-                qq, pp = col_half(qq, pp)
-                qq = diff_step(qq)
-                qq, pp = col_half(qq, pp)
-            elif collisions_on:
-                qq, pp = col_full(qq, pp)
-            elif diff_step is not None:
-                qq = diff_step(qq)
-            stats = pauli_stats(qq)
-            return (qq, pp, t0), stats + (gen_nonfinite, gen_negative)
+        def run(qq, pp, t_start, daux):
+            def body(carry, idx):
+                qq, pp, t0 = carry
+                t = t0 + idx.astype(t0.dtype) * seg_dt
+                gen_nonfinite = jnp.asarray(False)
+                gen_negative = jnp.asarray(False)
+                if gen.traced_fn is not None:
+                    g = gen.traced_fn(t)
+                    gen_nonfinite = ~jnp.all(jnp.isfinite(jnp.where(mask_dev, g, 0.0)))
+                    gen_negative = jnp.any(jnp.where(mask_dev, g, 0.0) < 0)
+                    qq = qq + seg_dt * g
+                if collisions_on and diff_step is not None:
+                    qq, pp = col_half(qq, pp)
+                    qq = diff_step(qq, daux)
+                    qq, pp = col_half(qq, pp)
+                elif collisions_on:
+                    qq, pp = col_full(qq, pp)
+                elif diff_step is not None:
+                    qq = diff_step(qq, daux)
+                stats = pauli_stats(qq)
+                return (qq, pp, t0), stats + (gen_nonfinite, gen_negative)
 
-        def run(qq, pp, t_start):
             (qq, pp, _), stats = jax.lax.scan(
                 body, (qq, pp, t_start), jnp.arange(length), length=length
             )
             return qq, pp, stats
 
-        seg_cache[key] = jax.jit(run)
+        jit_run = jax.jit(run)
+        seg_cache[key] = lambda qq, pp, t: jit_run(qq, pp, t, diff_aux)
         return seg_cache[key]
 
     # Host-mode generation forces single-step segments with host evaluation.
@@ -710,20 +720,24 @@ def _run_energy_resolved(
         if seg_dt not in single_step_cache:
             col_half = make_col(0.5 * seg_dt)
             col_full = make_col(seg_dt)
-            diff_step = backend.make_step(seg_dt) if backend is not None else None
+            if backend is not None:
+                diff_step, diff_aux = backend.make_step_aux(seg_dt)
+            else:
+                diff_step, diff_aux = None, ()
 
-            def one(qq, pp):
+            def one(qq, pp, daux):
                 if collisions_on and diff_step is not None:
                     qq, pp = col_half(qq, pp)
-                    qq = diff_step(qq)
+                    qq = diff_step(qq, daux)
                     qq, pp = col_half(qq, pp)
                 elif collisions_on:
                     qq, pp = col_full(qq, pp)
                 elif diff_step is not None:
-                    qq = diff_step(qq)
+                    qq = diff_step(qq, daux)
                 return qq, pp, pauli_stats(qq)
 
-            single_step_cache[seg_dt] = jax.jit(one)
+            jit_one = jax.jit(one)
+            single_step_cache[seg_dt] = lambda qq, pp: jit_one(qq, pp, diff_aux)
         return single_step_cache[seg_dt]
 
     # --- snapshot bookkeeping -----------------------------------------------------

@@ -239,6 +239,68 @@ def test_wang_as_default_solver_in_adi_step():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-12)
 
 
+def test_prefactored_wang_backend_matches_adi():
+    from qpsim_tpu.solver.diffusion_backends import PrefactoredWangADI
+
+    ny, nx = 20, 36
+    mask = np.ones((ny, nx), dtype=bool)
+    mask[7:11, 10:20] = False  # internal cutout: decoupled intervals
+    edges = extract_edge_segments(mask)
+    bcs = {e.edge_id: BoundaryCondition(kind="reflective") for e in edges}
+    for e in edges[: len(edges) // 3]:
+        bcs[e.edge_id] = BoundaryCondition(kind="dirichlet", value=0.25)
+    xs, ys = build_directional_stencils(mask, edges, bcs, 1.0)
+    # per-bin D: exercises the bin_scale (lazy/eager fold) path
+    op = fold_diffusion(xs, ys, mask, 1.0, np.array([2.0, 5.0, 7.0]))
+    rng = np.random.default_rng(5)
+    u0 = np.zeros((3, ny, nx))
+    u0[:, mask] = rng.uniform(0, 1, (3, int(mask.sum())))
+    u = jnp.asarray(u0)
+    base = ADIDiffusion(op, dtype=jnp.float64).make_step(0.07)
+    pref = PrefactoredWangADI(op, dtype=jnp.float64)
+    step, aux = pref.make_step_aux(0.07)
+    u_a, u_b, u_c = u, u, u
+    captured = pref.make_step(0.07)
+    for _ in range(3):
+        u_a = base(u_a)
+        u_b = step(u_b, aux)
+        u_c = captured(u_c)
+    np.testing.assert_allclose(np.asarray(u_b), np.asarray(u_a), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(u_c), np.asarray(u_a), atol=1e-12)
+
+
+def test_engine_accepts_wang_backend():
+    ny, nx = 6, 130  # nx wide enough for multiple Wang chunks
+    mask = np.ones((ny, nx), dtype=bool)
+    edges = extract_edge_segments(mask)
+    bcs = {e.edge_id: BoundaryCondition(kind="reflective") for e in edges}
+    init = np.zeros(mask.shape)
+    init[mask] = 1.0
+    from qpsim_tpu.solver.engine import run_2d_crank_nicolson
+
+    kw = dict(
+        mask=mask,
+        edges=edges,
+        edge_conditions=bcs,
+        initial_field=init,
+        diffusion_coefficient=6.0,
+        dt=0.05,
+        total_time=0.5,
+        dx=1.0,
+        store_every=5,
+        energy_gap=180.0,
+        num_energy_bins=4,
+        energy_max_factor=3.0,
+        enable_scattering=True,
+        bath_temperature=0.2,
+    )
+    t_w, f_w, m_w, *_ = run_2d_crank_nicolson(**kw, diffusion_backend="wang")
+    t_a, f_a, m_a, *_ = run_2d_crank_nicolson(**kw, diffusion_backend="adi")
+    np.testing.assert_allclose(m_w, m_a, rtol=1e-12)
+    for fw, fa in zip(f_w, f_a):
+        np.testing.assert_allclose(np.nan_to_num(fw), np.nan_to_num(fa), atol=1e-12)
+
+
 def test_pallas_thomas_kernel_interpret_mode():
     from qpsim_tpu.ops.pallas_tridiag import tridiag_solve_pallas
     from qpsim_tpu.ops.tridiag import _tridiag_solve_thomas

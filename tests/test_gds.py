@@ -156,3 +156,74 @@ def test_raster_matches_reference_style_winding():
         return mask[i, j]
     assert cell(8.0, 8.0) == False  # noqa: E712 — inside the hole
     assert cell(2.0, 8.0) == True  # noqa: E712 — in the ring
+
+
+def test_path_straight_flush_and_square_caps(tmp_path):
+    from qpsim_tpu.geometry.raster import polygon_signed_area
+
+    # horizontal 20-long, 4-wide wire from (0,0) to (20,0)
+    line = np.array([[0.0, 0.0], [20.0, 0.0]])
+    path = write_gds(
+        tmp_path / "wire.gds",
+        {"TOP": [(1, line, 4.0), (2, line, 4.0, 2)]},
+    )
+    polys = {p.layer: p for p in read_gds_polygons(path)}
+    flush = polys[1].points
+    square = polys[2].points
+    assert polygon_signed_area(flush) > 0  # normalized orientation
+    np.testing.assert_allclose(sorted(flush[:, 0]), [0, 0, 20, 20], atol=1e-9)
+    np.testing.assert_allclose(sorted(flush[:, 1]), [-2, -2, 2, 2], atol=1e-9)
+    # pathtype 2 extends both ends by half the width
+    np.testing.assert_allclose(sorted(square[:, 0]), [-2, -2, 22, 22], atol=1e-9)
+
+
+def test_path_bend_miter_covers_elbow(tmp_path):
+    # L-shaped 2-wide wire; the mitred elbow must cover the corner cell
+    line = np.array([[1.0, 1.0], [9.0, 1.0], [9.0, 9.0]])
+    path = write_gds(tmp_path / "elbow.gds", {"TOP": [(1, line, 2.0)]})
+    (poly,) = read_gds_polygons(path)
+    from qpsim_tpu.geometry.raster import points_in_polygon
+
+    probes = np.array(
+        [
+            [5.0, 1.0],  # mid horizontal leg
+            [9.0, 5.0],  # mid vertical leg
+            [9.5, 1.5],  # outer elbow corner region
+            [8.5, 1.5],  # inner elbow
+            [5.0, 2.5],  # outside (above the horizontal leg)
+            [0.5, 1.0],  # beyond the flush start cap
+        ]
+    )
+    inside = points_in_polygon(poly.points, probes)
+    assert inside.tolist() == [True, True, True, True, False, False]
+
+
+def test_path_round_cap_bulges(tmp_path):
+    line = np.array([[0.0, 0.0], [10.0, 0.0]])
+    path = write_gds(tmp_path / "round.gds", {"TOP": [(1, line, 4.0, 1)]})
+    (poly,) = read_gds_polygons(path)
+    from qpsim_tpu.geometry.raster import points_in_polygon
+
+    probes = np.array(
+        [
+            [11.5, 0.0],   # inside the round cap (r=2 around (10,0))
+            [-1.5, 0.0],   # inside the start cap
+            [11.7, 1.7],   # outside the circle, inside the square cap's corner
+            [5.0, 0.0],
+        ]
+    )
+    inside = points_in_polygon(poly.points, probes)
+    assert inside.tolist() == [True, True, False, True]
+
+
+def test_path_rasterizes_into_mask(tmp_path):
+    # a PATH wire alone defines the film; mask semantics match a rectangle
+    line = np.array([[2.0, 5.0], [38.0, 5.0]])
+    path = write_gds(tmp_path / "filmwire.gds", {"TOP": [(1, line, 6.0)]})
+    geo = create_geometry_from_gds(path, layer=1, mesh_size=1.0)
+    mask = np.array(geo.mask, dtype=bool)
+    assert mask.sum() > 0
+    rows = mask.any(axis=1)
+    # wire occupies a ~6-cell-tall band, padded by the empty boundary ring
+    assert not mask[0].any() and not mask[-1].any()
+    assert 4 <= rows.sum() <= 8
