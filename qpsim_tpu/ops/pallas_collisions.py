@@ -62,9 +62,14 @@ def _uniform_pair_rows(E_bins: np.ndarray, pmap: PhononFrequencyMap):
     return diff_row, sum_row
 
 
+#: beyond this the looped kernel's VMEM working set (state + reversed copy
+#: + phonon rows ≈ 3NE rows per tile) stops fitting comfortably
+_MAX_LOOP_BINS = 192
+
+
 def pallas_collisions_supported(E_bins: np.ndarray, n_gaps: int) -> bool:
     e = np.asarray(E_bins)
-    if e.size < 2 or e.size > _MAX_UNROLLED_BINS or n_gaps != 1:
+    if e.size < 2 or e.size > _MAX_LOOP_BINS or n_gaps != 1:
         return False
     diffs = np.diff(e)
     return bool(np.allclose(diffs, diffs[0], rtol=1e-9))
@@ -196,6 +201,23 @@ def build_pallas_collision_step(
     ne = int(e.size)
     if not pallas_collisions_supported(e, 1):
         return None
+    if ne > _MAX_UNROLLED_BINS:
+        # beyond the static-unroll envelope (compile time grows as NE²),
+        # dispatch to the fori_loop kernel — same contract and physics
+        from .pallas_collisions_loop import build_pallas_collision_step_loop
+
+        return build_pallas_collision_step_loop(
+            E_bins=e,
+            dE=dE,
+            rho=rho,
+            K_s0=K_s0,
+            K_r0=K_r0,
+            pmap=pmap,
+            dt=dt,
+            update_phonons=update_phonons,
+            tile=min(int(tile), 512),
+            interpret=interpret,
+        )
     rows = _uniform_pair_rows(e, pmap)
     if rows is None:
         return None

@@ -301,6 +301,71 @@ def test_engine_accepts_wang_backend():
         np.testing.assert_allclose(np.nan_to_num(fw), np.nan_to_num(fa), atol=1e-12)
 
 
+def test_cg_backend_matches_dense_unsplit_cn():
+    from qpsim_tpu.solver.diffusion_backends import CGDiffusion, DenseSpectralDiffusion
+
+    ny, nx = 14, 22
+    mask = np.ones((ny, nx), dtype=bool)
+    mask[5:9, 8:14] = False
+    edges = extract_edge_segments(mask)
+    bcs = {}
+    kinds = ["reflective", "dirichlet", "neumann", "robin", "absorbing"]
+    for i, e in enumerate(edges):
+        kind = kinds[i % len(kinds)]
+        kw = {}
+        if kind == "dirichlet":
+            kw = dict(value=0.3)
+        elif kind == "neumann":
+            kw = dict(value=0.05)
+        elif kind == "robin":
+            kw = dict(value=0.4, aux_value=0.02)
+        bcs[e.edge_id] = BoundaryCondition(kind=kind, **kw)
+    xs, ys = build_directional_stencils(mask, edges, bcs, 1.0)
+    op = fold_diffusion(xs, ys, mask, 1.0, np.array([3.0, 6.0]))
+    rng = np.random.default_rng(8)
+    u0 = np.zeros((2, ny, nx))
+    u0[:, mask] = rng.uniform(0, 1, (2, int(mask.sum())))
+    u_dense = jnp.asarray(u0)
+    u_cg = jnp.asarray(u0)
+    dense = DenseSpectralDiffusion(op, dtype=jnp.float64).make_step(0.08)
+    cg = CGDiffusion(op, dtype=jnp.float64).make_step(0.08)
+    for _ in range(4):
+        u_dense = dense(u_dense)
+        u_cg = cg(u_cg)
+    # CG is unsplit CN — matches the spectral backend to solver tolerance
+    # (ADI would differ at O(dt²))
+    np.testing.assert_allclose(
+        np.asarray(u_cg)[:, mask], np.asarray(u_dense)[:, mask], atol=1e-10
+    )
+
+
+def test_engine_accepts_cg_backend():
+    ny, nx = 8, 40
+    mask = np.ones((ny, nx), dtype=bool)
+    edges = extract_edge_segments(mask)
+    bcs = {e.edge_id: BoundaryCondition(kind="reflective") for e in edges}
+    init = np.zeros(mask.shape)
+    init[mask] = 1.0
+    from qpsim_tpu.solver.engine import run_2d_crank_nicolson
+
+    kw = dict(
+        mask=mask,
+        edges=edges,
+        edge_conditions=bcs,
+        initial_field=init,
+        diffusion_coefficient=6.0,
+        dt=0.05,
+        total_time=0.4,
+        dx=1.0,
+        store_every=4,
+    )
+    t_c, f_c, m_c, *_ = run_2d_crank_nicolson(**kw, diffusion_backend="cg")
+    t_d, f_d, m_d, *_ = run_2d_crank_nicolson(**kw, diffusion_backend="dense")
+    np.testing.assert_allclose(m_c, m_d, rtol=1e-10)
+    for fc, fd in zip(f_c, f_d):
+        np.testing.assert_allclose(np.nan_to_num(fc), np.nan_to_num(fd), atol=1e-10)
+
+
 def test_pallas_thomas_kernel_interpret_mode():
     from qpsim_tpu.ops.pallas_tridiag import tridiag_solve_pallas
     from qpsim_tpu.ops.tridiag import _tridiag_solve_thomas

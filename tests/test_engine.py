@@ -358,6 +358,33 @@ def test_pallas_collision_backend_matches_xla():
         np.testing.assert_allclose(np.nan_to_num(a), np.nan_to_num(b), atol=1e-18, rtol=1e-10)
 
 
+def test_pallas_loop_collision_backend_matches_xla_above_32_bins():
+    # NE > 32 routes to the fori_loop kernel (the reference's default grid
+    # is 50 bins, solver.py:999) — same physics, interpret mode on CPU
+    mask, edges, bcs = _strip(4)
+    kw = dict(
+        mask=mask,
+        edges=edges,
+        edge_conditions=bcs,
+        initial_field=np.full(mask.shape, 1e-5),
+        diffusion_coefficient=6.0,
+        dt=0.05,
+        total_time=0.1,
+        dx=1.0,
+        energy_gap=180.0,
+        num_energy_bins=40,
+        energy_max_factor=3.0,
+        enable_recombination=True,
+        enable_scattering=True,
+        bath_temperature=0.2,
+    )
+    _, frames_x, mass_x, _, ef_x, _ = run_2d_crank_nicolson(collision_backend="xla", **kw)
+    _, frames_p, mass_p, _, ef_p, _ = run_2d_crank_nicolson(collision_backend="pallas", **kw)
+    np.testing.assert_allclose(mass_p, mass_x, rtol=1e-12)
+    for a, b in zip(ef_x[-1], ef_p[-1]):
+        np.testing.assert_allclose(np.nan_to_num(a), np.nan_to_num(b), atol=1e-18, rtol=1e-10)
+
+
 def test_nonuniform_gap_end_to_end():
     # gap map via expression: auto-precompute kicks in, per-pixel kernels and
     # variable-D diffusion run, and the lower-gap half diffuses faster
