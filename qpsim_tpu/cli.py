@@ -143,6 +143,23 @@ def _cmd_gds_info(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_export_gds(args: argparse.Namespace) -> int:
+    import numpy as np
+
+    from .geometry.gds import write_gds
+    from .geometry.mask import mask_from_lists, mask_to_polygons
+    from .io.storage import load_setup
+
+    setup = load_setup(args.setup)
+    mask = mask_from_lists(setup.geometry.mask)
+    dx = float(setup.geometry.mesh_size)
+    polys = mask_to_polygons(mask, dx=dx)
+    out = write_gds(args.output, {"MASK": [(args.layer, p) for p in polys]})
+    filled = int(np.asarray(mask, dtype=bool).sum())
+    print(f"exported {len(polys)} polygons ({filled} cells, dx={dx}) -> {out}")
+    return 0
+
+
 def _cmd_bench(args: argparse.Namespace) -> int:
     repo_root = Path(__file__).resolve().parent.parent
     sys.path.insert(0, str(repo_root))
@@ -196,6 +213,14 @@ def build_parser() -> argparse.ArgumentParser:
     gi = sub.add_parser("gds-info", help="inspect a GDSII file")
     gi.add_argument("file")
     gi.set_defaults(fn=_cmd_gds_info)
+
+    eg = sub.add_parser(
+        "export-gds", help="export a setup's rasterized mask back to GDSII polygons"
+    )
+    eg.add_argument("setup", help="setup JSON path")
+    eg.add_argument("output", help="output .gds path")
+    eg.add_argument("--layer", type=int, default=1)
+    eg.set_defaults(fn=_cmd_export_gds)
 
     b = sub.add_parser("bench", help="run the headline benchmark (prints one JSON line)")
     b.set_defaults(fn=_cmd_bench)

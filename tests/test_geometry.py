@@ -74,3 +74,48 @@ def test_point_to_segment_distance():
     mid_x, mid_y = 0.5 * (edge.x0 + edge.x1), 0.5 * (edge.y0 + edge.y1)
     assert point_to_segment_distance(mid_x, mid_y, edge) == 0.0
     assert point_to_segment_distance(mid_x, mid_y + 2.0, edge) == 2.0
+
+
+def test_mask_to_polygons_round_trip():
+    from qpsim_tpu.geometry.mask import mask_to_polygons
+    from qpsim_tpu.geometry.raster import polygon_signed_area, rasterize_polygons
+
+    rng = np.random.default_rng(3)
+    # blobby random masks incl. holes and checkerboard corners
+    for trial in range(6):
+        mask = rng.random((12, 18)) > 0.45
+        mask[5:8, 6:12] = True
+        mask[6, 8:10] = False  # hole
+        polys = mask_to_polygons(mask)
+        if not mask.any():
+            assert polys == []
+            continue
+        back = rasterize_polygons(
+            polys, np.arange(mask.shape[1]) + 0.5, np.arange(mask.shape[0]) + 0.5
+        )
+        np.testing.assert_array_equal(back, mask, err_msg=f"trial {trial}")
+    # orientation convention: outer CCW (positive), holes CW (negative)
+    donut = np.zeros((10, 10), dtype=bool)
+    donut[1:9, 1:9] = True
+    donut[4:6, 4:6] = False
+    polys = mask_to_polygons(donut)
+    areas = sorted(polygon_signed_area(p) for p in polys)
+    assert areas[0] < 0 < areas[-1]
+
+
+def test_mask_to_polygons_gds_export_round_trip(tmp_path):
+    from qpsim_tpu.geometry.gds import read_gds_polygons, write_gds
+    from qpsim_tpu.geometry.mask import mask_to_polygons
+    from qpsim_tpu.geometry.raster import rasterize_polygons
+
+    mask = np.zeros((9, 14), dtype=bool)
+    mask[2:7, 3:11] = True
+    mask[4, 6:8] = False
+    path = write_gds(
+        tmp_path / "export.gds", {"TOP": [(1, p) for p in mask_to_polygons(mask)]}
+    )
+    polys = [p.points for p in read_gds_polygons(path)]
+    back = rasterize_polygons(
+        polys, np.arange(mask.shape[1]) + 0.5, np.arange(mask.shape[0]) + 0.5
+    )
+    np.testing.assert_array_equal(back, mask)

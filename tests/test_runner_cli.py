@@ -122,3 +122,25 @@ def test_cli_precompute_and_gds_info(tmp_path, capsys):
     rc = cli_main(["gds-info", str(gds)])
     out = capsys.readouterr().out
     assert rc == 0 and "layer 1: 1 flattened polygons" in out
+
+
+def test_cli_export_gds_round_trip(tmp_path, capsys):
+    setup = _setup()
+    setup_path = save_setup(setup, tmp_path / "s.json")
+    out_path = tmp_path / "mask.gds"
+    rc = cli_main(["export-gds", str(setup_path), str(out_path)])
+    assert rc == 0 and out_path.exists()
+
+    from qpsim_tpu.geometry.gds import read_gds_polygons
+    from qpsim_tpu.geometry.mask import mask_from_lists
+    from qpsim_tpu.geometry.raster import rasterize_polygons
+
+    mask = mask_from_lists(setup.geometry.mask)
+    dx = float(setup.geometry.mesh_size)
+    polys = [p.points for p in read_gds_polygons(out_path)]
+    back = rasterize_polygons(
+        polys,
+        (np.arange(mask.shape[1]) + 0.5) * dx,
+        (np.arange(mask.shape[0]) + 0.5) * dx,
+    )
+    np.testing.assert_array_equal(back, mask)
