@@ -65,11 +65,14 @@ def _uniform_pair_rows(E_bins: np.ndarray, pmap: PhononFrequencyMap):
 #: beyond this the looped kernel's VMEM working set (state + reversed copy
 #: + phonon rows ≈ 3NE rows per tile) stops fitting comfortably
 _MAX_LOOP_BINS = 192
+#: non-uniform gap maps blend per-gap tables with selects in the loop
+#: kernel — linear cost in G, practical for piecewise-constant maps only
+_MAX_LOOP_GAPS = 8
 
 
 def pallas_collisions_supported(E_bins: np.ndarray, n_gaps: int) -> bool:
     e = np.asarray(E_bins)
-    if e.size < 2 or e.size > _MAX_LOOP_BINS or n_gaps != 1:
+    if e.size < 2 or e.size > _MAX_LOOP_BINS or not 1 <= n_gaps <= _MAX_LOOP_GAPS:
         return False
     diffs = np.diff(e)
     return bool(np.allclose(diffs, diffs[0], rtol=1e-9))
@@ -190,18 +193,26 @@ def build_pallas_collision_step(
     update_phonons: bool = True,
     tile: int = _DEFAULT_TILE,
     interpret: bool = False,
+    gap_id: np.ndarray | None = None,
 ):
     """Build ``(n_qp, n_ph) -> (n_qp, n_ph)`` backed by the Pallas kernel.
 
     State shapes: n_qp (NE, Ny, Nx), n_ph (NW, Ny, Nx) — identical contract
     to ``ops.collisions.make_collision_step``.  Returns None when the
     configuration is outside the kernel's support envelope.
+
+    For non-uniform gap maps pass stacked (G, NE)/(G, NE, NE) arrays and a
+    dense ``gap_id`` plane — dispatches to the loop kernel's per-gap blend.
     """
     e = np.asarray(E_bins, dtype=np.float64)
     ne = int(e.size)
-    if not pallas_collisions_supported(e, 1):
+    rho_arr = np.asarray(rho)
+    n_gaps = int(rho_arr.shape[0]) if rho_arr.ndim == 2 else 1
+    if not pallas_collisions_supported(e, n_gaps):
         return None
-    if ne > _MAX_UNROLLED_BINS:
+    if n_gaps > 1 and gap_id is None:
+        return None
+    if ne > _MAX_UNROLLED_BINS or n_gaps > 1:
         # beyond the static-unroll envelope (compile time grows as NE²),
         # dispatch to the fori_loop kernel — same contract and physics
         from .pallas_collisions_loop import build_pallas_collision_step_loop
@@ -217,6 +228,7 @@ def build_pallas_collision_step(
             update_phonons=update_phonons,
             tile=min(int(tile), 512),
             interpret=interpret,
+            gap_id=gap_id,
         )
     rows = _uniform_pair_rows(e, pmap)
     if rows is None:

@@ -106,11 +106,19 @@ def build_pallas_collision_step_loop(
     update_phonons: bool = True,
     tile: int = _DEFAULT_TILE,
     interpret: bool = False,
+    gap_id: np.ndarray | None = None,
 ):
     """Build ``(n_qp, n_ph) -> (n_qp, n_ph)`` for one collision substep.
 
     Same contract as ``pallas_collisions.build_pallas_collision_step``;
     returns None outside the envelope (non-uniform energy grid).
+
+    Non-uniform gap maps: pass ``rho``/``K_s0``/``K_r0`` stacked by gap id
+    as (G, NE)/(G, NE, NE) together with a dense (Ny, Nx) int ``gap_id``
+    plane (0 on masked-out cells).  Every coefficient column then blends the
+    G tables per pixel with ``where`` selects — the unique-gap cache of the
+    reference (solver.py:1203-1232) in kernel form.  Practical for small G
+    (piecewise-constant gap maps: bilayers, proximitized regions).
     """
     e = np.asarray(E_bins, dtype=np.float64)
     ne = int(e.size)
@@ -133,19 +141,27 @@ def build_pallas_collision_step_loop(
     if not (scattering or recombination):
         return lambda n_qp, n_ph: (n_qp, n_ph)
 
-    rho_pad = np.zeros((ne_pad, 128))
-    rho_pad[:ne] = np.asarray(rho, dtype=np.float64)[:, None]
-    rho_rev_pad = np.zeros((ne_pad, 128))
-    rho_rev_pad[:ne] = np.asarray(rho, dtype=np.float64)[::-1, None]
+    rho_g = np.asarray(rho, dtype=np.float64)
+    if rho_g.ndim == 1:
+        rho_g = rho_g[None]
+    n_gaps = rho_g.shape[0]
+    multi_gap = gap_id is not None and n_gaps > 1
+    stack = lambda K: np.asarray(K, dtype=np.float64).reshape(n_gaps, ne, ne)
+
+    rho_pad = np.zeros((n_gaps, ne_pad, 128))
+    rho_pad[:, :ne] = rho_g[:, :, None]
+    rho_rev_pad = np.zeros((n_gaps, ne_pad, 128))
+    rho_rev_pad[:, :ne] = rho_g[:, ::-1, None]
     diff_tab = np.zeros(ne_pad, np.int32)
     diff_tab[1:ne] = np.asarray(diff_row[1:], np.int32)
     sum_tab = np.zeros(_round_up(ns, 8), np.int32)
     sum_tab[:ns] = np.asarray(sum_row, np.int32)
 
     if scattering:
-        e_up, e_dn, a_up, a_dn = _offset_tables(np.asarray(K_s0), ne, ne_pad, kp)
+        tabs = [_offset_tables(K, ne, ne_pad, kp) for K in stack(K_s0)]
+        e_up, e_dn, a_up, a_dn = (np.stack([t[i] for t in tabs]) for i in range(4))
     if recombination:
-        r_tab = _antidiag_table(np.asarray(K_r0), ne, ne_pad, sp)
+        r_tab = np.stack([_antidiag_table(K, ne, ne_pad, sp) for K in stack(K_r0)])
 
     def kernel(*refs):
         it = iter(refs)
@@ -154,6 +170,7 @@ def build_pallas_collision_step_loop(
         ph_ref = next(it)
         rho_ref = next(it)
         rhorev_ref = next(it)
+        gid_ref = next(it) if multi_gap else None
         if scattering:
             eup_ref, edn_ref, aup_ref, adn_ref = next(it), next(it), next(it), next(it)
         if recombination:
@@ -169,8 +186,19 @@ def build_pallas_collision_step_loop(
 
         q = q_ref[:]
         qrev = qrev_ref[:]
-        rho_c = rho_ref[:, :1]
-        rhorev_c = rhorev_ref[:, :1]
+        gid = gid_ref[:1, :] if multi_gap else None  # (1, T) int32
+
+        def by_gap(vals):
+            """Blend per-gap (NE_pad, 1) columns into a per-pixel plane."""
+            if not multi_gap:
+                return vals[0]
+            out = jnp.where(gid == 0, vals[0], 0.0)
+            for g in range(1, n_gaps):
+                out = jnp.where(gid == g, vals[g], out)
+            return out
+
+        rho_c = by_gap([rho_ref[g, :, :1] for g in range(n_gaps)])
+        rhorev_c = by_gap([rhorev_ref[g, :, :1] for g in range(n_gaps)])
         safe = jnp.maximum(rho_c, _EPS_RHO)
         partner = jnp.where(rho_c > _EPS_RHO, rho_c * jnp.maximum(1.0 - q / safe, 0.0), 0.0)
         safe_r = jnp.maximum(rhorev_c, _EPS_RHO)
@@ -189,8 +217,11 @@ def build_pallas_collision_step_loop(
         lanes_s = jax.lax.broadcasted_iota(jnp.int32, (ne_pad, sp), 1)
 
         def col(ref, lanes, idx):
-            return jnp.sum(
-                jnp.where(lanes == idx, ref[:], 0.0), axis=1, keepdims=True
+            return by_gap(
+                [
+                    jnp.sum(jnp.where(lanes == idx, ref[g], 0.0), axis=1, keepdims=True)
+                    for g in range(n_gaps)
+                ]
             )
 
         if scattering:
@@ -266,6 +297,10 @@ def build_pallas_collision_step_loop(
         else:
             ph_out[:] = ph_ref[:]
 
+    if multi_gap:
+        gid_flat = np.zeros((8, int(np.asarray(gap_id).size)), np.int32)
+        gid_flat[:] = np.asarray(gap_id, np.int32).reshape(1, -1)
+
     def step(n_qp: jax.Array, n_ph: jax.Array):
         ne_, ny, nx = n_qp.shape
         dtype = n_qp.dtype
@@ -285,18 +320,34 @@ def build_pallas_collision_step_loop(
         p_pad = q.shape[1]
         grid = (p_pad // tile,)
         tiled = lambda r: pl.BlockSpec((r, tile), lambda t: (0, t), memory_space=pltpu.VMEM)
-        rep = lambda shape: pl.BlockSpec(shape, lambda t: (0, 0), memory_space=pltpu.VMEM)
+        rep3 = lambda shape: pl.BlockSpec(
+            shape, lambda t: (0,) * len(shape), memory_space=pltpu.VMEM
+        )
         smem = lambda shape: pl.BlockSpec(shape, lambda t: (0,), memory_space=pltpu.SMEM)
         as_dev = lambda arr: jnp.asarray(arr, dtype=dtype)
 
         args = [q, qrev, ph, as_dev(rho_pad), as_dev(rho_rev_pad)]
-        specs = [tiled(ne_pad), tiled(ne_pad), tiled(nw_pad), rep((ne_pad, 128)), rep((ne_pad, 128))]
+        specs = [
+            tiled(ne_pad),
+            tiled(ne_pad),
+            tiled(nw_pad),
+            rep3((n_gaps, ne_pad, 128)),
+            rep3((n_gaps, ne_pad, 128)),
+        ]
+        if multi_gap:
+            gid = jnp.asarray(gid_flat)
+            if pad_cols:
+                gid = jnp.pad(gid, ((0, 0), (0, pad_cols)))
+            args.append(gid)
+            specs.append(
+                pl.BlockSpec((8, tile), lambda t: (0, t), memory_space=pltpu.VMEM)
+            )
         if scattering:
             args += [as_dev(e_up), as_dev(e_dn), as_dev(a_up), as_dev(a_dn)]
-            specs += [rep((ne_pad, kp))] * 4
+            specs += [rep3((n_gaps, ne_pad, kp))] * 4
         if recombination:
             args.append(as_dev(r_tab))
-            specs.append(rep((ne_pad, sp)))
+            specs.append(rep3((n_gaps, ne_pad, sp)))
         args += [jnp.asarray(diff_tab), jnp.asarray(sum_tab)]
         specs += [smem(diff_tab.shape), smem(sum_tab.shape)]
 

@@ -636,10 +636,8 @@ def _run_energy_resolved(
 
         on_tpu = jax.default_backend() == "tpu"
         use_pallas_collisions = (
-            (collision_backend == "pallas" or on_tpu)
-            and unique_gaps.size == 1
-            and pallas_collisions_supported(E_bins, int(unique_gaps.size))
-        )
+            collision_backend == "pallas" or on_tpu
+        ) and pallas_collisions_supported(E_bins, int(unique_gaps.size))
     elif collision_backend not in ("auto", "pallas", "xla"):
         raise ValueError(f"Unknown collision backend: {collision_backend!r}")
 
@@ -649,16 +647,26 @@ def _run_energy_resolved(
         if use_pallas_collisions:
             from ..ops.pallas_collisions import build_pallas_collision_step
 
+            single = int(unique_gaps.size) == 1
             step = build_pallas_collision_step(
                 E_bins=E_bins,
                 dE=dE,
-                rho=rho_by_gap[0],
-                K_s0=K_s0_by_gap[0] if K_s0_by_gap is not None else None,
-                K_r0=K_r0_by_gap[0] if K_r0_by_gap is not None else None,
+                rho=rho_by_gap[0] if single else rho_by_gap,
+                K_s0=(
+                    None
+                    if K_s0_by_gap is None
+                    else (K_s0_by_gap[0] if single else K_s0_by_gap)
+                ),
+                K_r0=(
+                    None
+                    if K_r0_by_gap is None
+                    else (K_r0_by_gap[0] if single else K_r0_by_gap)
+                ),
                 pmap=pmap,
                 dt=dt_col,
                 update_phonons=not freeze_phonon_dynamics,
                 interpret=jax.default_backend() != "tpu",
+                gap_id=None if single else gap_id,
             )
             if step is not None:
                 return step

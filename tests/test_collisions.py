@@ -160,3 +160,46 @@ def test_nonuniform_gap_uses_local_kernels():
     out = np.asarray(q).sum(axis=0)[0]
     assert out[0] != out[1]
     assert np.all(out > 0)
+
+
+def test_pallas_loop_multi_gap_matches_xla_interpret():
+    # piecewise-constant gap map (G=3): the loop kernel blends per-gap
+    # tables with selects; parity vs the XLA integrator's gather path
+    import jax.numpy as jnp
+
+    from qpsim_tpu.ops.dos import dynes_density_of_states, thermal_phonon_occupation
+    from qpsim_tpu.ops.energy_grid import build_energy_grid
+    from qpsim_tpu.ops.kernels import recombination_kernel_base, scattering_kernel_base
+    from qpsim_tpu.ops.pallas_collisions import build_pallas_collision_step
+    from qpsim_tpu.ops.phonon_map import build_phonon_frequency_map
+
+    E, dE = build_energy_grid(180.0, 1.0, 4.0, 10)
+    pm = build_phonon_frequency_map(E)
+    gaps = [120.0, 150.0, 170.0]
+    rho = np.stack([dynes_density_of_states(E, g, 0.0) for g in gaps])
+    Ks = np.stack([scattering_kernel_base(E, g, 440.0, 1.2) for g in gaps])
+    Kr = np.stack([recombination_kernel_base(E, g, 440.0, 1.2) for g in gaps])
+    ny, nx = 3, 5
+    rng = np.random.default_rng(1)
+    gid = rng.integers(0, 3, (ny, nx)).astype(np.int32)
+    plan = build_collision_plan_arrays(
+        dE=dE, rho_by_gap=rho, K_r0_by_gap=Kr, K_s0_by_gap=Ks, gap_id=gid, pmap=pm,
+        enable_recombination=True, enable_scattering=True, update_phonons=True)
+    xla = make_collision_step(plan, 0.01)
+    pal = build_pallas_collision_step(
+        E_bins=E, dE=dE, rho=rho, K_s0=Ks, K_r0=Kr, pmap=pm, dt=0.01,
+        update_phonons=True, tile=128, interpret=True, gap_id=gid)
+    assert pal is not None
+    q0 = jnp.asarray(rng.uniform(0, 1e-4, (10, ny, nx)) * rho[gid].transpose(2, 0, 1))
+    ph0 = jnp.asarray(
+        np.broadcast_to(
+            thermal_phonon_occupation(pm.omega_bins, 0.25)[:, None, None],
+            (pm.num_omega, ny, nx),
+        ).copy()
+    )
+    q1, p1 = xla(q0, ph0)
+    q2, p2 = pal(q0, ph0)
+    np.testing.assert_allclose(np.asarray(q2), np.asarray(q1), rtol=1e-12, atol=1e-22)
+    # phonon occupations span ~1e-12..1e0; summation-order differences show
+    # up at ~1e-10 relative on the smallest thermal values
+    np.testing.assert_allclose(np.asarray(p2), np.asarray(p1), rtol=1e-9, atol=1e-22)
