@@ -5,13 +5,25 @@ traced JAX, observables are differentiable with respect to physical
 parameters — enabling gradient-based fitting of D₀, τₛ, τᵣ, pulse energies
 etc. against measured decay curves (the standard MKID analysis task).
 
-``make_differentiable_decay`` builds a pure function
-``params -> observable_trace`` where ``params = {"D0", "tau_s", "tau_r"}``
-are traced scalars: the diffusion coefficients and collision kernels are
-reconstructed *inside* the trace (K ∝ 1/τ, D(E) = D₀√(1−(Δ/E)²)), so
-``jax.grad`` / ``jax.jacfwd`` flow end-to-end through the Strang-split
-integrator.  Uses the XLA collision path (the Pallas kernel has no VJP) and
-ADI diffusion with on-the-fly coefficients.
+``make_differentiable_sim`` builds a pure function ``params -> observables``
+over an **arbitrary masked 2D geometry** with per-edge boundary conditions,
+where ``params = {"D0", "tau_s", "tau_r"}`` are traced scalars: the
+diffusion coefficients and collision kernels are reconstructed *inside* the
+trace (K ∝ 1/τ, D(E) = D₀√(1−(Δ/E)²)), so ``jax.grad`` / ``jax.jacfwd``
+flow end-to-end through the Strang-split integrator.  Observables:
+
+* ``"total"``   — (n_steps+1,) energy-integrated QP number trace;
+* ``"spatial"`` — (n_stored, Ny, Nx) energy-integrated density frames
+  (zero outside the mask), every ``store_every`` steps;
+* ``"phonon_spectrum"`` — (NW,) final phonon occupation per ω bin, summed
+  over pixels;
+* ``"phonon_total"`` — (n_steps+1,) total phonon occupation trace.
+
+Uses the XLA collision path (the Pallas kernel has no VJP) and ADI
+diffusion with on-the-fly coefficients.  ``make_differentiable_decay`` is
+the 1D-wire total-trace convenience wrapper; ``fit_parameters`` fits one
+curve and ``fit_ensemble`` fits a whole batch of curves at once (vmapped
+loss, independent per-member parameters).
 """
 
 from __future__ import annotations
@@ -31,7 +43,14 @@ from .ops.phonon_map import build_phonon_frequency_map
 from .ops.diffusion import build_directional_stencils, fold_diffusion
 from .ops.tridiag import tridiag_solve, tridiag_solve_along
 
-__all__ = ["make_differentiable_decay", "fit_parameters"]
+__all__ = [
+    "make_differentiable_sim",
+    "make_differentiable_decay",
+    "fit_parameters",
+    "fit_ensemble",
+]
+
+_OBSERVABLES = ("total", "spatial", "phonon_spectrum", "phonon_total")
 
 
 def _traced_kernels(E: jnp.ndarray, gap: float, T_c: float):
@@ -46,8 +65,11 @@ def _traced_kernels(E: jnp.ndarray, gap: float, T_c: float):
     return kr_shape, ks_shape
 
 
-def make_differentiable_decay(
+def make_differentiable_sim(
     *,
+    mask: np.ndarray | None = None,
+    edges: list | None = None,
+    edge_conditions: dict | None = None,
     nx: int = 64,
     gap: float = 180.0,
     num_energy_bins: int = 8,
@@ -57,13 +79,18 @@ def make_differentiable_decay(
     dt: float = 0.05,
     n_steps: int = 40,
     n0: float = 1e-4,
+    initial_field: np.ndarray | None = None,
     dtype=jnp.float64,
     phonon_feedback: bool = True,
+    observables: tuple[str, ...] = ("total",),
+    store_every: int = 1,
 ) -> Callable:
-    """Build ``decay(params) -> (n_steps+1,) total-QP trace`` on a 1D wire.
+    """Build ``sim(params) -> {observable: array}`` on a masked 2D geometry.
 
     ``params``: dict with traced scalars ``D0``, ``tau_s``, ``tau_r``.
-    Fully differentiable (reverse and forward mode).
+    Defaults to a reflective 1×nx wire when no geometry is given; pass
+    ``mask``/``edges``/``edge_conditions`` for arbitrary 2D films with the
+    full per-edge boundary-condition set.
 
     ``phonon_feedback=False`` freezes the bath at thermal occupation — the
     standard "phonons escape to the substrate instantly" modelling limit, in
@@ -71,15 +98,23 @@ def make_differentiable_decay(
     τᵣ sensitivity.  With feedback on (closed film) re-breaking largely
     cancels recombination and total QP number is nearly conserved.
     """
-    mask = np.ones((1, nx), dtype=bool)
-    edges = extract_edge_segments(mask)
-    bcs = {e.edge_id: BoundaryCondition(kind="reflective") for e in edges}
+    for obs in observables:
+        if obs not in _OBSERVABLES:
+            raise ValueError(f"Unknown observable {obs!r}; pick from {_OBSERVABLES}")
+    if mask is None:
+        mask = np.ones((1, nx), dtype=bool)
+    mask = np.asarray(mask, dtype=bool)
+    if edges is None:
+        edges = extract_edge_segments(mask)
+    if edge_conditions is None:
+        edge_conditions = {e.edge_id: BoundaryCondition(kind="reflective") for e in edges}
+    ny_g, nx_g = mask.shape
     E_np, dE = build_energy_grid(gap, 1.0, energy_max_factor, num_energy_bins)
     pmap = build_phonon_frequency_map(E_np)
     rho_np = dynes_density_of_states(E_np, gap, 0.0)
 
     # unit-D stencils; D(E) folds in at trace time so dD/dD0 flows
-    x_st, y_st = build_directional_stencils(mask, edges, bcs, 1.0)
+    x_st, y_st = build_directional_stencils(mask, edges, edge_conditions, 1.0)
     unit = fold_diffusion(x_st, y_st, mask, 1.0, 1.0)
     ax_lo = jnp.asarray(unit.ax_lo, dtype=dtype)
     ax_hi = jnp.asarray(unit.ax_hi, dtype=dtype)
@@ -100,18 +135,21 @@ def make_differentiable_decay(
     nw = pmap.num_omega
     ne = num_energy_bins
 
-    ph0 = jnp.asarray(
-        np.broadcast_to(
-            thermal_phonon_occupation(pmap.omega_bins, bath_temperature)[:, None], (nw, nx)
-        ).copy(),
-        dtype=dtype,
-    )
+    ph0_np = np.zeros((nw, ny_g, nx_g))
+    ph0_np[:, mask] = thermal_phonon_occupation(pmap.omega_bins, bath_temperature)[:, None]
+    ph0 = jnp.asarray(ph0_np, dtype=dtype)
+    if initial_field is None:
+        field = np.where(mask, n0, 0.0)
+    else:
+        field = np.where(mask, np.asarray(initial_field, dtype=np.float64), 0.0)
     weights = rho_np / max(1e-30, float(np.sum(rho_np) * dE))
-    q0 = jnp.asarray(np.broadcast_to(weights[:, None] * n0, (ne, nx)).copy(), dtype=dtype)
+    q0 = jnp.asarray(weights[:, None, None] * field[None], dtype=dtype)
+    mask_dev = jnp.asarray(mask)
 
     def collide(q, ph, K_r0, K_s0, dt_c):
-        # pixel-batched: q (NE, NX), ph (NW, NX)
-        qT, phT = q.T, ph.T  # (NX, NE), (NX, NW)
+        # pixel-batched: q (NE, Ny, Nx), ph (NW, Ny, Nx)
+        qT = q.reshape(ne, -1).T  # (P, NE)
+        phT = ph.reshape(nw, -1).T  # (P, NW)
         f = qT / jnp.maximum(rho[None, :], 1e-30)
         omf = jnp.maximum(1.0 - f, 0.0)
         partner = rho[None, :] * omf
@@ -141,13 +179,13 @@ def make_differentiable_decay(
         ph_new = jnp.maximum(jnp.exp(x) * phT + cph * a_ph, 0.0)
         if not phonon_feedback:
             ph_new = phT
-        return q_new.T, ph_new.T
+        return q_new.T.reshape(ne, ny_g, nx_g), ph_new.T.reshape(nw, ny_g, nx_g)
 
     def diffuse(q, D0, dt_d):
         D_bins = D0 * jnp.sqrt(jnp.maximum(0.0, 1.0 - (gap / E) ** 2))
         D = D_bins[:, None, None]
         alpha = 0.5 * dt_d
-        u = q[:, None, :]  # (NE, 1, NX)
+        u = q  # (NE, Ny, Nx)
         rhs = u + alpha * D * (
             ay_lo * jnp.roll(u, 1, -2) + ay_hi * jnp.roll(u, -1, -2) + ay_diag * u
         )
@@ -161,16 +199,17 @@ def make_differentiable_decay(
         rhs2 = u_star + alpha * D * (
             ax_lo * jnp.roll(u_star, 1, -1) + ax_hi * jnp.roll(u_star, -1, -1) + ax_diag * u_star
         )
-        u_new = tridiag_solve_along(
+        return tridiag_solve_along(
             -2,
             jnp.broadcast_to(-alpha * D * ay_lo, shape),
             jnp.broadcast_to(1.0 - alpha * D * ay_diag, shape),
             jnp.broadcast_to(-alpha * D * ay_hi, shape),
             rhs2,
         )
-        return u_new[:, 0, :]
 
-    def decay(params) -> jax.Array:
+    want_spatial = "spatial" in observables
+
+    def sim(params) -> dict[str, jax.Array]:
         D0 = params["D0"]
         K_r0 = kr_shape / params["tau_r"]
         K_s0 = ks_shape / params["tau_s"]
@@ -180,12 +219,67 @@ def make_differentiable_decay(
             q, ph = collide(q, ph, K_r0, K_s0, 0.5 * dt)
             q = diffuse(q, D0, dt)
             q, ph = collide(q, ph, K_r0, K_s0, 0.5 * dt)
-            return (q, ph), jnp.sum(q) * dE
+            out = (jnp.sum(q) * dE, jnp.sum(ph))
+            if want_spatial:
+                out = out + (jnp.sum(q, axis=0) * dE,)
+            return (q, ph), out
 
-        (_, _), totals = jax.lax.scan(step, (q0, ph0), None, length=n_steps)
-        return jnp.concatenate([jnp.array([jnp.sum(q0) * dE], dtype=dtype), totals])
+        (q_f, ph_f), ys = jax.lax.scan(step, (q0, ph0), None, length=n_steps)
+        totals, ph_totals = ys[0], ys[1]
+        result: dict[str, jax.Array] = {}
+        if "total" in observables:
+            result["total"] = jnp.concatenate(
+                [jnp.array([jnp.sum(q0) * dE], dtype=dtype), totals]
+            )
+        if "phonon_total" in observables:
+            result["phonon_total"] = jnp.concatenate(
+                [jnp.array([jnp.sum(ph0)], dtype=dtype), ph_totals]
+            )
+        if want_spatial:
+            frames = ys[2][store_every - 1 :: store_every]
+            first = (jnp.sum(q0, axis=0) * dE)[None]
+            result["spatial"] = jnp.concatenate([first, frames], axis=0) * mask_dev
+        if "phonon_spectrum" in observables:
+            result["phonon_spectrum"] = jnp.sum(ph_f, axis=(-2, -1))
+        return result
 
-    return decay
+    return sim
+
+
+def make_differentiable_decay(
+    *,
+    nx: int = 64,
+    gap: float = 180.0,
+    num_energy_bins: int = 8,
+    energy_max_factor: float = 4.0,
+    T_c: float = 1.2,
+    bath_temperature: float = 0.2,
+    dt: float = 0.05,
+    n_steps: int = 40,
+    n0: float = 1e-4,
+    dtype=jnp.float64,
+    phonon_feedback: bool = True,
+) -> Callable:
+    """Build ``decay(params) -> (n_steps+1,) total-QP trace`` on a 1D wire.
+
+    Convenience wrapper over :func:`make_differentiable_sim` with the
+    ``"total"`` observable only.
+    """
+    sim = make_differentiable_sim(
+        nx=nx,
+        gap=gap,
+        num_energy_bins=num_energy_bins,
+        energy_max_factor=energy_max_factor,
+        T_c=T_c,
+        bath_temperature=bath_temperature,
+        dt=dt,
+        n_steps=n_steps,
+        n0=n0,
+        dtype=dtype,
+        phonon_feedback=phonon_feedback,
+        observables=("total",),
+    )
+    return lambda params: sim(params)["total"]
 
 
 def fit_parameters(
@@ -218,3 +312,45 @@ def fit_parameters(
         updates, state = opt.update(grads, state)
         log_params = optax.apply_updates(log_params, updates)
     return {k: float(jnp.exp(v)) for k, v in log_params.items()}
+
+
+def fit_ensemble(
+    observed: jnp.ndarray,
+    initial_params: dict,
+    *,
+    decay_fn: Callable,
+    learning_rate: float = 0.05,
+    n_iters: int = 100,
+) -> dict:
+    """Fit a batch of decay curves at once (one parameter set per member).
+
+    ``observed`` is (B, n_steps+1); each value in ``initial_params`` is a
+    (B,) array.  The loss vmaps ``decay_fn`` over the batch and sums the
+    per-member relative errors — members' gradients are independent, so this
+    is B simultaneous fits in one optimizer at on-chip batch throughput.
+    Returns {name: (B,) fitted values}.
+    """
+    import optax
+
+    observed = jnp.asarray(observed, dtype=jnp.float64)
+    log_params = {
+        k: jnp.log(jnp.asarray(v, dtype=jnp.float64)) for k, v in initial_params.items()
+    }
+
+    def member_loss(lp_member, obs):
+        params = {k: jnp.exp(v) for k, v in lp_member.items()}
+        pred = decay_fn(params)
+        return jnp.mean((pred - obs) ** 2 / jnp.maximum(obs, 1e-30) ** 2)
+
+    def loss_fn(lp):
+        losses = jax.vmap(member_loss)(lp, observed)
+        return jnp.sum(losses)
+
+    opt = optax.adam(learning_rate)
+    state = opt.init(log_params)
+    grad_fn = jax.jit(jax.value_and_grad(loss_fn))
+    for _ in range(n_iters):
+        _, grads = grad_fn(log_params)
+        updates, state = opt.update(grads, state)
+        log_params = optax.apply_updates(log_params, updates)
+    return {k: np.exp(np.asarray(v)) for k, v in log_params.items()}
