@@ -218,3 +218,26 @@ def test_sharded_lazy_bin_scale_matches_single_chip(monkeypatch):
         q_sh, ph_sh, _ = sharded.step(q_sh, ph_sh)
         q_single = single(q_single)
     np.testing.assert_allclose(np.asarray(q_sh), np.asarray(q_single), atol=1e-12)
+
+
+def test_multihost_mesh_single_process_layout():
+    # single-process: make_multihost_mesh spans all local devices with the
+    # ensemble axis defaulting to process_count (=1 here)
+    from qpsim_tpu.parallel.mesh import make_multihost_mesh, initialize_distributed
+
+    initialize_distributed()  # no-op in single-process runs
+    mesh = make_multihost_mesh()
+    assert mesh.shape["ensemble"] * mesh.shape["space"] == len(jax.devices())
+    assert mesh.shape["ensemble"] == 1
+    mesh2 = make_multihost_mesh(n_space=2)
+    assert mesh2.shape["space"] == 2
+    # a sharded step built over it runs
+    ny, nx = 8, 8
+    mask, edges, bcs = _geometry(ny, nx)
+    xs, ys = build_directional_stencils(mask, edges, bcs, 1.0)
+    op = fold_diffusion(xs, ys, mask, 1.0, 6.0)
+    sharded = build_sharded_step(mesh2, op, 0.05, dtype=jnp.float64)
+    q = jax.device_put(jnp.ones((1, ny, nx)), sharded.q_sharding)
+    ph = jax.device_put(jnp.zeros((1, ny, nx)), sharded.ph_sharding)
+    q, ph, mass = sharded.step(q, ph)
+    assert np.isfinite(float(mass))
