@@ -218,6 +218,52 @@ def bench_coupled_full_scale(length: int = 20) -> dict:
     return {"coupled_1024_ms_per_step": per_step * 1e3}
 
 
+def bench_collisions_50bin(ny=256, nx=256, ne=50, length=50) -> dict:
+    """Reference-default energy resolution (50 bins, solver.py:999 defaults):
+    collision substeps via the fori_loop Pallas kernel."""
+    import jax
+    import jax.numpy as jnp
+
+    from qpsim_tpu.ops.dos import dynes_density_of_states, thermal_phonon_occupation
+    from qpsim_tpu.ops.energy_grid import build_energy_grid
+    from qpsim_tpu.ops.kernels import recombination_kernel_base, scattering_kernel_base
+    from qpsim_tpu.ops.pallas_collisions import build_pallas_collision_step
+    from qpsim_tpu.ops.phonon_map import build_phonon_frequency_map
+
+    gap, tau, tc = 180.0, 440.0, 1.2
+    E, dE = build_energy_grid(gap, 1.0, 4.0, ne)
+    pm = build_phonon_frequency_map(E)
+    rho = dynes_density_of_states(E, gap, 0.0)
+    col = build_pallas_collision_step(
+        E_bins=E,
+        dE=dE,
+        rho=rho,
+        K_s0=scattering_kernel_base(E, gap, tau, tc),
+        K_r0=recombination_kernel_base(E, gap, tau, tc),
+        pmap=pm,
+        dt=0.025,
+    )
+    rng = np.random.default_rng(2)
+    q0 = jnp.asarray(rng.uniform(0, 1e-5, (ne, ny, nx)) * rho[:, None, None], jnp.float32)
+    ph0 = jnp.asarray(
+        np.broadcast_to(
+            thermal_phonon_occupation(pm.omega_bins, 0.2)[:, None, None],
+            (pm.num_omega, ny, nx),
+        ).copy(),
+        jnp.float32,
+    )
+
+    @jax.jit
+    def chunk(state):
+        return jax.lax.scan(lambda c, _: (col(*c), None), state, None, length=length)[0]
+
+    per_step, _ = _timed_chunk(chunk, (q0, ph0), length, f"collisions {ny}x{nx}x{ne}")
+    return {
+        "collisions_50bin_ms_per_substep": per_step * 1e3,
+        "collisions_50bin_pixels_per_s": ny * nx / per_step,
+    }
+
+
 def bench_ensemble_sweep(n_members=32, member=(64, 64), ne=8, length=100) -> dict:
     """32-member coupled parameter sweep as one super-grid (pallas collisions)."""
     import jax
@@ -295,6 +341,7 @@ def main() -> None:
     extras = bench_masked_512()
     extras.update(bench_coupled_2d())
     extras.update(bench_coupled_full_scale())
+    extras.update(bench_collisions_50bin())
     extras.update(bench_ensemble_sweep())
     extras.update(bench_mkid_pulse())
     payload = {
