@@ -136,3 +136,49 @@ def test_phonon_frequency_map_uniform_grid_is_compact():
     # one-hot scatter matrices: each pair row sums to exactly 1
     assert np.all(pm.scatter_diff.sum(axis=1) == 1.0)
     assert np.all(pm.scatter_sum.sum(axis=1) == 1.0)
+
+
+def test_evaluate_gap_expression_validation():
+    import pytest
+
+    from qpsim_tpu.expr.safe_eval import ExpressionError
+    from qpsim_tpu.fields import evaluate_gap_expression
+
+    mask = np.ones((2, 4), dtype=bool)
+    # empty expression -> uniform default over interior pixels
+    np.testing.assert_allclose(evaluate_gap_expression("", mask, 180.0), 180.0)
+    # spatially varying map in normalized coordinates
+    vals = evaluate_gap_expression("return 100.0 + 50.0 * x", mask, 180.0)
+    assert vals.shape == (8,)
+    assert vals.min() >= 100.0 and vals.max() <= 150.0
+    # non-positive and non-finite maps are rejected
+    with pytest.raises(Exception):
+        evaluate_gap_expression("return 0.0 * x", mask, 180.0)
+    with pytest.raises(Exception):
+        evaluate_gap_expression("return x / 0.0", mask, 180.0)
+    # sandbox rejects dunders
+    with pytest.raises(ExpressionError):
+        evaluate_gap_expression("__import__('os').getcwd()", mask, 180.0)
+
+
+def test_fixed_phonon_history_scaffold():
+    from qpsim_tpu.solver.phonon_history import build_fixed_phonon_history
+
+    mask = np.ones((2, 3), dtype=bool)
+    mask[0, 0] = False
+    times = [0.0, 1.0, 2.0]
+    frames, eframes, bins, meta = build_fixed_phonon_history(
+        mask=mask, times=times, bath_temperature=0.3, phonon_energy_bins=None
+    )
+    assert len(frames) == 3
+    # constant bath: every stored frame identical, NaN outside the mask
+    np.testing.assert_array_equal(np.isnan(frames[0]), ~mask)
+    np.testing.assert_array_equal(
+        np.nan_to_num(frames[0]), np.nan_to_num(frames[-1])
+    )
+    assert meta["mode"] == "fixed_temperature"
+    # zero-temperature bath -> zero occupation
+    z_frames, *_ = build_fixed_phonon_history(
+        mask=mask, times=times, bath_temperature=0.0, phonon_energy_bins=None
+    )
+    assert np.nanmax(z_frames[0]) == 0.0

@@ -210,3 +210,16 @@ def test_missing_sidecar_fails_cleanly(tmp_path):
     # but lazy load (manifest only) still works
     lazy = storage.load_test_suite(path, load_group_cases=False)
     assert lazy.geometry_groups[0].case_count == 1
+
+
+def test_estimate_precompute_memory_accounting():
+    from qpsim_tpu.io.precompute import estimate_precompute_memory
+
+    base = estimate_precompute_memory(100, 8, True)
+    assert base == 8 * (8 * 100 + 8 + 100)
+    uni = estimate_precompute_memory(100, 8, True, include_collision_kernels=True)
+    assert uni == base + 8 * (2 * 64 + 16)
+    nonuni = estimate_precompute_memory(100, 8, False, include_collision_kernels=True)
+    # per-pixel kernels dominate: 2·P·NE² + 2·P·NE floats
+    assert nonuni == base + 8 * (2 * 100 * 64 + 2 * 100 * 8)
+    assert nonuni > uni
