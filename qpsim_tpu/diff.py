@@ -157,20 +157,25 @@ def make_differentiable_sim(
         n_sum = jnp.take(phT, idx_sum, axis=-1).reshape(-1, ne, ne)
         np_diff = emit * (1.0 + n_diff) + absorb * n_diff
         Ks_eff = K_s0 * np_diff
-        gain = dE * partner * jnp.einsum("cji,cj->ci", Ks_eff, qT)
-        loss = dE * jnp.einsum("cij,cj->ci", Ks_eff, partner)
-        loss = loss + 2.0 * dE * jnp.einsum("ij,cij,cj->ci", K_r0, 1.0 + n_sum, qT)
-        gain = gain + 2.0 * dE * partner * jnp.einsum("ij,cij,cj->ci", K_r0, n_sum, partner)
+        # fidelity path: full-f32 contractions (TPU default matmuls are bf16)
+        hi = jax.lax.Precision.HIGHEST
+        gain = dE * partner * jnp.einsum("cji,cj->ci", Ks_eff, qT, precision=hi)
+        loss = dE * jnp.einsum("cij,cj->ci", Ks_eff, partner, precision=hi)
+        loss = loss + 2.0 * dE * jnp.einsum("ij,cij,cj->ci", K_r0, 1.0 + n_sum, qT, precision=hi)
+        gain = gain + 2.0 * dE * partner * jnp.einsum(
+            "ij,cij,cj->ci", K_r0, n_sum, partner, precision=hi
+        )
         mu = jnp.maximum(loss, 0.0)
         coeff = jnp.where(mu < 1e-14, dt_c, -jnp.expm1(-mu * dt_c) / jnp.maximum(mu, 1e-14))
         q_new = jnp.maximum(jnp.exp(-mu * dt_c) * qT + coeff * jnp.maximum(gain, 0.0), 0.0)
         base_sc = dE * (qT[:, :, None] * K_s0 * partner[:, None, :])
-        e_flat = (base_sc * emit).reshape(-1, ne * ne) @ scatter_diff
-        a_flat = (base_sc * absorb).reshape(-1, ne * ne) @ scatter_diff
+        mm = lambda a, b: jnp.matmul(a, b, precision=hi)
+        e_flat = mm((base_sc * emit).reshape(-1, ne * ne), scatter_diff)
+        a_flat = mm((base_sc * absorb).reshape(-1, ne * ne), scatter_diff)
         base_rec = dE * (qT[:, :, None] * K_r0 * qT[:, None, :])
-        rec = base_rec.reshape(-1, ne * ne) @ scatter_sum
+        rec = mm(base_rec.reshape(-1, ne * ne), scatter_sum)
         base_pb = dE * (partner[:, :, None] * K_r0 * partner[:, None, :])
-        pb = base_pb.reshape(-1, ne * ne) @ scatter_sum
+        pb = mm(base_pb.reshape(-1, ne * ne), scatter_sum)
         a_ph = e_flat + rec
         b_ph = e_flat - a_flat + rec - pb
         x = jnp.clip(b_ph * dt_c, -80.0, 80.0)

@@ -63,6 +63,10 @@ class GdsPolygon:
     layer: int
     datatype: int
     points: np.ndarray  # (V, 2) float64, user units
+    #: True when stroked from a PATH element (the reference's gdstk-based
+    #: pipeline reads only `cell.polygons`, which excludes paths — filter on
+    #: this flag via include_paths=False for exact reference behavior)
+    from_path: bool = False
 
 
 @dataclass
@@ -102,7 +106,8 @@ class GdsLibrary:
         if _depth > 64:
             raise ValueError("GDS reference nesting too deep (cycle?).")
         out = [
-            GdsPolygon(p.layer, p.datatype, p.points.copy()) for p in cell.polygons
+            GdsPolygon(p.layer, p.datatype, p.points.copy(), p.from_path)
+            for p in cell.polygons
         ]
         for ref in cell.references:
             target = self.cells.get(ref.cell_name)
@@ -128,7 +133,9 @@ class GdsLibrary:
                                 [[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]]
                             )
                             pts = pts @ rot.T
-                        out.append(GdsPolygon(poly.layer, poly.datatype, pts + shift))
+                        out.append(
+                            GdsPolygon(poly.layer, poly.datatype, pts + shift, poly.from_path)
+                        )
         return out
 
 
@@ -285,6 +292,7 @@ def _finish_element(cell: GdsCell, element: dict, unit_user: float) -> None:
                     layer=int(element["layer"]),
                     datatype=int(element["datatype"]),
                     points=poly,
+                    from_path=True,
                 )
             )
 
@@ -307,6 +315,9 @@ def _path_to_polygon(
     (1, ``_CAP_SEGMENTS``-segment approximation) end caps.
     """
     pts = np.asarray(pts, dtype=np.float64)
+    # a negative WIDTH means "absolute" (not scaled by magnification) in the
+    # GDSII spec; the magnitude is the width either way
+    width = abs(width)
     # drop zero-length segments
     if pts.shape[0] >= 2:
         keep = np.ones(pts.shape[0], dtype=bool)
@@ -367,12 +378,21 @@ def _path_to_polygon(
     return poly
 
 
-def read_gds_polygons(path: str | Path) -> list[GdsPolygon]:
-    """All polygons of all top-level cells, flattened through references."""
+def read_gds_polygons(path: str | Path, include_paths: bool = True) -> list[GdsPolygon]:
+    """All polygons of all top-level cells, flattened through references.
+
+    ``include_paths=True`` (default) strokes PATH elements into polygons —
+    a deliberate extension over the reference, whose gdstk pipeline reads
+    only ``cell.polygons`` and silently drops paths
+    (``/root/reference/qpsim/geometry.py:38``).  Pass ``include_paths=False``
+    to reproduce the reference's masks bit-for-bit on PATH-bearing layouts.
+    """
     lib = read_gds_library(path)
     out: list[GdsPolygon] = []
     for top in lib.top_level():
         out.extend(lib.flatten_cell(top))
+    if not include_paths:
+        out = [p for p in out if not p.from_path]
     return out
 
 
@@ -481,6 +501,7 @@ def rasterize_gds_layer(
     gds_path: str | Path,
     layer: int,
     mesh_size: float,
+    include_paths: bool = True,
 ) -> tuple[np.ndarray, list[float]]:
     """Rasterize one layer onto a cell-centered grid → (mask, bounds).
 
@@ -490,7 +511,11 @@ def rasterize_gds_layer(
     """
     if mesh_size <= 0:
         raise ValueError("Mesh size must be positive.")
-    polys = [p.points for p in read_gds_polygons(gds_path) if p.layer == int(layer)]
+    polys = [
+        p.points
+        for p in read_gds_polygons(gds_path, include_paths=include_paths)
+        if p.layer == int(layer)
+    ]
     if not polys:
         raise ValueError(f"No polygons found on layer {layer}.")
 
@@ -512,9 +537,9 @@ def rasterize_gds_layer(
 
 
 def create_geometry_from_gds(
-    gds_path: str | Path, layer: int, mesh_size: float
+    gds_path: str | Path, layer: int, mesh_size: float, include_paths: bool = True
 ) -> GeometryData:
-    mask, bounds = rasterize_gds_layer(gds_path, layer, mesh_size)
+    mask, bounds = rasterize_gds_layer(gds_path, layer, mesh_size, include_paths)
     n_components = connected_component_count(mask)
     if n_components != 1:
         raise ValueError(

@@ -141,6 +141,11 @@ def build_sharded_step(
             use_pallas == "auto" and jax.default_backend() == "tpu"
         )
         e_bins = collisions.get("E_bins")
+        if use_pallas is True and e_bins is None:
+            raise ValueError(
+                "use_pallas=True requires 'E_bins' in the collisions dict "
+                "(the kernel needs the energy grid to build its pair tables)"
+            )
         if want_pallas and e_bins is not None:
             from ..ops.pallas_collisions import build_pallas_collision_step
 

@@ -250,9 +250,6 @@ class PrefactoredWangADI(ADIDiffusion):
 
     #: Wang chunk length (lanes per scan step = batch × N/chunk)
     CHUNK = 64
-    #: minimum solve lines per direction for this backend to win over
-    #: PCR/Thomas (below it the factor traffic dominates)
-    MIN_LINES = 8192
 
     def make_step_aux(self, dt: float):
         alpha = 0.5 * float(dt)

@@ -227,3 +227,28 @@ def test_path_rasterizes_into_mask(tmp_path):
     # wire occupies a ~6-cell-tall band, padded by the empty boundary ring
     assert not mask[0].any() and not mask[-1].any()
     assert 4 <= rows.sum() <= 8
+
+
+def test_include_paths_false_reproduces_reference_behavior(tmp_path):
+    # the reference's gdstk pipeline reads only cell.polygons — PATHs are
+    # dropped (geometry.py:38); include_paths=False reproduces that
+    line = np.array([[0.0, 2.0], [20.0, 2.0]])
+    path = write_gds(
+        tmp_path / "mixed.gds",
+        {"TOP": [(1, _rect(0, 10, 20, 6)), (1, line, 4.0)]},
+    )
+    with_paths = read_gds_polygons(path)
+    without = read_gds_polygons(path, include_paths=False)
+    assert len(with_paths) == 2 and len(without) == 1
+    assert all(not p.from_path for p in without)
+    mask_ref, _ = rasterize_gds_layer(path, 1, 1.0, include_paths=False)
+    mask_ext, _ = rasterize_gds_layer(path, 1, 1.0)
+    assert mask_ext.sum() > mask_ref.sum()
+
+
+def test_negative_width_is_absolute(tmp_path):
+    # GDSII: negative WIDTH = absolute width of magnitude |width|
+    line = np.array([[0.0, 0.0], [10.0, 0.0]])
+    path = write_gds(tmp_path / "neg.gds", {"TOP": [(1, line, -4.0)]})
+    (poly,) = read_gds_polygons(path)
+    np.testing.assert_allclose(sorted(poly.points[:, 1]), [-2, -2, 2, 2], atol=1e-9)
