@@ -9,7 +9,9 @@ collision kernel), and collision throughput.
 Timing methodology: the axon TPU tunnel's ``block_until_ready`` does not
 reliably synchronise, so every timed region ends by forcing a scalar value
 off the device.  Work is issued as one fused ``lax.scan`` chunk per timing
-bracket (per-dispatch tunnel latency is ~30 ms and would otherwise dominate).
+bracket (per-dispatch tunnel latency is ~30 ms and would otherwise dominate);
+chunk lengths are sized so that amortized tunnel latency stays well under 5%
+of the reported per-step number (measured: ~29 ms fixed per bracket).
 
 Baselines (``vs_baseline`` denominators) measured against the reference
 implementation on this machine (scipy SuperLU CN + per-pixel Python
@@ -196,7 +198,7 @@ def bench_masked_512(length: int = 200) -> dict:
     return {"masked_512_cell_steps_per_s": n * n / per_step}
 
 
-def bench_coupled_full_scale(length: int = 20) -> dict:
+def bench_coupled_full_scale(length: int = 100) -> dict:
     """Driver config #5 scale: full coupled physics at 1024² × 16 bins."""
     import jax
     import jax.numpy as jnp
