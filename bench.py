@@ -68,7 +68,7 @@ def bench_scalar_cn_1024() -> float:
     from qpsim_tpu.ops.diffusion import build_directional_stencils, fold_diffusion
     from qpsim_tpu.solver.diffusion_backends import ADIDiffusion
 
-    n, length = 1024, 200
+    n, length = 1024, 2000
     mask = np.ones((n, n), dtype=bool)
     edges = extract_edge_segments(mask)
     bcs = {e.edge_id: BoundaryCondition(kind="reflective") for e in edges}
@@ -134,7 +134,7 @@ def _coupled_pieces(ny, nx, ne, dt, dtype):
     return diff, col_half, q0, ph0
 
 
-def bench_coupled_2d(ny=256, nx=256, ne=16, length=100) -> dict:
+def bench_coupled_2d(ny=256, nx=256, ne=16, length=1000) -> dict:
     """Full Strang step (pallas collisions + ADI diffusion), 2D energy-resolved."""
     import jax
     import jax.numpy as jnp
@@ -161,7 +161,7 @@ def bench_coupled_2d(ny=256, nx=256, ne=16, length=100) -> dict:
     }
 
 
-def bench_masked_512(length: int = 200) -> dict:
+def bench_masked_512(length: int = 2000) -> dict:
     """Driver config #3: ADI CN on a masked 512² donut, absorbing/reflective."""
     import jax
     import jax.numpy as jnp
@@ -198,7 +198,7 @@ def bench_masked_512(length: int = 200) -> dict:
     return {"masked_512_cell_steps_per_s": n * n / per_step}
 
 
-def bench_coupled_full_scale(length: int = 100) -> dict:
+def bench_coupled_full_scale(length: int = 200) -> dict:
     """Driver config #5 scale: full coupled physics at 1024² × 16 bins."""
     import jax
     import jax.numpy as jnp
@@ -220,7 +220,7 @@ def bench_coupled_full_scale(length: int = 100) -> dict:
     return {"coupled_1024_ms_per_step": per_step * 1e3}
 
 
-def bench_collisions_50bin(ny=256, nx=256, ne=50, length=50) -> dict:
+def bench_collisions_50bin(ny=256, nx=256, ne=50, length=200) -> dict:
     """Reference-default energy resolution (50 bins, solver.py:999 defaults):
     collision substeps via the fori_loop Pallas kernel."""
     import jax
@@ -266,7 +266,7 @@ def bench_collisions_50bin(ny=256, nx=256, ne=50, length=50) -> dict:
     }
 
 
-def bench_ensemble_sweep(n_members=32, member=(64, 64), ne=8, length=100) -> dict:
+def bench_ensemble_sweep(n_members=32, member=(64, 64), ne=8, length=1000) -> dict:
     """32-member coupled parameter sweep as one super-grid (pallas collisions)."""
     import jax
     import jax.numpy as jnp
