@@ -266,6 +266,32 @@ def bench_collisions_50bin(ny=256, nx=256, ne=50, length=200) -> dict:
     }
 
 
+def bench_1d_64bin(nx=4096, ne=64, length=200) -> dict:
+    """Driver config #4: energy-resolved collision integrals, 64 bins × 1D
+    space (loop-kernel collisions + ADI diffusion, coupled phonons)."""
+    import jax
+    import jax.numpy as jnp
+
+    diff, col_half, q0, ph0 = _coupled_pieces(1, nx, ne, 0.05, jnp.float32)
+
+    def step(state, _):
+        q, ph = state
+        q, ph = col_half(q, ph)
+        q = diff(q)
+        q, ph = col_half(q, ph)
+        return (q, ph), None
+
+    @jax.jit
+    def chunk(state):
+        return jax.lax.scan(step, state, None, length=length)[0]
+
+    per_step, _ = _timed_chunk(chunk, (q0, ph0), length, f"1D {nx}x{ne}bins")
+    return {
+        "coupled_1d_64bin_ms_per_step": per_step * 1e3,
+        "coupled_1d_64bin_cell_steps_per_s": nx / per_step,
+    }
+
+
 def bench_ensemble_sweep(n_members=32, member=(64, 64), ne=8, length=1000) -> dict:
     """32-member coupled parameter sweep as one super-grid (pallas collisions)."""
     import jax
@@ -344,6 +370,7 @@ def main() -> None:
     extras.update(bench_coupled_2d())
     extras.update(bench_coupled_full_scale())
     extras.update(bench_collisions_50bin())
+    extras.update(bench_1d_64bin())
     extras.update(bench_ensemble_sweep())
     extras.update(bench_mkid_pulse())
     payload = {
