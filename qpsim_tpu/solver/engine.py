@@ -635,9 +635,14 @@ def _run_energy_resolved(
         from ..ops.pallas_collisions import pallas_collisions_supported
 
         on_tpu = jax.default_backend() == "tpu"
+        # Mosaic has no practical f64 support — an x64 run forced onto TPU
+        # stays on the XLA integrator (f64 there is already emulated/slow)
+        dtype_ok = jnp.dtype(dtype) != jnp.float64 or jax.default_backend() != "tpu"
         use_pallas_collisions = (
-            collision_backend == "pallas" or on_tpu
-        ) and pallas_collisions_supported(E_bins, int(unique_gaps.size))
+            (collision_backend == "pallas" or on_tpu)
+            and dtype_ok
+            and pallas_collisions_supported(E_bins, int(unique_gaps.size))
+        )
     elif collision_backend not in ("auto", "pallas", "xla"):
         raise ValueError(f"Unknown collision backend: {collision_backend!r}")
 
