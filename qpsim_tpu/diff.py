@@ -122,6 +122,10 @@ def make_differentiable_sim(
     ay_lo = jnp.asarray(unit.ay_lo, dtype=dtype)
     ay_hi = jnp.asarray(unit.ay_hi, dtype=dtype)
     ay_diag = jnp.asarray(unit.ay_diag, dtype=dtype)
+    # boundary source terms (dirichlet g, neumann flux, robin injection);
+    # like the couplings they scale linearly with the local D, which folds
+    # in at trace time
+    src_unit = jnp.asarray(unit.source_total(), dtype=dtype)  # (1, Ny, Nx)
 
     E = jnp.asarray(E_np, dtype=dtype)
     rho = jnp.asarray(rho_np, dtype=dtype)
@@ -191,9 +195,10 @@ def make_differentiable_sim(
         D = D_bins[:, None, None]
         alpha = 0.5 * dt_d
         u = q  # (NE, Ny, Nx)
+        src = D * src_unit  # boundary sources scale with the local D
         rhs = u + alpha * D * (
             ay_lo * jnp.roll(u, 1, -2) + ay_hi * jnp.roll(u, -1, -2) + ay_diag * u
-        )
+        ) + alpha * src
         shape = rhs.shape
         u_star = tridiag_solve(
             jnp.broadcast_to(-alpha * D * ax_lo, shape),
@@ -203,7 +208,7 @@ def make_differentiable_sim(
         )
         rhs2 = u_star + alpha * D * (
             ax_lo * jnp.roll(u_star, 1, -1) + ax_hi * jnp.roll(u_star, -1, -1) + ax_diag * u_star
-        )
+        ) + alpha * src
         return tridiag_solve_along(
             -2,
             jnp.broadcast_to(-alpha * D * ay_lo, shape),

@@ -22,7 +22,6 @@ ensemble runner); Strang composition matches the single-chip engine.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 from typing import Any, Callable
 
 import jax
@@ -137,14 +136,20 @@ def build_sharded_step(
         # envelope holds and E_bins are provided, XLA integrator otherwise
         # (including the CPU-mesh dry runs, where Pallas TPU kernels can't run).
         use_pallas = collisions.get("use_pallas", "auto")
-        want_pallas = use_pallas is True or (
-            use_pallas == "auto" and jax.default_backend() == "tpu"
-        )
+        on_tpu = jax.default_backend() == "tpu"
+        # Mosaic has no practical f64 support (same guard as the engine)
+        dtype_ok = jnp.dtype(dtype) != jnp.float64 or not on_tpu
+        want_pallas = use_pallas is True or (use_pallas == "auto" and on_tpu and dtype_ok)
         e_bins = collisions.get("E_bins")
         if use_pallas is True and e_bins is None:
             raise ValueError(
                 "use_pallas=True requires 'E_bins' in the collisions dict "
                 "(the kernel needs the energy grid to build its pair tables)"
+            )
+        if use_pallas is True and not dtype_ok:
+            raise ValueError(
+                "use_pallas=True is incompatible with float64 on TPU "
+                "(Mosaic has no practical f64 support)"
             )
         if want_pallas and e_bins is not None:
             from ..ops.pallas_collisions import build_pallas_collision_step
@@ -168,14 +173,13 @@ def build_sharded_step(
                 pmap=pmap,
                 dt=0.5 * float(dt),
                 update_phonons=collisions.get("update_phonons", True),
+                interpret=not on_tpu,
             )
             if use_pallas is True and col_half is None:
                 raise ValueError(
                     "use_pallas=True but the configuration is outside the "
                     "Pallas collision kernel's support envelope"
                 )
-        if col_half is not None:
-            nw = pmap.num_omega
     if collisions is not None and col_half is None:
         plan_local = build_collision_plan_arrays(
             dE=collisions["dE"],
@@ -199,9 +203,6 @@ def build_sharded_step(
             pixel_chunk=collisions.get("pixel_chunk", 4096),
         )
         col_half = make_collision_step(plan_local, 0.5 * float(dt))
-        nw = plan_local.num_omega
-    elif collisions is None:
-        nw = 1
 
     rows = P(None, SPACE_AXIS, None)
     cols = P(None, None, SPACE_AXIS)

@@ -218,12 +218,8 @@ def run_setup(
         and ph_energy_frames is not None
     )
     total_energy = [q + ph for q, ph in zip(energy_qp_total, energy_phonon_total)]
-    if closed_system:
-        residual = [e - total_energy[0] for e in total_energy]
-        diagnostics_mode = "conservation_residual"
-    else:
-        residual = [e - total_energy[0] for e in total_energy]
-        diagnostics_mode = "open_system"
+    residual = [e - total_energy[0] for e in total_energy]
+    diagnostics_mode = "conservation_residual" if closed_system else "open_system"
 
     export_phonons = bool(p.export_phonon_history)
     result = SimulationResultData(

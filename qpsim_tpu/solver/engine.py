@@ -638,10 +638,17 @@ def _run_energy_resolved(
         # Mosaic has no practical f64 support — an x64 run forced onto TPU
         # stays on the XLA integrator (f64 there is already emulated/slow)
         dtype_ok = jnp.dtype(dtype) != jnp.float64 or jax.default_backend() != "tpu"
+        supported = pallas_collisions_supported(E_bins, int(unique_gaps.size))
+        if collision_backend == "pallas" and not (supported and dtype_ok):
+            reason = (
+                "float64 on TPU is not supported by the kernel"
+                if supported
+                else "the configuration is outside the kernel's envelope "
+                "(needs a uniform energy grid, 2-192 bins, <=8 unique gaps)"
+            )
+            raise ValueError(f"collision_backend='pallas' requested but {reason}")
         use_pallas_collisions = (
-            (collision_backend == "pallas" or on_tpu)
-            and dtype_ok
-            and pallas_collisions_supported(E_bins, int(unique_gaps.size))
+            (collision_backend == "pallas" or on_tpu) and dtype_ok and supported
         )
     elif collision_backend not in ("auto", "pallas", "xla"):
         raise ValueError(f"Unknown collision backend: {collision_backend!r}")

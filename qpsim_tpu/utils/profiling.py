@@ -7,8 +7,11 @@ observability is a progress callback).  This module provides:
   xprof/TensorBoard-compatible trace directory;
 * :func:`annotate` — named trace regions that show up inside the trace;
 * :class:`PhaseTimer` — lightweight host-side wall-clock accounting per
-  phase (blocks on device work so timings are honest), for quick CLI-level
-  "where did the time go" summaries without a trace viewer.
+  phase, for quick CLI-level "where did the time go" summaries without a
+  trace viewer.  Pass ``block_on=`` the phase's output to make the timing
+  honest on asynchronous backends — the timer then forces a scalar off the
+  device (``block_until_ready`` alone does not reliably synchronise over
+  remote-device transports); without it a phase records dispatch time only.
 """
 
 from __future__ import annotations
@@ -37,16 +40,33 @@ def annotate(name: str):
     return jax.profiler.TraceAnnotation(name)
 
 
+def _force_sync(tree) -> None:
+    """Force a scalar off the device — the reliable sync on every transport
+    (``block_until_ready`` does not synchronise over remote-device tunnels;
+    see bench.py::_sync)."""
+    import jax.numpy as jnp
+
+    leaves = [x for x in jax.tree_util.tree_leaves(tree) if hasattr(x, "dtype")]
+    if leaves:
+        float(jnp.sum(jnp.abs(jnp.ravel(leaves[0])[:1])))
+
+
 class PhaseTimer:
-    """Accumulate wall-clock per named phase; blocks on device results.
+    """Accumulate wall-clock per named phase.
 
     Usage::
 
         timer = PhaseTimer()
-        with timer.phase("collisions"):
+        with timer.phase("collisions", block_on=lambda: (q, ph)):
             q, ph = collision_step(q, ph)
         ...
         print(timer.report())
+
+    ``block_on`` may be the device value(s) the phase produces or a
+    zero-argument callable returning them (use a callable when the value is
+    assigned inside the block); the timer forces a scalar off the device so
+    the recorded time covers the device work.  Without it, a phase of
+    asynchronous dispatches records host time only.
     """
 
     def __init__(self) -> None:
@@ -60,7 +80,7 @@ class PhaseTimer:
             yield
         finally:
             if block_on is not None:
-                jax.block_until_ready(block_on)
+                _force_sync(block_on() if callable(block_on) else block_on)
             self.totals[name] += time.perf_counter() - start
             self.counts[name] += 1
 

@@ -141,3 +141,31 @@ def test_fit_ensemble_recovers_batch():
         decay_fn=fn, learning_rate=0.1, n_iters=60,
     )
     np.testing.assert_allclose(fitted["tau_r"], true["tau_r"], rtol=0.05)
+
+
+def test_2d_sim_honors_boundary_sources():
+    # dirichlet boundaries inject density: the differentiable sim must agree
+    # with the engine (it used to drop the source term and decay to zero)
+    from qpsim_tpu.diff import make_differentiable_sim
+    from qpsim_tpu.geometry.mask import extract_edge_segments
+    from qpsim_tpu.models.params import BoundaryCondition
+    from qpsim_tpu.solver.engine import run_2d_crank_nicolson
+
+    g = 2e-5
+    mask = np.ones((1, 16), dtype=bool)
+    edges = extract_edge_segments(mask)
+    bcs = {e.edge_id: BoundaryCondition(kind="dirichlet", value=g) for e in edges}
+    sim = make_differentiable_sim(
+        mask=mask, edges=edges, edge_conditions=bcs,
+        num_energy_bins=4, energy_max_factor=3.0, dt=1.0, n_steps=60,
+        n0=0.0, bath_temperature=0.0, phonon_feedback=False)
+    out = sim({"D0": jnp.asarray(6.0), "tau_s": jnp.asarray(1e9), "tau_r": jnp.asarray(1e9)})
+    total = float(out["total"][-1])
+    _, _, mass, *_ = run_2d_crank_nicolson(
+        mask=mask, edges=edges, edge_conditions=bcs, initial_field=np.zeros(mask.shape),
+        diffusion_coefficient=6.0, dt=1.0, total_time=60.0, dx=1.0, store_every=60,
+        energy_gap=180.0, num_energy_bins=4, energy_max_factor=3.0,
+        tau_s=1e9, tau_r=1e9, enable_scattering=True, enable_recombination=True,
+        bath_temperature=0.0, freeze_phonon_dynamics=True)
+    assert total > 0
+    np.testing.assert_allclose(total, mass[-1], rtol=1e-3)

@@ -415,3 +415,28 @@ def test_nonuniform_gap_end_to_end():
     # lower gap on the left -> higher D(E) -> more spreading leftwards
     left, right = final[:, :7].sum(), final[:, 9:].sum()
     assert left > right > 0
+
+
+def test_forced_pallas_backend_raises_when_unsupported():
+    # explicit collision_backend="pallas" must not silently fall back
+    import pytest
+
+    mask, edges, bcs = _strip(4)
+    kw = dict(
+        mask=mask,
+        edges=edges,
+        edge_conditions=bcs,
+        initial_field=np.full(mask.shape, 1e-5),
+        diffusion_coefficient=6.0,
+        dt=0.05,
+        total_time=0.1,
+        dx=1.0,
+        energy_gap=180.0,
+        energy_max_factor=3.0,
+        enable_recombination=True,
+        enable_scattering=True,
+        bath_temperature=0.2,
+        collision_backend="pallas",
+    )
+    with pytest.raises(ValueError, match="outside the kernel's envelope"):
+        run_2d_crank_nicolson(**kw, num_energy_bins=1)  # single bin unsupported
