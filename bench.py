@@ -58,23 +58,39 @@ def _timed_chunk(fn, state, length: int, label: str):
     return per_step, out
 
 
+def _best_diffusion(op, dtype):
+    """Fused Pallas ADI on TPU-f32 2D grids; XLA ADI elsewhere (1D wires
+    would spend the kernel's lane tile on padding)."""
+    import jax
+    import jax.numpy as jnp
+
+    from qpsim_tpu.solver.diffusion_backends import ADIDiffusion, PallasADI
+
+    ny, nx = np.asarray(op.mask, dtype=bool).shape
+    if (
+        jax.default_backend() == "tpu"
+        and jnp.dtype(dtype) == jnp.float32
+        and min(ny, nx) >= 8
+    ):
+        return PallasADI(op, dtype)
+    return ADIDiffusion(op, dtype)
+
+
 def bench_scalar_cn_1024() -> float:
-    """Headline: 2D CN (PR-ADI + PCR tridiagonal) on a full 1024² film."""
+    """Headline: 2D CN (fused Pallas PR-ADI on TPU) on a full 1024² film."""
     import jax
     import jax.numpy as jnp
 
     from qpsim_tpu.geometry.mask import extract_edge_segments
     from qpsim_tpu.models.params import BoundaryCondition
     from qpsim_tpu.ops.diffusion import build_directional_stencils, fold_diffusion
-    from qpsim_tpu.solver.diffusion_backends import ADIDiffusion
-
     n, length = 1024, 2000
     mask = np.ones((n, n), dtype=bool)
     edges = extract_edge_segments(mask)
     bcs = {e.edge_id: BoundaryCondition(kind="reflective") for e in edges}
     x_st, y_st = build_directional_stencils(mask, edges, bcs, 1.0)
     op = fold_diffusion(x_st, y_st, mask, 1.0, 6.0)
-    one = ADIDiffusion(op, dtype=jnp.float32).make_step(0.1)
+    one = _best_diffusion(op, jnp.float32).make_step(0.1)
 
     @jax.jit
     def chunk(u):
@@ -100,7 +116,6 @@ def _coupled_pieces(ny, nx, ne, dt, dtype):
     from qpsim_tpu.ops.kernels import recombination_kernel_base, scattering_kernel_base
     from qpsim_tpu.ops.pallas_collisions import build_pallas_collision_step
     from qpsim_tpu.ops.phonon_map import build_phonon_frequency_map
-    from qpsim_tpu.solver.diffusion_backends import ADIDiffusion
 
     gap, tau, tc, tbath, d0 = 180.0, 440.0, 1.2, 0.2, 6.0
     mask = np.ones((ny, nx), dtype=bool)
@@ -111,7 +126,7 @@ def _coupled_pieces(ny, nx, ne, dt, dtype):
     rho = dynes_density_of_states(E, gap, 0.0)
     x_st, y_st = build_directional_stencils(mask, edges, bcs, 1.0)
     op = fold_diffusion(x_st, y_st, mask, 1.0, diffusion_coefficient_of_energy(d0, E, gap))
-    diff = ADIDiffusion(op, dtype=dtype).make_step(dt)
+    diff = _best_diffusion(op, dtype).make_step(dt)
     col_half = build_pallas_collision_step(
         E_bins=E,
         dE=dE,
@@ -170,7 +185,6 @@ def bench_masked_512(length: int = 2000) -> dict:
     from qpsim_tpu.geometry.raster import rasterize_polygons
     from qpsim_tpu.models.params import BoundaryCondition
     from qpsim_tpu.ops.diffusion import build_directional_stencils, fold_diffusion
-    from qpsim_tpu.solver.diffusion_backends import ADIDiffusion
 
     n = 512
     ang = np.linspace(0, 2 * np.pi, 24, endpoint=False)
@@ -186,7 +200,7 @@ def bench_masked_512(length: int = 2000) -> dict:
         bcs[e.edge_id] = BoundaryCondition(kind="absorbing" if r > 0.32 * n else "reflective")
     x_st, y_st = build_directional_stencils(mask, edges, bcs, 1.0)
     op = fold_diffusion(x_st, y_st, mask, 1.0, 6.0)
-    one = ADIDiffusion(op, dtype=jnp.float32).make_step(0.1)
+    one = _best_diffusion(op, jnp.float32).make_step(0.1)
 
     @jax.jit
     def chunk(u):

@@ -189,7 +189,7 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--output", help="explicit output path for the simulation JSON")
     r.add_argument("--no-save", action="store_true", help="don't persist the result")
     r.add_argument(
-        "--backend", default="auto", choices=("auto", "dense", "adi", "cg", "wang")
+        "--backend", default="auto", choices=("auto", "dense", "adi", "cg", "wang", "pallas")
     )
     r.add_argument("--verbose", action="store_true", help="print stored-step progress")
     r.add_argument(

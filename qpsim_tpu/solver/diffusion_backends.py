@@ -44,6 +44,7 @@ __all__ = [
     "ADIDiffusion",
     "PrefactoredWangADI",
     "CGDiffusion",
+    "PallasADI",
     "choose_backend",
 ]
 
@@ -378,8 +379,52 @@ class CGDiffusion(ADIDiffusion):
         return step
 
 
+class PallasADI(_AuxStepMixin):
+    """PR-ADI via fused Pallas TPU kernels (``ops.pallas_adi``).
+
+    Each half-step is one kernel pass: explicit stencil, in-VMEM CN
+    coefficient assembly from the small geometry planes × per-bin D, and a
+    Wang-partition tridiagonal solve with the lines on sublanes.  Measured
+    4.9x over :class:`ADIDiffusion` at 1024²×16 f32 on v5e (5.18 → 1.06
+    ms/step).  Same splitting as ADI — agrees to f32 roundoff.
+
+    TPU + float32 only (Pallas has no f64 story on TPU); ``choose_backend``
+    enforces that for explicit requests and auto-selection.  Grids whose
+    extents don't tile for the two-pass fused form fall back to the
+    single-solve kernels with XLA glue (still fused coefficients).
+    """
+
+    def __init__(self, op: SplitOperator, dtype=jnp.float32, *, interpret: bool = False):
+        self.dtype = dtype
+        self.mask = np.asarray(op.mask, dtype=bool)
+        self.num_bins = op.num_bins
+        self._op = op
+        self._interpret = interpret
+
+    def make_step(self, dt: float):
+        from ..ops.pallas_adi import build_pallas_adi_fused_step, build_pallas_adi_step
+
+        try:
+            return build_pallas_adi_fused_step(
+                self._op, dt, self.dtype, interpret=self._interpret
+            )
+        except ValueError:
+            return build_pallas_adi_step(
+                self._op, dt, self.dtype, interpret=self._interpret
+            )
+
+
+def _pallas_adi_ok(dtype) -> str | None:
+    """None when the Pallas ADI backend can run here, else the reason."""
+    if jax.default_backend() != "tpu":
+        return "the Pallas ADI backend requires a TPU backend"
+    if jnp.dtype(dtype) != jnp.float32:
+        return "the Pallas ADI backend requires float32 (TPU Pallas has no f64)"
+    return None
+
+
 def choose_backend(op: SplitOperator, dtype, preference: str = "auto"):
-    """Pick a diffusion backend: 'dense', 'adi', 'wang', 'cg', or 'auto'."""
+    """Pick a diffusion backend: 'dense', 'adi', 'wang', 'cg', 'pallas', or 'auto'."""
     if preference == "dense":
         return DenseSpectralDiffusion(op, dtype)
     if preference == "adi":
@@ -388,11 +433,18 @@ def choose_backend(op: SplitOperator, dtype, preference: str = "auto"):
         return PrefactoredWangADI(op, dtype)
     if preference == "cg":
         return CGDiffusion(op, dtype)
+    if preference == "pallas":
+        reason = _pallas_adi_ok(dtype)
+        if reason is not None:
+            raise ValueError(f"diffusion_backend='pallas' requested but {reason}")
+        return PallasADI(op, dtype)
     if preference != "auto":
         raise ValueError(f"Unknown diffusion backend: {preference!r}")
     n_cells = int(np.asarray(op.mask, dtype=bool).sum())
     if n_cells <= DENSE_BACKEND_MAX_CELLS:
         return DenseSpectralDiffusion(op, dtype)
+    if _pallas_adi_ok(dtype) is None:
+        return PallasADI(op, dtype)
     # NOTE: PrefactoredWangADI stays out of 'auto': on v5e at 1024²×16 its
     # factor-array traffic (10 full-size reads/step) costs more than the
     # coefficient eliminations it saves, because the uniform-gap operators

@@ -152,7 +152,7 @@ def run_2d_crank_nicolson(
     """Run an (optionally energy-resolved) masked 2D diffusion–collision sim.
 
     Reference-compatible entry point; see module docstring.  TPU-specific
-    keyword-only extras: ``diffusion_backend`` ('auto'|'dense'|'adi'),
+    keyword-only extras: ``diffusion_backend`` ('auto'|'dense'|'adi'|'cg'|'wang'|'pallas'),
     ``dtype`` (defaults to f64 under x64, else f32) and ``pixel_chunk``
     (collision chunking).
     """
