@@ -84,6 +84,7 @@ def build_sharded_step(
     collisions: dict[str, Any] | None = None,
     dtype=jnp.float32,
     ensemble: bool = False,
+    tridiag_backend: str = "auto",
 ) -> ShardedStep:
     """Build a rows-sharded Strang step over ``mesh``'s 'space' axis.
 
@@ -126,6 +127,36 @@ def build_sharded_step(
     ax_lo, ax_hi, ax_diag = dev(op.ax_lo), dev(op.ax_hi), dev(op.ax_diag)
     ay_lo, ay_hi, ay_diag = dev(op.ay_lo), dev(op.ay_hi), dev(op.ay_diag)
     src = dev(op.source_total())
+    # swapped x-direction planes for the Pallas local solve (lines on the
+    # sublane axis need the (NB, Nx, Ny) layout); sharded over their last
+    # (y) axis so each shard holds its own rows, pre-transposed.
+    axT_lo, axT_hi, axT_diag = (
+        jnp.swapaxes(ax_lo, -1, -2),
+        jnp.swapaxes(ax_hi, -1, -2),
+        jnp.swapaxes(ax_diag, -1, -2),
+    )
+
+    # local tridiagonal solves: the in-VMEM Pallas solve (fused coefficient
+    # assembly + Wang partition, ops.pallas_adi) on TPU f32; the XLA scan
+    # Thomas elsewhere (CPU-mesh dry runs, f64 parity).
+    on_tpu_solve = jax.default_backend() == "tpu"
+    if tridiag_backend == "auto":
+        pallas_solve = on_tpu_solve and jnp.dtype(dtype) == jnp.float32
+        pallas_interpret = False
+    elif tridiag_backend == "pallas":
+        pallas_solve = True
+        pallas_interpret = not on_tpu_solve
+    elif tridiag_backend == "xla":
+        pallas_solve = False
+        pallas_interpret = False
+    else:
+        raise ValueError(f"Unknown tridiag backend: {tridiag_backend!r}")
+    nb_total = op.num_bins
+    if op.bin_scale is not None and not eager:
+        scale_vec = jnp.asarray(np.asarray(op.bin_scale).reshape(-1), dtype=dtype)
+    else:
+        # planes already carry D (eager fold or variable-D): unit scale
+        scale_vec = jnp.ones((nb_total,), dtype=dtype)
 
     plan_local: CollisionPlan | None = None
     col_half = None
@@ -207,52 +238,96 @@ def build_sharded_step(
     rows = P(None, SPACE_AXIS, None)
     cols = P(None, None, SPACE_AXIS)
 
-    def local_diffusion(u, axl, axh, axd, ayl, ayh, ayd, aylT, ayhT, aydT, s):
+    def local_diffusion(u, raw, s):
+        axl_r, axh_r, axd_r = raw["axl"], raw["axh"], raw["axd"]
+        ayl_r, ayh_r, ayd_r = raw["ayl"], raw["ayh"], raw["ayd"]
         if lazy_scale is not None:
-            axl, axh, axd = lazy_scale * axl, lazy_scale * axh, lazy_scale * axd
-            ayl, ayh, ayd = lazy_scale * ayl, lazy_scale * ayh, lazy_scale * ayd
-            aylT, ayhT, aydT = lazy_scale * aylT, lazy_scale * ayhT, lazy_scale * aydT
+            axl, axh, axd = lazy_scale * axl_r, lazy_scale * axh_r, lazy_scale * axd_r
+            ayl, ayh, ayd = lazy_scale * ayl_r, lazy_scale * ayh_r, lazy_scale * ayd_r
             s = lazy_scale * s
+        else:
+            axl, axh, axd = axl_r, axh_r, axd_r
+            ayl, ayh, ayd = ayl_r, ayh_r, ayd_r
         # x-implicit half: (I − αLx) u* = u + α·Ly u + α·s   (halo for Ly)
         rhs = u + alpha * _halo_apply_y(u, ayl, ayh, ayd, SPACE_AXIS) + alpha * s
-        u_star = tridiag_solve(
-            jnp.broadcast_to(-alpha * axl, rhs.shape),
-            jnp.broadcast_to(1.0 - alpha * axd, rhs.shape),
-            jnp.broadcast_to(-alpha * axh, rhs.shape),
-            rhs,
-        )
+        if pallas_solve:
+            from ..ops.pallas_adi import solve_lines_pallas
+
+            u_star = jnp.swapaxes(
+                solve_lines_pallas(
+                    jnp.swapaxes(rhs, -1, -2),
+                    raw["axlT"], raw["axdT"], raw["axhT"],
+                    scale_vec, alpha=alpha, interpret=pallas_interpret,
+                ),
+                -1, -2,
+            )
+        else:
+            u_star = tridiag_solve(
+                jnp.broadcast_to(-alpha * axl, rhs.shape),
+                jnp.broadcast_to(1.0 - alpha * axd, rhs.shape),
+                jnp.broadcast_to(-alpha * axh, rhs.shape),
+                rhs,
+            )
         # y-implicit half: rhs local in x, then pencil transpose for the solve
         rhs2 = u_star + alpha * _apply_x(u_star, axl, axh, axd) + alpha * s
         rhs2_T = jax.lax.all_to_all(rhs2, SPACE_AXIS, split_axis=2, concat_axis=1, tiled=True)
-        u_new_T = tridiag_solve_along(
-            -2,
-            jnp.broadcast_to(-alpha * aylT, rhs2_T.shape),
-            jnp.broadcast_to(1.0 - alpha * aydT, rhs2_T.shape),
-            jnp.broadcast_to(-alpha * ayhT, rhs2_T.shape),
-            rhs2_T,
-        )
+        if pallas_solve:
+            from ..ops.pallas_adi import solve_lines_pallas
+
+            u_new_T = solve_lines_pallas(
+                rhs2_T, raw["aylC"], raw["aydC"], raw["ayhC"],
+                scale_vec, alpha=alpha, interpret=pallas_interpret,
+            )
+        else:
+            aylT, ayhT, aydT = raw["aylC"], raw["ayhC"], raw["aydC"]
+            if lazy_scale is not None:
+                aylT, ayhT, aydT = (
+                    lazy_scale * aylT, lazy_scale * ayhT, lazy_scale * aydT
+                )
+            u_new_T = tridiag_solve_along(
+                -2,
+                jnp.broadcast_to(-alpha * aylT, rhs2_T.shape),
+                jnp.broadcast_to(1.0 - alpha * aydT, rhs2_T.shape),
+                jnp.broadcast_to(-alpha * ayhT, rhs2_T.shape),
+                rhs2_T,
+            )
         return jax.lax.all_to_all(u_new_T, SPACE_AXIS, split_axis=1, concat_axis=2, tiled=True)
 
-    def local_step(q, ph, axl, axh, axd, ayl, ayh, ayd, aylT, ayhT, aydT, s):
+    def local_step(q, ph, raw, s):
         if col_half is not None:
             q, ph = col_half(q, ph)
-        q = local_diffusion(q, axl, axh, axd, ayl, ayh, ayd, aylT, ayhT, aydT, s)
+        q = local_diffusion(q, raw, s)
         if col_half is not None:
             q, ph = col_half(q, ph)
         mass = jax.lax.psum(jnp.sum(q), SPACE_AXIS) * (dx * dx)
         return q, ph, mass
+
+    raw_arrays = {
+        "axl": ax_lo, "axh": ax_hi, "axd": ax_diag,
+        "ayl": ay_lo, "ayh": ay_hi, "ayd": ay_diag,
+        # x planes pre-swapped for the Pallas local solve (lines on sublanes)
+        "axlT": axT_lo, "axdT": axT_diag, "axhT": axT_hi,
+        # ay planes cols-sharded for the pencil-transposed y solve
+        "aylC": ay_lo, "aydC": ay_diag, "ayhC": ay_hi,
+    }
+    raw_specs = {
+        "axl": rows, "axh": rows, "axd": rows,
+        "ayl": rows, "ayh": rows, "ayd": rows,
+        "axlT": cols, "axdT": cols, "axhT": cols,
+        "aylC": cols, "aydC": cols, "ayhC": cols,
+    }
 
     if ensemble:
         # each local shard carries a batch of independent ensemble members;
         # the 'ensemble' mesh axis shards the batch with zero communication.
         from .mesh import ENSEMBLE_AXIS
 
-        batched = jax.vmap(local_step, in_axes=(0, 0) + (None,) * 10, out_axes=(0, 0, 0))
+        batched = jax.vmap(local_step, in_axes=(0, 0, None, None), out_axes=(0, 0, 0))
         rows_b = P(ENSEMBLE_AXIS, None, SPACE_AXIS, None)
         sharded = shard_map(
             batched,
             mesh=mesh,
-            in_specs=(rows_b, rows_b) + (rows,) * 6 + (cols,) * 3 + (rows,),
+            in_specs=(rows_b, rows_b, raw_specs, rows),
             out_specs=(rows_b, rows_b, P(ENSEMBLE_AXIS)),
             check_vma=False,
         )
@@ -262,7 +337,7 @@ def build_sharded_step(
         sharded = shard_map(
             local_step,
             mesh=mesh,
-            in_specs=(rows, rows) + (rows,) * 6 + (cols,) * 3 + (rows,),
+            in_specs=(rows, rows, raw_specs, rows),
             out_specs=(rows, rows, P()),
             check_vma=False,
         )
@@ -271,7 +346,5 @@ def build_sharded_step(
 
     @jax.jit
     def step(q, ph):
-        return sharded(
-            q, ph, ax_lo, ax_hi, ax_diag, ay_lo, ay_hi, ay_diag, ay_lo, ay_hi, ay_diag, src
-        )
+        return sharded(q, ph, raw_arrays, src)
     return ShardedStep(mesh=mesh, step=step, q_sharding=q_sh, ph_sharding=ph_sh, grid_shape=(ny, nx))
