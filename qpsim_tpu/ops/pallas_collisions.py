@@ -24,10 +24,11 @@ packs densely; an (NE, 8, lanes) slab layout (``block3d=True``) was
 measured ~20% SLOWER at 1024²x16 (strided HBM DMA per block) and is kept
 only for experiments.
 
-Supported: uniform gap, uniform energy grid (the production configuration);
-the general path stays on ``ops.collisions``.  Physics and update formulas
-are identical (see that module's docstring); parity is tested in interpret
-mode and on hardware.
+Supported: uniform gap, uniform energy grid (the production configuration),
+NE ≤ 64 (covers the reference's 50-bin default; beyond that and for
+piecewise gap maps the fori_loop kernel takes over); the general path stays
+on ``ops.collisions``.  Physics and update formulas are identical (see that
+module's docstring); parity is tested in interpret mode and on hardware.
 """
 
 from __future__ import annotations
@@ -49,7 +50,10 @@ _EPS_RHO = 1e-30
 _MU_FLOOR = 1e-14
 _AFFINE_CLIP = 80.0
 _DEFAULT_TILE = 2048
-_MAX_UNROLLED_BINS = 32
+#: static-unroll envelope: compile time grows ~NE² (measured ~25 s Mosaic
+#: compile at 50 bins, which buys a 4.8x faster substep than the fori_loop
+#: kernel — 1.03 vs 4.96 ms at 50×256²); VMEM at 64 bins ≈ 4.2 MB
+_MAX_UNROLLED_BINS = 64
 
 
 def _expm1(x):

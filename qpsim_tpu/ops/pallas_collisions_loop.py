@@ -2,8 +2,9 @@
 
 The unrolled kernel (``pallas_collisions.py``) statically expands all NE²
 energy-pair interactions — compile time grows quadratically, so it is capped
-at 32 bins.  This kernel covers the reference's default-sized grids (50 bins,
-``/root/reference/qpsim/solver.py:999`` defaults) and beyond by walking the
+at 64 bins (it covers the reference's 50-bin default at ~4.8x this kernel's
+throughput; measured 1.03 vs 4.96 ms/substep at 50×256²).  This kernel
+covers NE > 64 and piecewise-constant gap maps (G ≤ 8) by walking the
 pair structure with two ``fori_loop``s that exploit the uniform grid:
 
 * **scattering** loops over the offset k = i−j (Toeplitz: every pair at

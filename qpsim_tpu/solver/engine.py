@@ -628,7 +628,8 @@ def _run_energy_resolved(
 
     # --- collision backend dispatch -------------------------------------------
     # The Pallas kernel covers the production envelope (uniform gap, uniform
-    # energy grid, <=32 bins) on TPU with ~16x less HBM traffic; everything
+    # energy grid; static pair unroll <=64 bins, fori_loop kernel beyond and
+    # for piecewise gap maps) on TPU with ~16x less HBM traffic; everything
     # else uses the XLA path.
     use_pallas_collisions = False
     if collisions_on and collision_backend in ("auto", "pallas"):

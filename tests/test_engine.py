@@ -358,9 +358,12 @@ def test_pallas_collision_backend_matches_xla():
         np.testing.assert_allclose(np.nan_to_num(a), np.nan_to_num(b), atol=1e-18, rtol=1e-10)
 
 
-def test_pallas_loop_collision_backend_matches_xla_above_32_bins():
-    # NE > 32 routes to the fori_loop kernel (the reference's default grid
-    # is 50 bins, solver.py:999) — same physics, interpret mode on CPU
+def test_pallas_collision_backend_matches_xla_above_32_bins():
+    # 40 bins stays inside the static pair-unroll envelope (cap 64, which
+    # covers the reference's default 50-bin grid, solver.py:999) — same
+    # physics, interpret mode on CPU; the fori_loop kernel (NE > 64 /
+    # piecewise gap maps) has its own direct parity tests in
+    # tests/test_collisions.py
     mask, edges, bcs = _strip(4)
     kw = dict(
         mask=mask,
