@@ -213,7 +213,12 @@ def bench_masked_512(length: int = 2000) -> dict:
 
 
 def bench_coupled_full_scale(length: int = 200) -> dict:
-    """Driver config #5 scale: full coupled physics at 1024² × 16 bins."""
+    """Driver config #5 scale: full coupled physics at 1024² × 16 bins.
+
+    Also reports the ``strang_mode="merged"`` stepping (adjacent collision
+    half-steps fused between snapshots — solver/engine.py): ~half the
+    collision work per step when frames are stored sparsely.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -231,7 +236,46 @@ def bench_coupled_full_scale(length: int = 200) -> dict:
         return jax.lax.scan(step, state, None, length=length)[0]
 
     per_step, _ = _timed_chunk(chunk, (q0, ph0), length, "coupled 1024^2 x 16")
-    return {"coupled_1024_ms_per_step": per_step * 1e3}
+
+    from qpsim_tpu.ops.dos import dynes_density_of_states
+    from qpsim_tpu.ops.energy_grid import build_energy_grid
+    from qpsim_tpu.ops.kernels import recombination_kernel_base, scattering_kernel_base
+    from qpsim_tpu.ops.pallas_collisions import build_pallas_collision_step
+    from qpsim_tpu.ops.phonon_map import build_phonon_frequency_map
+
+    gap, tau, tc = 180.0, 440.0, 1.2
+    E, dE = build_energy_grid(gap, 1.0, 4.0, 16)
+    col_full = build_pallas_collision_step(
+        E_bins=E,
+        dE=dE,
+        rho=dynes_density_of_states(E, gap, 0.0),
+        K_s0=scattering_kernel_base(E, gap, tau, tc),
+        K_r0=recombination_kernel_base(E, gap, tau, tc),
+        pmap=build_phonon_frequency_map(E),
+        dt=0.05,
+        update_phonons=True,
+    )
+
+    def step_m(state, _):
+        q, ph = state
+        q = diff(q)
+        q, ph = col_full(q, ph)
+        return (q, ph), None
+
+    @jax.jit
+    def chunk_m(state):
+        q, ph = state
+        q, ph = col_half(q, ph)
+        (q, ph), _ = jax.lax.scan(step_m, (q, ph), None, length=length - 1)
+        q = diff(q)
+        q, ph = col_half(q, ph)
+        return q, ph
+
+    per_step_m, _ = _timed_chunk(chunk_m, (q0, ph0), length, "coupled 1024^2 x 16 merged")
+    return {
+        "coupled_1024_ms_per_step": per_step * 1e3,
+        "coupled_1024_ms_per_step_merged_strang": per_step_m * 1e3,
+    }
 
 
 def bench_collisions_50bin(ny=256, nx=256, ne=50, length=200) -> dict:

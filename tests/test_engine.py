@@ -388,6 +388,59 @@ def test_pallas_collision_backend_matches_xla_above_32_bins():
         np.testing.assert_allclose(np.nan_to_num(a), np.nan_to_num(b), atol=1e-18, rtol=1e-10)
 
 
+def test_merged_strang_mode():
+    # strang_mode="merged" fuses adjacent collision half-steps within a
+    # stored segment: identical at store_every=1, O(dt^2)-close beyond,
+    # and the difference shrinks ~4x when dt halves (2nd order)
+    mask, edges, bcs = _strip(8)
+    base = dict(
+        mask=mask,
+        edges=edges,
+        edge_conditions=bcs,
+        initial_field=np.full(mask.shape, 1e-5),
+        diffusion_coefficient=6.0,
+        dx=1.0,
+        energy_gap=180.0,
+        num_energy_bins=6,
+        energy_max_factor=3.0,
+        enable_recombination=True,
+        enable_scattering=True,
+        bath_temperature=0.2,
+    )
+    # store_every=1: merged == exact bitwise (same composition)
+    kw1 = dict(dt=0.1, total_time=0.4, store_every=1, **base)
+    _, _, m_e, _, ef_e, _ = run_2d_crank_nicolson(strang_mode="exact", **kw1)
+    _, _, m_m, _, ef_m, _ = run_2d_crank_nicolson(strang_mode="merged", **kw1)
+    np.testing.assert_array_equal(np.asarray(m_e), np.asarray(m_m))
+
+    def diff_at(dt):
+        kw = dict(dt=dt, total_time=0.8, store_every=int(round(0.8 / dt)), **base)
+        _, fr_e, *_ = run_2d_crank_nicolson(strang_mode="exact", **kw)
+        _, fr_m, *_ = run_2d_crank_nicolson(strang_mode="merged", **kw)
+        a, b = np.nan_to_num(fr_e[-1]), np.nan_to_num(fr_m[-1])
+        return np.max(np.abs(a - b)) / np.max(np.abs(a))
+
+    # per-step O(dt^2) composition difference accumulated over T/dt steps
+    # -> O(dt) global difference: halving dt should roughly halve it
+    d1, d2 = diff_at(0.1), diff_at(0.05)
+    assert d1 < 1e-2
+    assert d2 < 0.75 * d1
+
+    # external generation is incompatible with the merged composition
+    import pytest
+
+    from qpsim_tpu.models.params import ExternalGenerationSpec
+
+    with pytest.raises(ValueError, match="merged"):
+        run_2d_crank_nicolson(
+            strang_mode="merged",
+            dt=0.1,
+            total_time=0.2,
+            external_generation=ExternalGenerationSpec(mode="constant", rate=1e-6),
+            **base,
+        )
+
+
 def test_nonuniform_gap_end_to_end():
     # gap map via expression: auto-precompute kicks in, per-pixel kernels and
     # variable-D diffusion run, and the lower-gap half diffuses faster
