@@ -140,6 +140,120 @@ def test_end_to_end_coupled_parity():
         assert np.nanmax(np.abs(np.asarray(er) - np.asarray(em))) / escale < 1e-9
 
 
+def test_randomized_differential_sweep_vs_reference():
+    """Fuzz the full solver against the reference on random configurations.
+
+    Eight seeded configs rotating through: random connected masks, all five
+    BC kinds with random coefficients, remainder steps, store_every,
+    scattering/recombination subsets, Dynes broadening, frozen phonons,
+    generation modes (constant/pulse/custom), bath temperatures, and
+    phonon-history capture.  Mirrors the reference hot path exactly
+    (solver.py:1454-1494) so any behavioural drift shows up as a numeric
+    diff, not a missing feature.
+    """
+    from qpsim.models import BoundaryCondition as RefBC  # type: ignore
+    from qpsim.models import ExternalGenerationSpec as RefGen  # type: ignore
+    from qpsim.solver import run_2d_crank_nicolson as ref_run  # type: ignore
+
+    from qpsim_tpu.geometry.mask import connected_component_count, extract_edge_segments
+    from qpsim_tpu.models.params import BoundaryCondition, ExternalGenerationSpec
+    from qpsim_tpu.solver.engine import run_2d_crank_nicolson as my_run
+
+    kinds = ["reflective", "neumann", "dirichlet", "absorbing", "robin"]
+    gen_modes = ["none", "constant", "pulse", "custom"]
+
+    def random_mask(rng):
+        while True:
+            ny, nx = int(rng.integers(2, 5)), int(rng.integers(5, 10))
+            mask = np.ones((ny, nx), dtype=bool)
+            holes = rng.integers(0, 1 + (ny * nx) // 6)
+            for _ in range(holes):
+                mask[rng.integers(0, ny), rng.integers(0, nx)] = False
+            if mask.sum() >= 4 and connected_component_count(mask) == 1:
+                return mask
+
+    for seed in range(8):
+        rng = np.random.default_rng(1000 + seed)
+        mask = random_mask(rng)
+        edges = extract_edge_segments(mask)
+        ref_bcs, my_bcs = {}, {}
+        for e in edges:
+            kind = kinds[rng.integers(0, len(kinds))]
+            val = float(np.round(rng.uniform(0, 2e-4), 8)) if kind != "reflective" else None
+            aux = float(np.round(rng.uniform(0, 1.0), 6)) if kind == "robin" else None
+            if kind == "robin":
+                val = float(np.round(rng.uniform(0.1, 2.0), 6))  # beta
+            ref_bcs[e.edge_id] = RefBC(kind=kind, value=val, aux_value=aux)
+            my_bcs[e.edge_id] = BoundaryCondition(kind=kind, value=val, aux_value=aux)
+        init = np.zeros(mask.shape)
+        init[mask] = rng.uniform(0.2, 1.0, int(mask.sum())) * 1e-4
+        dt = float(rng.choice([0.04, 0.05]))
+        n_steps = int(rng.integers(3, 7))
+        remainder = float(rng.choice([0.0, 0.6])) * dt
+        gm = gen_modes[rng.integers(0, len(gen_modes))]
+        gen_kw = dict(mode=gm)
+        if gm == "constant":
+            gen_kw["rate"] = 3e-6
+        elif gm == "pulse":
+            gen_kw.update(pulse_start=dt, pulse_duration=2 * dt, pulse_rate=5e-6)
+        elif gm == "custom":
+            gen_kw["custom_body"] = "return 1e-6 * (1.0 + x) * np.exp(-t)"
+        scatter = bool(rng.integers(0, 2))
+        recomb = scatter or bool(rng.integers(0, 2))  # at least one channel on
+        gap_expr = ""
+        if seed >= 6:
+            # nonuniform gap: exercises auto-precompute, per-pixel kernel
+            # stacks and variable-D (harmonic-mean) diffusion on both sides
+            gap_expr = "return 150.0 + 50.0 * x + 10.0 * y"
+        kw = dict(
+            diffusion_coefficient=float(rng.uniform(3.0, 9.0)),
+            dt=dt,
+            total_time=n_steps * dt + remainder,
+            dx=1.0,
+            store_every=int(rng.integers(1, 4)),
+            energy_gap=180.0,
+            energy_min_factor=1.0,
+            energy_max_factor=float(rng.choice([2.5, 4.0])),
+            num_energy_bins=int(rng.integers(3, 7)),
+            dynes_gamma=float(rng.choice([0.0, 0.15])),
+            enable_recombination=recomb,
+            enable_scattering=scatter,
+            tau_s=440.0,
+            tau_r=float(rng.choice([440.0, 500.0])),
+            T_c=1.2,
+            bath_temperature=float(rng.choice([0.0, 0.2])),
+            freeze_phonon_dynamics=bool(rng.integers(0, 2)),
+            gap_expression=gap_expr,
+        )
+        ref_ph, my_ph = {}, {}
+        t_r, f_r, m_r, c_r, ef_r, eb_r = ref_run(
+            mask=mask, edges=edges, edge_conditions=ref_bcs, initial_field=init,
+            external_generation=RefGen(**gen_kw), phonon_history_out=ref_ph, **kw
+        )
+        t_m, f_m, m_m, c_m, ef_m, eb_m = my_run(
+            mask=mask, edges=edges, edge_conditions=my_bcs, initial_field=init,
+            external_generation=ExternalGenerationSpec(**gen_kw), phonon_history_out=my_ph,
+            diffusion_backend="dense", collision_backend="xla", **kw
+        )
+        ctx = f"seed={seed} mask={mask.shape} gen={gm} bins={kw['num_energy_bins']}"
+        np.testing.assert_allclose(t_m, t_r, atol=1e-12, err_msg=ctx)
+        np.testing.assert_allclose(eb_m, eb_r, rtol=0, err_msg=ctx)
+        np.testing.assert_allclose(m_m, m_r, rtol=1e-9, atol=1e-18, err_msg=ctx)
+        scale = max(1e-30, max(np.nanmax(np.abs(f)) for f in f_r))
+        for fr, fm in zip(f_r, f_m):
+            assert np.nanmax(np.abs(fr - fm)) / scale < 1e-9, ctx
+        escale = max(1e-30, max(np.nanmax(np.abs(np.asarray(t))) for t in ef_r))
+        for er, em in zip(ef_r, ef_m):
+            assert np.nanmax(np.abs(np.asarray(er) - np.asarray(em))) / escale < 1e-9, ctx
+        pf_r, pf_m = ref_ph.get("phonon_frames"), my_ph.get("phonon_frames")
+        assert (pf_r is None) == (pf_m is None), ctx
+        if pf_r is not None:
+            pscale = max(1e-30, max(np.nanmax(np.abs(np.asarray(p))) for p in pf_r))
+            for pr, pm_ in zip(pf_r, pf_m):
+                # limited by the reference's exp(x)−1 cancellation (we use expm1)
+                assert np.nanmax(np.abs(np.asarray(pr) - np.asarray(pm_))) / pscale < 1e-8, ctx
+
+
 def test_collision_step_parity_vs_reference_pixel_loop():
     from qpsim import solver as ref  # type: ignore
 
