@@ -99,9 +99,10 @@ class _Physics:
     nw: int
     nw_pad: int
     dE: float
-    Ks: tuple | None  # NE×NE nested tuples of python floats
+    n_gaps: int
+    Ks: tuple | None  # (G, NE, NE) nested tuples of python floats
     Kr: tuple | None
-    rho: tuple
+    rho: tuple  # (G, NE)
     diff_row: tuple
     sum_row: tuple
     update_phonons: bool
@@ -110,20 +111,48 @@ class _Physics:
 def _make_kernel(phys: _Physics, dt: float):
     ne = phys.ne
     dE = phys.dE
+    G = phys.n_gaps
     Ks, Kr, rho = phys.Ks, phys.Kr, phys.rho
     diff_row, sum_row = phys.diff_row, phys.sum_row
     dt = float(dt)
 
-    def kernel(q_ref, ph_ref, q_out, ph_out):
+    def kernel(*refs):
+        if G > 1:
+            q_ref, ph_ref, gid_ref, q_out, ph_out = refs
+            gm = gid_ref[0]
+            # per-tile gap masks, computed ONCE; the last gap is the
+            # fallback branch of every blend
+            masks = [gm == g for g in range(G - 1)]
+        else:
+            q_ref, ph_ref, q_out, ph_out = refs
+
+        def blend(vals):
+            """Per-pixel select over per-gap scalar constants.
+
+            Returns a python float when all gaps agree (scalar fast path —
+            always taken at G == 1), else folds G−1 lane selects.
+            """
+            if all(v == vals[0] for v in vals[1:]):
+                return vals[0]
+            acc = vals[G - 1]
+            for g in range(G - 2, -1, -1):
+                acc = jnp.where(masks[g], vals[g], acc)
+            return acc
+
         q = [q_ref[i] for i in range(ne)]
         partner = []
         for i in range(ne):
-            r = rho[i]
-            if r > _EPS_RHO:
-                f = q[i] * (1.0 / r)
-                partner.append(r * jnp.maximum(1.0 - f, 0.0))
-            else:
+            rg = [rho[g][i] for g in range(G)]
+            if all(r <= _EPS_RHO for r in rg):
                 partner.append(jnp.zeros_like(q[i]))
+                continue
+            r = blend(rg)
+            inv = blend([1.0 / r_ if r_ > _EPS_RHO else 0.0 for r_ in rg])
+            p = r * jnp.maximum(1.0 - q[i] * inv, 0.0)
+            if any(r_ <= _EPS_RHO for r_ in rg):
+                # gaps whose DOS vanishes in this bin contribute no partner
+                p = p * blend([1.0 if r_ > _EPS_RHO else 0.0 for r_ in rg])
+            partner.append(p)
 
         # static phonon-occupation rows: D[k] = n_ph(k·dE), S[m] = n_ph(E_i+E_j)|i+j=m
         D = [None] + [ph_ref[diff_row[k]] for k in range(1, ne)]
@@ -145,65 +174,78 @@ def _make_kernel(phys: _Physics, dt: float):
             cur = table.get(idx)
             table[idx] = val if cur is None else cur + val
 
+        is_zero = lambda v: isinstance(v, float) and v == 0.0
+
         # Unordered pair walk: (i, j) and (j, i) share the phonon-occupation
         # row (Toeplitz/Hankel structure) and — for recombination — the pair
         # products q_i·q_j and partner_i·partner_j, so each is computed once.
+        # With G > 1 every kernel constant is a per-pixel blend (G−1 selects)
+        # of the per-gap tables — the unique-gap cache of the reference
+        # (solver.py:1203-1232) in kernel form.
         for i in range(ne):
             for j in range(i + 1):
                 if Ks is not None and i != j:
                     # scattering at offset k = i−j: emission (i→j) dressed by
                     # 1+D[k], absorption (j→i) dressed by D[k]
                     Dk = D[i - j]
-                    ce = dE * Ks[i][j]
-                    ca = dE * Ks[j][i]
-                    if ce != 0.0:
+                    ce = blend([dE * Ks[g][i][j] for g in range(G)])
+                    ca = blend([dE * Ks[g][j][i] for g in range(G)])
+                    if not is_zero(ce):
                         we = ce * Dk + ce
                         loss[i] = loss[i] + we * partner[j]
                         gain_s[j] = gain_s[j] + we * q[i]
                         if phys.update_phonons:
                             acc(ph_pos, diff_row[i - j], ce * (q[i] * partner[j]))
-                    if ca != 0.0:
+                    if not is_zero(ca):
                         wa = ca * Dk
                         loss[j] = loss[j] + wa * partner[i]
                         gain_s[i] = gain_s[i] + wa * q[j]
                         if phys.update_phonons:
                             acc(ph_neg, diff_row[i - j], ca * (q[j] * partner[i]))
                 if Kr is not None:
-                    kr_ij = Kr[i][j]
-                    kr_ji = Kr[j][i]
+                    kr_ij = [Kr[g][i][j] for g in range(G)]
+                    kr_ji = [Kr[g][j][i] for g in range(G)]
                     s_ij = S[i + j]
                     if i == j:
-                        if kr_ij != 0.0:
-                            c = 2.0 * dE * kr_ij
+                        c = blend([2.0 * dE * v for v in kr_ij])
+                        if not is_zero(c):
                             A = c * s_ij
                             loss[i] = loss[i] + (A + c) * q[i]
                             gain_r[i] = gain_r[i] + A * partner[i]
                             if phys.update_phonons:
                                 m = sum_row[2 * i]
-                                acc(ph_pos, m, (dE * kr_ij) * (q[i] * q[i]))
-                                acc(ph_neg, m, (dE * kr_ij) * (partner[i] * partner[i]))
-                    elif kr_ij != 0.0 or kr_ji != 0.0:
-                        if kr_ij == kr_ji:
-                            # symmetric kernel (the physical case): share the
-                            # dressed weights across both orderings
-                            A = (2.0 * dE * kr_ij) * s_ij
-                            B = A + 2.0 * dE * kr_ij
-                            loss[i] = loss[i] + B * q[j]
-                            loss[j] = loss[j] + B * q[i]
-                            gain_r[i] = gain_r[i] + A * partner[j]
-                            gain_r[j] = gain_r[j] + A * partner[i]
+                                hb = 0.5 * c
+                                acc(ph_pos, m, hb * (q[i] * q[i]))
+                                acc(ph_neg, m, hb * (partner[i] * partner[i]))
+                    else:
+                        symmetric = kr_ij == kr_ji
+                        c = blend([2.0 * dE * v for v in kr_ij])
+                        if symmetric:
+                            if not is_zero(c):
+                                # symmetric kernel (the physical case): share
+                                # the dressed weights across both orderings
+                                A = c * s_ij
+                                B = A + c
+                                loss[i] = loss[i] + B * q[j]
+                                loss[j] = loss[j] + B * q[i]
+                                gain_r[i] = gain_r[i] + A * partner[j]
+                                gain_r[j] = gain_r[j] + A * partner[i]
                         else:
-                            for a, b, kr in ((i, j, kr_ij), (j, i, kr_ji)):
-                                if kr != 0.0:
-                                    Aab = (2.0 * dE * kr) * s_ij
-                                    loss[a] = loss[a] + (Aab + 2.0 * dE * kr) * q[b]
+                            cr = blend([2.0 * dE * v for v in kr_ji])
+                            for a, b, cab in ((i, j, c), (j, i, cr)):
+                                if not is_zero(cab):
+                                    Aab = cab * s_ij
+                                    loss[a] = loss[a] + (Aab + cab) * q[b]
                                     gain_r[a] = gain_r[a] + Aab * partner[b]
                         if phys.update_phonons:
                             # both orderings emit the same ω row; constants add
-                            m = sum_row[i + j]
-                            c2 = dE * (kr_ij + kr_ji)
-                            acc(ph_pos, m, c2 * (q[i] * q[j]))
-                            acc(ph_neg, m, c2 * (partner[i] * partner[j]))
+                            c2 = blend(
+                                [dE * (u + v) for u, v in zip(kr_ij, kr_ji)]
+                            )
+                            if not is_zero(c2):
+                                m = sum_row[i + j]
+                                acc(ph_pos, m, c2 * (q[i] * q[j]))
+                                acc(ph_neg, m, c2 * (partner[i] * partner[j]))
 
         # QP update: positivity-preserving exponential relaxation
         for i in range(ne):
@@ -252,7 +294,9 @@ def build_pallas_collision_step(
     configuration is outside the kernel's support envelope.
 
     For non-uniform gap maps pass stacked (G, NE)/(G, NE, NE) arrays and a
-    dense ``gap_id`` plane — dispatches to the loop kernel's per-gap blend.
+    dense ``gap_id`` plane — the pair walk blends the per-gap tables with
+    G−1 lane selects per constant (G ≤ 8); larger G dispatches to the
+    fori_loop kernel.
     """
     e = np.asarray(E_bins, dtype=np.float64)
     ne = int(e.size)
@@ -262,7 +306,7 @@ def build_pallas_collision_step(
         return None
     if n_gaps > 1 and gap_id is None:
         return None
-    if ne > _MAX_UNROLLED_BINS or n_gaps > 1:
+    if ne > _MAX_UNROLLED_BINS:
         # beyond the static-unroll envelope (compile time grows as NE²),
         # dispatch to the fori_loop kernel — same contract and physics
         from .pallas_collisions_loop import build_pallas_collision_step_loop
@@ -286,21 +330,33 @@ def build_pallas_collision_step(
     diff_row, sum_row = rows
     nw = pmap.num_omega
     nw_pad = ((nw + 7) // 8) * 8
+    multi_gap = n_gaps > 1
+    if multi_gap:
+        block3d = False  # experimental layout not wired for the gid plane
 
-    to_tuple = lambda M: tuple(tuple(float(v) for v in row) for row in np.asarray(M))
+    to_tuple3 = lambda M: tuple(
+        tuple(tuple(float(v) for v in row) for row in tab)
+        for tab in np.asarray(M).reshape(n_gaps, ne, ne)
+    )
     phys = _Physics(
         ne=ne,
         nw=nw,
         nw_pad=nw_pad,
         dE=float(dE),
-        Ks=None if K_s0 is None else to_tuple(K_s0),
-        Kr=None if K_r0 is None else to_tuple(K_r0),
-        rho=tuple(float(v) for v in np.asarray(rho)),
+        n_gaps=n_gaps,
+        Ks=None if K_s0 is None else to_tuple3(K_s0),
+        Kr=None if K_r0 is None else to_tuple3(K_r0),
+        rho=tuple(
+            tuple(float(v) for v in row) for row in rho_arr.reshape(n_gaps, ne)
+        ),
         diff_row=tuple(diff_row),
         sum_row=tuple(sum_row),
         update_phonons=bool(update_phonons),
     )
     kernel = _make_kernel(phys, dt)
+    if multi_gap:
+        gid_row = np.zeros((8, int(np.asarray(gap_id).size)), np.int32)
+        gid_row[:] = np.asarray(gap_id, np.int32).reshape(1, -1)
 
     def step(n_qp: jax.Array, n_ph: jax.Array):
         if phys.Ks is None and phys.Kr is None:
@@ -342,14 +398,24 @@ def build_pallas_collision_step(
                 jax.ShapeDtypeStruct((ne_, p_pad), n_qp.dtype),
                 jax.ShapeDtypeStruct((nw_pad, p_pad), n_ph.dtype),
             )
+        args = [q, ph]
+        in_specs = [q_spec, ph_spec]
+        if multi_gap:
+            gid = jnp.asarray(gid_row)
+            if pad_cols:
+                gid = jnp.pad(gid, ((0, 0), (0, pad_cols)))
+            args.append(gid)
+            in_specs.append(
+                pl.BlockSpec((8, tile), lambda t: (0, t), memory_space=pltpu.VMEM)
+            )
         q_new, ph_new = pl.pallas_call(
             kernel,
             grid=grid,
-            in_specs=[q_spec, ph_spec],
+            in_specs=in_specs,
             out_specs=(q_spec, ph_spec),
             out_shape=out_shape,
             interpret=interpret,
-        )(q, ph)
+        )(*args)
         q_new = q_new.reshape(ne_, p_pad)
         ph_new = ph_new.reshape(nw_pad, p_pad)
         q_out = q_new[:, :p_live].reshape(ne_, ny, nx)

@@ -196,9 +196,9 @@ def test_pallas_loop_single_gap_matches_xla_interpret():
     np.testing.assert_allclose(np.asarray(p2), np.asarray(p1), rtol=1e-9, atol=1e-22)
 
 
-def test_pallas_loop_multi_gap_matches_xla_interpret():
-    # piecewise-constant gap map (G=3): the loop kernel blends per-gap
-    # tables with selects; parity vs the XLA integrator's gather path
+def test_pallas_multi_gap_matches_xla_interpret():
+    # piecewise-constant gap map (G=3): the unrolled kernel blends per-gap
+    # tables with lane selects; parity vs the XLA integrator's gather path
     import jax.numpy as jnp
 
     from qpsim_tpu.ops.dos import dynes_density_of_states, thermal_phonon_occupation
@@ -237,3 +237,14 @@ def test_pallas_loop_multi_gap_matches_xla_interpret():
     # phonon occupations span ~1e-12..1e0; summation-order differences show
     # up at ~1e-10 relative on the smallest thermal values
     np.testing.assert_allclose(np.asarray(p2), np.asarray(p1), rtol=1e-9, atol=1e-22)
+
+    # same configuration through the fori_loop kernel (the NE > 64 path)
+    from qpsim_tpu.ops.pallas_collisions_loop import build_pallas_collision_step_loop
+
+    pal_loop = build_pallas_collision_step_loop(
+        E_bins=E, dE=dE, rho=rho, K_s0=Ks, K_r0=Kr, pmap=pm, dt=0.01,
+        update_phonons=True, tile=128, interpret=True, gap_id=gid)
+    assert pal_loop is not None
+    q3, p3 = pal_loop(q0, ph0)
+    np.testing.assert_allclose(np.asarray(q3), np.asarray(q1), rtol=1e-12, atol=1e-22)
+    np.testing.assert_allclose(np.asarray(p3), np.asarray(p1), rtol=1e-9, atol=1e-22)
