@@ -44,7 +44,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .phonon_map import PhononFrequencyMap
 
-__all__ = ["build_pallas_collision_step", "pallas_collisions_supported"]
+__all__ = [
+    "build_pallas_collision_step",
+    "build_pallas_collision_step_analytic",
+    "pallas_collisions_supported",
+    "pallas_analytic_collisions_supported",
+]
 
 _EPS_RHO = 1e-30
 _MU_FLOOR = 1e-14
@@ -88,6 +93,15 @@ _MAX_LOOP_GAPS = 8
 def pallas_collisions_supported(E_bins: np.ndarray, n_gaps: int) -> bool:
     e = np.asarray(E_bins)
     if e.size < 2 or e.size > _MAX_LOOP_BINS or not 1 <= n_gaps <= _MAX_LOOP_GAPS:
+        return False
+    diffs = np.diff(e)
+    return bool(np.allclose(diffs, diffs[0], rtol=1e-9))
+
+
+def pallas_analytic_collisions_supported(E_bins: np.ndarray) -> bool:
+    """Envelope of the analytic-gap kernel: uniform grid, 2 ≤ NE ≤ 64."""
+    e = np.asarray(E_bins)
+    if e.size < 2 or e.size > _MAX_UNROLLED_BINS:
         return False
     diffs = np.diff(e)
     return bool(np.allclose(diffs, diffs[0], rtol=1e-9))
@@ -270,6 +284,254 @@ def _make_kernel(phys: _Physics, dt: float):
                 ph_out[w] = ph_ref[w]
 
     return kernel
+
+
+@dataclass(frozen=True)
+class _AnalyticPhysics:
+    """Per-pair affine-in-Δ² kernel tables for the analytic-gap walk.
+
+    K^r₀(Δ) = a_r + b_r·Δ² and K^s₀(Δ) = max(a_s − b_s·Δ², 0) exactly
+    (kernels.py formulas), and ρ_Dynes is a closed form of Δ² — so a single
+    per-pixel Δ² row replaces the per-gap tables, with no bound on the
+    number of distinct gap values (reference solver.py:1203-1232 builds a
+    unique-gap cache instead; continuous gap maps defeat it).
+    """
+
+    ne: int
+    nw: int
+    nw_pad: int
+    gamma: float
+    E: tuple  # bin centers
+    invE: tuple
+    dEa_s: tuple | None  # dE·a_s, dE·b_s (NE, NE)
+    dEb_s: tuple | None
+    dEa2_r: tuple | None  # 2·dE·a_r, 2·dE·b_r (NE, NE)
+    dEb2_r: tuple | None
+    diff_row: tuple
+    sum_row: tuple
+    update_phonons: bool
+
+
+def _make_analytic_kernel(phys: _AnalyticPhysics, dt: float):
+    ne = phys.ne
+    gamma = phys.gamma
+    scattering = phys.dEa_s is not None
+    recombination = phys.dEa2_r is not None
+    diff_row, sum_row = phys.diff_row, phys.sum_row
+    dt = float(dt)
+
+    def kernel(q_ref, ph_ref, g2_ref, q_out, ph_out):
+        g2 = g2_ref[0]  # Δ²(px)
+        q = [q_ref[i] for i in range(ne)]
+
+        # per-bin DOS and its reciprocal from Δ²(px), in closed form
+        partner = []
+        for i in range(ne):
+            E = phys.E[i]
+            if gamma == 0.0:
+                r2 = (E * E) - g2
+                t = jax.lax.rsqrt(jnp.maximum(r2, _EPS_RHO))
+                pos = r2 > 0.0
+                rho_i = jnp.where(pos, E * t, 0.0)
+                inv_i = jnp.where(pos, (r2 * t) * phys.invE[i], 0.0)
+            else:
+                # Dynes: ρ = max(Re((E−iΓ)/√((E−iΓ)²−Δ²)), 0); with
+                # z = (E²−Γ²−Δ²) − 2iEΓ the principal root is s + i·t,
+                # s = √((|z|+Re z)/2), t = −√((|z|−Re z)/2) (Im z < 0)
+                zr = (E * E - gamma * gamma) - g2
+                zi = -2.0 * E * gamma
+                r = jnp.sqrt(zr * zr + zi * zi)
+                s = jnp.sqrt(jnp.maximum(0.5 * (r + zr), 0.0))
+                tq = -jnp.sqrt(jnp.maximum(0.5 * (r - zr), 0.0))
+                rho_i = jnp.maximum((E * s - gamma * tq) / jnp.maximum(r, _EPS_RHO), 0.0)
+                inv_i = jnp.where(rho_i > _EPS_RHO, 1.0 / jnp.maximum(rho_i, _EPS_RHO), 0.0)
+            partner.append(rho_i * jnp.maximum(1.0 - q[i] * inv_i, 0.0))
+
+        D = [None] + [ph_ref[diff_row[k]] for k in range(1, ne)]
+        S = [ph_ref[sum_row[m]] for m in range(2 * ne - 1)] if recombination else None
+
+        zeros = jnp.zeros_like(q[0])
+        gain_s = [zeros for _ in range(ne)]
+        loss = [zeros for _ in range(ne)]
+        gain_r = [zeros for _ in range(ne)]
+        ph_pos: dict[int, jax.Array] = {}
+        ph_neg: dict[int, jax.Array] = {}
+
+        def acc(table, idx, val):
+            cur = table.get(idx)
+            table[idx] = val if cur is None else cur + val
+
+        # unordered pair walk — same structure as _make_kernel, with the
+        # kernel constants evaluated per pixel from Δ² (2-3 ops per pair)
+        for i in range(ne):
+            for j in range(i + 1):
+                if scattering and i != j:
+                    Dk = D[i - j]
+                    # symmetric in (i,j): one constant serves both orders
+                    cs = jnp.maximum(
+                        phys.dEa_s[i][j] - phys.dEb_s[i][j] * g2, 0.0
+                    )
+                    we = cs * Dk + cs
+                    wa = cs * Dk
+                    loss[i] = loss[i] + we * partner[j]
+                    gain_s[j] = gain_s[j] + we * q[i]
+                    loss[j] = loss[j] + wa * partner[i]
+                    gain_s[i] = gain_s[i] + wa * q[j]
+                    if phys.update_phonons:
+                        acc(ph_pos, diff_row[i - j], cs * (q[i] * partner[j]))
+                        acc(ph_neg, diff_row[i - j], cs * (q[j] * partner[i]))
+                if recombination:
+                    s_ij = S[i + j]
+                    c = phys.dEa2_r[i][j] + phys.dEb2_r[i][j] * g2  # = 2dE·K^r₀
+                    A = c * s_ij
+                    B = A + c
+                    if i == j:
+                        loss[i] = loss[i] + B * q[i]
+                        gain_r[i] = gain_r[i] + A * partner[i]
+                        if phys.update_phonons:
+                            m = sum_row[2 * i]
+                            hb = 0.5 * c
+                            acc(ph_pos, m, hb * (q[i] * q[i]))
+                            acc(ph_neg, m, hb * (partner[i] * partner[i]))
+                    else:
+                        loss[i] = loss[i] + B * q[j]
+                        loss[j] = loss[j] + B * q[i]
+                        gain_r[i] = gain_r[i] + A * partner[j]
+                        gain_r[j] = gain_r[j] + A * partner[i]
+                        if phys.update_phonons:
+                            m = sum_row[i + j]
+                            acc(ph_pos, m, c * (q[i] * q[j]))
+                            acc(ph_neg, m, c * (partner[i] * partner[j]))
+
+        for i in range(ne):
+            gain = partner[i] * (gain_s[i] + gain_r[i])
+            mu = jnp.maximum(loss[i], 0.0)
+            decay = jnp.exp(-mu * dt)
+            coeff = jnp.where(mu < _MU_FLOOR, dt, -_expm1(-mu * dt) / jnp.maximum(mu, _MU_FLOOR))
+            q_out[i] = jnp.maximum(decay * q[i] + coeff * jnp.maximum(gain, 0.0), 0.0)
+
+        for w in range(phys.nw_pad):
+            if phys.update_phonons and (w in ph_pos or w in ph_neg):
+                y = ph_ref[w]
+                a_term = ph_pos.get(w, zeros)
+                neg = ph_neg.get(w)
+                b_term = a_term if neg is None else a_term - neg
+                x = jnp.clip(b_term * dt, -_AFFINE_CLIP, _AFFINE_CLIP)
+                safe_b = jnp.where(jnp.abs(b_term) < _MU_FLOOR, 1.0, b_term)
+                coeff = jnp.where(jnp.abs(b_term) < _MU_FLOOR, dt, _expm1(x) / safe_b)
+                ph_out[w] = jnp.maximum(jnp.exp(x) * y + coeff * a_term, 0.0)
+            else:
+                ph_out[w] = ph_ref[w]
+
+    return kernel
+
+
+def build_pallas_collision_step_analytic(
+    *,
+    E_bins: np.ndarray,
+    dE: float,
+    gap_plane: np.ndarray,
+    pmap: PhononFrequencyMap,
+    dt: float,
+    tau_s: float | None,
+    tau_r: float | None,
+    T_c: float,
+    dynes_gamma: float = 0.0,
+    update_phonons: bool = True,
+    tile: int = _DEFAULT_TILE,
+    interpret: bool = False,
+):
+    """Analytic-gap collision substep: exact per-pixel kernels from Δ(x, y).
+
+    Same ``(n_qp, n_ph) -> (n_qp, n_ph)`` contract as
+    ``build_pallas_collision_step``; pass ``tau_s``/``tau_r`` as None to
+    disable a channel.  ``gap_plane`` is the dense (Ny, Nx) gap map in µeV
+    (masked-out cells may hold any finite value).  No limit on the number
+    of distinct gap values — intended for continuous gap maps where the
+    unique-gap table path (G ≤ 8) and the XLA gather integrator are the
+    alternatives.  Returns None outside the envelope (non-uniform energy
+    grid or NE > 64).
+    """
+    from .kernels import recombination_kernel_base, scattering_kernel_base
+
+    e = np.asarray(E_bins, dtype=np.float64)
+    ne = int(e.size)
+    if ne < 2 or ne > _MAX_UNROLLED_BINS:
+        return None
+    rows = _uniform_pair_rows(e, pmap)
+    if rows is None:
+        return None
+    diff_row, sum_row = rows
+    nw = pmap.num_omega
+    nw_pad = ((nw + 7) // 8) * 8
+    scattering = tau_s is not None
+    recombination = tau_r is not None
+    if not (scattering or recombination):
+        return lambda n_qp, n_ph: (n_qp, n_ph)
+
+    prod = np.maximum(e[:, None] * e[None, :], 1e-30)
+    to_tuple = lambda M: tuple(tuple(float(v) for v in row) for row in np.asarray(M))
+    dEa_s = dEb_s = dEa2_r = dEb2_r = None
+    if scattering:
+        a_s = scattering_kernel_base(e, 0.0, float(tau_s), T_c)  # coherence ≡ 1
+        dEa_s = to_tuple(dE * a_s)
+        dEb_s = to_tuple(dE * (a_s / prod))
+    if recombination:
+        a_r = recombination_kernel_base(e, 0.0, float(tau_r), T_c)
+        dEa2_r = to_tuple(2.0 * dE * a_r)
+        dEb2_r = to_tuple(2.0 * dE * (a_r / prod))
+
+    phys = _AnalyticPhysics(
+        ne=ne,
+        nw=nw,
+        nw_pad=nw_pad,
+        gamma=float(dynes_gamma),
+        E=tuple(float(v) for v in e),
+        invE=tuple(float(1.0 / v) for v in e),
+        dEa_s=dEa_s,
+        dEb_s=dEb_s,
+        dEa2_r=dEa2_r,
+        dEb2_r=dEb2_r,
+        diff_row=tuple(diff_row),
+        sum_row=tuple(sum_row),
+        update_phonons=bool(update_phonons),
+    )
+    kernel = _make_analytic_kernel(phys, dt)
+    g2_row = np.zeros((8, int(np.asarray(gap_plane).size)), np.float64)
+    g2_row[:] = (np.asarray(gap_plane, np.float64) ** 2).reshape(1, -1)
+
+    def step(n_qp: jax.Array, n_ph: jax.Array):
+        ne_, ny, nx = n_qp.shape
+        p_live = ny * nx
+        q = n_qp.reshape(ne_, p_live)
+        ph = n_ph.reshape(nw, p_live)
+        if nw_pad - nw:
+            ph = jnp.pad(ph, ((0, nw_pad - nw), (0, 0)))
+        pad_cols = (-p_live) % tile
+        g2 = jnp.asarray(g2_row, dtype=n_qp.dtype)
+        if pad_cols:
+            q = jnp.pad(q, ((0, 0), (0, pad_cols)))
+            ph = jnp.pad(ph, ((0, 0), (0, pad_cols)))
+            g2 = jnp.pad(g2, ((0, 0), (0, pad_cols)))
+        p_pad = q.shape[1]
+        grid = (p_pad // tile,)
+        spec = lambda r: pl.BlockSpec((r, tile), lambda t: (0, t), memory_space=pltpu.VMEM)
+        q_new, ph_new = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[spec(ne_), spec(nw_pad), spec(8)],
+            out_specs=(spec(ne_), spec(nw_pad)),
+            out_shape=(
+                jax.ShapeDtypeStruct((ne_, p_pad), n_qp.dtype),
+                jax.ShapeDtypeStruct((nw_pad, p_pad), n_ph.dtype),
+            ),
+            interpret=interpret,
+        )(q, ph, g2)
+        q_out = q_new[:, :p_live].reshape(ne_, ny, nx)
+        ph_out = ph_new[:nw, :p_live].reshape(nw, ny, nx)
+        return q_out, ph_out
+
+    return step
 
 
 def build_pallas_collision_step(

@@ -543,33 +543,83 @@ def _run_energy_resolved(
     gap_id = np.zeros((ny, nx), dtype=np.int32)
     gap_id[mask] = gap_lookup.astype(np.int32)
 
+    # --- collision backend dispatch (decided early: the analytic-gap kernel
+    # makes the (G, NE, NE) per-gap stacks and the XLA gather plan
+    # unnecessary, and for continuous gap maps they would not fit) ---------
+    use_pallas_collisions = False
+    use_analytic_collisions = False
+    if collisions_on and collision_backend in ("auto", "pallas"):
+        from ..ops.pallas_collisions import (
+            pallas_analytic_collisions_supported,
+            pallas_collisions_supported,
+        )
+
+        on_tpu = jax.default_backend() == "tpu"
+        # Mosaic has no practical f64 support — an x64 run forced onto TPU
+        # stays on the XLA integrator (f64 there is already emulated/slow)
+        dtype_ok = jnp.dtype(dtype) != jnp.float64 or jax.default_backend() != "tpu"
+        supported = pallas_collisions_supported(E_bins, int(unique_gaps.size))
+        # continuous gap maps (G beyond the table-blend bound): exact
+        # per-pixel kernels evaluated from Δ² in the analytic kernel
+        analytic_ok = (
+            int(unique_gaps.size) > 8 and pallas_analytic_collisions_supported(E_bins)
+        )
+        if collision_backend == "pallas" and not ((supported or analytic_ok) and dtype_ok):
+            reason = (
+                "float64 on TPU is not supported by the kernel"
+                if supported or analytic_ok
+                else "the configuration is outside the kernel's envelope "
+                "(needs a uniform energy grid, 2-192 bins; >8 unique gaps "
+                "additionally needs <=64 bins)"
+            )
+            raise ValueError(f"collision_backend='pallas' requested but {reason}")
+        use_pallas_collisions = (
+            (collision_backend == "pallas" or on_tpu) and dtype_ok and supported
+        )
+        use_analytic_collisions = (
+            (collision_backend == "pallas" or on_tpu)
+            and dtype_ok
+            and not supported
+            and analytic_ok
+        )
+    elif collision_backend not in ("auto", "pallas", "xla"):
+        raise ValueError(f"Unknown collision backend: {collision_backend!r}")
+
     rho_by_gap = np.stack(
         [dynes_density_of_states(E_bins, float(g), dynes_gamma) for g in unique_gaps]
     )
-    K_r0_by_gap = (
-        np.stack([recombination_kernel_base(E_bins, float(g), tau_r_eff, T_c) for g in unique_gaps])
-        if enable_recombination
-        else None
-    )
-    K_s0_by_gap = (
-        np.stack([scattering_kernel_base(E_bins, float(g), tau_s_eff, T_c) for g in unique_gaps])
-        if enable_scattering
-        else None
-    )
+    if use_analytic_collisions:
+        K_r0_by_gap = K_s0_by_gap = None
+        plan = None
+    else:
+        K_r0_by_gap = (
+            np.stack(
+                [recombination_kernel_base(E_bins, float(g), tau_r_eff, T_c) for g in unique_gaps]
+            )
+            if enable_recombination
+            else None
+        )
+        K_s0_by_gap = (
+            np.stack(
+                [scattering_kernel_base(E_bins, float(g), tau_s_eff, T_c) for g in unique_gaps]
+            )
+            if enable_scattering
+            else None
+        )
 
-    plan = build_collision_plan_arrays(
-        dE=dE,
-        rho_by_gap=rho_by_gap,
-        K_r0_by_gap=K_r0_by_gap,
-        K_s0_by_gap=K_s0_by_gap,
-        gap_id=gap_id,
-        pmap=pmap,
-        enable_recombination=enable_recombination,
-        enable_scattering=enable_scattering,
-        update_phonons=not freeze_phonon_dynamics,
-        dtype=dtype,
-        pixel_chunk=pixel_chunk,
-    )
+        plan = build_collision_plan_arrays(
+            dE=dE,
+            rho_by_gap=rho_by_gap,
+            K_r0_by_gap=K_r0_by_gap,
+            K_s0_by_gap=K_s0_by_gap,
+            gap_id=gap_id,
+            pmap=pmap,
+            enable_recombination=enable_recombination,
+            enable_scattering=enable_scattering,
+            update_phonons=not freeze_phonon_dynamics,
+            dtype=dtype,
+            pixel_chunk=pixel_chunk,
+        )
 
     # --- initial states ------------------------------------------------------
     if custom_qp_state is not None:
@@ -654,34 +704,6 @@ def _run_energy_resolved(
     gen = build_generation_program(external_generation, E_bins, mask, dtype)
     mask_dev = jnp.asarray(mask)
 
-    # --- collision backend dispatch -------------------------------------------
-    # The Pallas kernel covers the production envelope (uniform gap, uniform
-    # energy grid; static pair unroll <=64 bins, fori_loop kernel beyond and
-    # for piecewise gap maps) on TPU with ~16x less HBM traffic; everything
-    # else uses the XLA path.
-    use_pallas_collisions = False
-    if collisions_on and collision_backend in ("auto", "pallas"):
-        from ..ops.pallas_collisions import pallas_collisions_supported
-
-        on_tpu = jax.default_backend() == "tpu"
-        # Mosaic has no practical f64 support — an x64 run forced onto TPU
-        # stays on the XLA integrator (f64 there is already emulated/slow)
-        dtype_ok = jnp.dtype(dtype) != jnp.float64 or jax.default_backend() != "tpu"
-        supported = pallas_collisions_supported(E_bins, int(unique_gaps.size))
-        if collision_backend == "pallas" and not (supported and dtype_ok):
-            reason = (
-                "float64 on TPU is not supported by the kernel"
-                if supported
-                else "the configuration is outside the kernel's envelope "
-                "(needs a uniform energy grid, 2-192 bins, <=8 unique gaps)"
-            )
-            raise ValueError(f"collision_backend='pallas' requested but {reason}")
-        use_pallas_collisions = (
-            (collision_backend == "pallas" or on_tpu) and dtype_ok and supported
-        )
-    elif collision_backend not in ("auto", "pallas", "xla"):
-        raise ValueError(f"Unknown collision backend: {collision_backend!r}")
-
     def make_col(dt_col: float):
         if not collisions_on:
             return None
@@ -711,6 +733,31 @@ def _run_energy_resolved(
             )
             if step is not None:
                 return step
+        if use_analytic_collisions:
+            from ..ops.pallas_collisions import build_pallas_collision_step_analytic
+
+            gap_plane = np.full((ny, nx), gap, dtype=np.float64)
+            gap_plane[mask] = gap_values
+            step = build_pallas_collision_step_analytic(
+                E_bins=E_bins,
+                dE=dE,
+                gap_plane=gap_plane,
+                pmap=pmap,
+                dt=dt_col,
+                tau_s=tau_s_eff if enable_scattering else None,
+                tau_r=tau_r_eff if enable_recombination else None,
+                T_c=T_c,
+                dynes_gamma=dynes_gamma,
+                update_phonons=not freeze_phonon_dynamics,
+                interpret=jax.default_backend() != "tpu",
+            )
+            if step is not None:
+                return step
+        if plan is None:  # analytic dispatch never falls through in-envelope
+            raise RuntimeError(
+                "Internal error: no collision integrator available for this "
+                "configuration (analytic kernel unavailable and no XLA plan)."
+            )
         return make_collision_step(plan, dt_col)
 
     # --- compiled segment runners -------------------------------------------------

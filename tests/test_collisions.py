@@ -196,6 +196,48 @@ def test_pallas_loop_single_gap_matches_xla_interpret():
     np.testing.assert_allclose(np.asarray(p2), np.asarray(p1), rtol=1e-9, atol=1e-22)
 
 
+def test_pallas_analytic_gap_matches_xla_interpret():
+    # continuous gap map (every pixel a distinct gap): the analytic kernel
+    # evaluates exact per-pixel kernels from a Δ² row; parity vs the XLA
+    # gather integrator built over the full unique-gap table stack
+    from qpsim_tpu.ops.pallas_collisions import build_pallas_collision_step_analytic
+
+    for gamma in (0.0, 0.12):
+        E, dE = build_energy_grid(180.0, 1.0, 4.0, 10)
+        pm = build_phonon_frequency_map(E)
+        ny, nx = 3, 6
+        rng = np.random.default_rng(7)
+        gap_plane = rng.uniform(120.0, 200.0, (ny, nx))
+        gaps = np.unique(gap_plane)  # G == Npix: all distinct
+        gid = np.searchsorted(gaps, gap_plane).astype(np.int32)
+        rho = np.stack([dynes_density_of_states(E, g, gamma) for g in gaps])
+        Ks = np.stack([scattering_kernel_base(E, g, 440.0, 1.2) for g in gaps])
+        Kr = np.stack([recombination_kernel_base(E, g, 500.0, 1.2) for g in gaps])
+        plan = build_collision_plan_arrays(
+            dE=dE, rho_by_gap=rho, K_r0_by_gap=Kr, K_s0_by_gap=Ks, gap_id=gid,
+            pmap=pm, enable_recombination=True, enable_scattering=True,
+            update_phonons=True)
+        xla = make_collision_step(plan, 0.01)
+        pal = build_pallas_collision_step_analytic(
+            E_bins=E, dE=dE, gap_plane=gap_plane, pmap=pm, dt=0.01,
+            tau_s=440.0, tau_r=500.0, T_c=1.2, dynes_gamma=gamma,
+            update_phonons=True, tile=128, interpret=True)
+        assert pal is not None
+        q0 = jnp.asarray(
+            rng.uniform(0, 1e-4, (10, ny, nx)) * rho[gid].transpose(2, 0, 1)
+        )
+        ph0 = jnp.asarray(
+            np.broadcast_to(
+                thermal_phonon_occupation(pm.omega_bins, 0.25)[:, None, None],
+                (pm.num_omega, ny, nx),
+            ).copy()
+        )
+        q1, p1 = xla(q0, ph0)
+        q2, p2 = pal(q0, ph0)
+        np.testing.assert_allclose(np.asarray(q2), np.asarray(q1), rtol=1e-11, atol=1e-22)
+        np.testing.assert_allclose(np.asarray(p2), np.asarray(p1), rtol=1e-9, atol=1e-22)
+
+
 def test_pallas_multi_gap_matches_xla_interpret():
     # piecewise-constant gap map (G=3): the unrolled kernel blends per-gap
     # tables with lane selects; parity vs the XLA integrator's gather path

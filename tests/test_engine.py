@@ -473,6 +473,38 @@ def test_nonuniform_gap_end_to_end():
     assert left > right > 0
 
 
+def test_analytic_gap_collision_backend_matches_xla():
+    # continuous gap map (a distinct gap per pixel, G >> 8): the engine
+    # routes collision_backend="pallas" to the analytic-gap kernel, which
+    # never materialises per-gap tables; parity vs the XLA gather path
+    mask = np.ones((2, 10), dtype=bool)
+    edges = extract_edge_segments(mask)
+    bcs = {e.edge_id: BoundaryCondition(kind="reflective") for e in edges}
+    kw = dict(
+        mask=mask,
+        edges=edges,
+        edge_conditions=bcs,
+        initial_field=np.full(mask.shape, 1e-5),
+        diffusion_coefficient=6.0,
+        dt=0.05,
+        total_time=0.2,
+        dx=1.0,
+        energy_gap=180.0,
+        num_energy_bins=6,
+        energy_max_factor=3.0,
+        enable_recombination=True,
+        enable_scattering=True,
+        bath_temperature=0.2,
+        dynes_gamma=0.1,
+        gap_expression="return 130.0 + 60.0 * x + 5.0 * y",  # G == Npix
+    )
+    _, frames_x, mass_x, _, ef_x, _ = run_2d_crank_nicolson(collision_backend="xla", **kw)
+    _, frames_p, mass_p, _, ef_p, _ = run_2d_crank_nicolson(collision_backend="pallas", **kw)
+    np.testing.assert_allclose(mass_p, mass_x, rtol=1e-10)
+    for a, b in zip(ef_x[-1], ef_p[-1]):
+        np.testing.assert_allclose(np.nan_to_num(a), np.nan_to_num(b), atol=1e-18, rtol=1e-9)
+
+
 def test_forced_pallas_backend_raises_when_unsupported():
     # explicit collision_backend="pallas" must not silently fall back
     import pytest
