@@ -7,10 +7,15 @@ etc. against measured decay curves (the standard MKID analysis task).
 
 ``make_differentiable_sim`` builds a pure function ``params -> observables``
 over an **arbitrary masked 2D geometry** with per-edge boundary conditions,
-where ``params = {"D0", "tau_s", "tau_r"}`` are traced scalars: the
+where ``params = {"D0", "tau_s", "tau_r"[, "gap"]}`` are traced scalars: the
 diffusion coefficients and collision kernels are reconstructed *inside* the
 trace (K ∝ 1/τ, D(E) = D₀√(1−(Δ/E)²)), so ``jax.grad`` / ``jax.jacfwd``
-flow end-to-end through the Strang-split integrator.  Observables:
+flow end-to-end through the Strang-split integrator.  The optional ``gap``
+parameter makes the superconducting gap Δ itself differentiable — the BCS
+DOS, both collision kernels (affine in Δ²) and D(E) are rebuilt from Δ in
+the trace, enabling gradient-based gap extraction from decay curves (the
+energy grid and the initial state stay at the nominal construction-time
+gap: fixed discretization, varying physics).  Observables:
 
 * ``"total"``   — (n_steps+1,) energy-integrated QP number trace;
 * ``"spatial"`` — (n_stored, Ny, Nx) energy-integrated density frames
@@ -150,13 +155,13 @@ def make_differentiable_sim(
     q0 = jnp.asarray(weights[:, None, None] * field[None], dtype=dtype)
     mask_dev = jnp.asarray(mask)
 
-    def collide(q, ph, K_r0, K_s0, dt_c):
+    def collide(q, ph, K_r0, K_s0, dt_c, rho_c):
         # pixel-batched: q (NE, Ny, Nx), ph (NW, Ny, Nx)
         qT = q.reshape(ne, -1).T  # (P, NE)
         phT = ph.reshape(nw, -1).T  # (P, NW)
-        f = qT / jnp.maximum(rho[None, :], 1e-30)
+        f = qT / jnp.maximum(rho_c[None, :], 1e-30)
         omf = jnp.maximum(1.0 - f, 0.0)
-        partner = rho[None, :] * omf
+        partner = rho_c[None, :] * omf
         n_diff = jnp.take(phT, idx_diff, axis=-1).reshape(-1, ne, ne)
         n_sum = jnp.take(phT, idx_sum, axis=-1).reshape(-1, ne, ne)
         np_diff = emit * (1.0 + n_diff) + absorb * n_diff
@@ -190,8 +195,11 @@ def make_differentiable_sim(
             ph_new = phT
         return q_new.T.reshape(ne, ny_g, nx_g), ph_new.T.reshape(nw, ny_g, nx_g)
 
-    def diffuse(q, D0, dt_d):
-        D_bins = D0 * jnp.sqrt(jnp.maximum(0.0, 1.0 - (gap / E) ** 2))
+    def diffuse(q, D0, dt_d, gap_d):
+        # safe-gradient form: the unselected branch is constant, so a
+        # traced gap cannot produce NaN grads at the sqrt(0) edge
+        inner = 1.0 - (gap_d / E) ** 2
+        D_bins = D0 * jnp.where(inner > 0, jnp.sqrt(jnp.maximum(inner, 1e-30)), 0.0)
         D = D_bins[:, None, None]
         alpha = 0.5 * dt_d
         u = q  # (NE, Ny, Nx)
@@ -221,14 +229,28 @@ def make_differentiable_sim(
 
     def sim(params) -> dict[str, jax.Array]:
         D0 = params["D0"]
-        K_r0 = kr_shape / params["tau_r"]
-        K_s0 = ks_shape / params["tau_s"]
+        if "gap" in params:
+            # traced gap: kernels/DOS/D(E) rebuilt from Δ inside the trace so
+            # jax.grad flows through the superconducting gap itself (the
+            # energy grid and initial state stay at the nominal gap — fixed
+            # discretization, varying physics)
+            gap_t = params["gap"]
+            kr_t, ks_t = _traced_kernels(E, gap_t, T_c)
+            rho_t = jnp.where(
+                E > gap_t,
+                E / jnp.sqrt(jnp.maximum(E**2 - gap_t**2, 1e-30)),
+                0.0,
+            )
+        else:
+            gap_t, kr_t, ks_t, rho_t = gap, kr_shape, ks_shape, rho
+        K_r0 = kr_t / params["tau_r"]
+        K_s0 = ks_t / params["tau_s"]
 
         def step(state, _):
             q, ph = state
-            q, ph = collide(q, ph, K_r0, K_s0, 0.5 * dt)
-            q = diffuse(q, D0, dt)
-            q, ph = collide(q, ph, K_r0, K_s0, 0.5 * dt)
+            q, ph = collide(q, ph, K_r0, K_s0, 0.5 * dt, rho_t)
+            q = diffuse(q, D0, dt, gap_t)
+            q, ph = collide(q, ph, K_r0, K_s0, 0.5 * dt, rho_t)
             out = (jnp.sum(q) * dE, jnp.sum(ph))
             if want_spatial:
                 out = out + (jnp.sum(q, axis=0) * dE,)

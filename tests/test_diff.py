@@ -68,6 +68,61 @@ def test_gradients_match_finite_differences(decay_fn):
     assert float(grads["tau_r"]) > 0
 
 
+def test_gap_gradient_matches_finite_differences(decay_fn):
+    # the superconducting gap itself is a differentiable parameter: the BCS
+    # DOS, both collision kernels and D(E) rebuild from it inside the trace
+    def total_final(params):
+        return decay_fn(params)[-1]
+
+    params = {
+        "D0": jnp.asarray(6.0),
+        "tau_s": jnp.asarray(440.0),
+        "tau_r": jnp.asarray(300.0),
+        "gap": jnp.asarray(172.0),  # below nominal: all bins stay above Δ
+    }
+    g = jax.grad(total_final)(params)["gap"]
+    eps = 1e-3
+    up = dict(params, gap=params["gap"] + eps)
+    dn = dict(params, gap=params["gap"] - eps)
+    fd = (total_final(up) - total_final(dn)) / (2 * eps)
+    assert np.isfinite(float(g))
+    assert float(g) == pytest.approx(float(fd), rel=2e-4)
+    # omitting the gap reproduces the static-gap physics exactly
+    p3 = {k: params[k] for k in ("D0", "tau_s", "tau_r")}
+    np.testing.assert_allclose(
+        np.asarray(decay_fn(dict(p3, gap=jnp.asarray(180.0)))),
+        np.asarray(decay_fn(p3)),
+        rtol=1e-12,
+    )
+
+
+def test_gap_recovery_by_gradient_fit(decay_fn):
+    # recover a suppressed gap from a decay curve (gap extraction — the
+    # measurement behind gap-suppression studies)
+    observed = decay_fn(
+        {
+            "D0": jnp.asarray(6.0),
+            "tau_s": jnp.asarray(440.0),
+            "tau_r": jnp.asarray(300.0),
+            "gap": jnp.asarray(168.0),
+        }
+    )
+
+    def decay_gap(params):
+        return decay_fn(
+            {"D0": jnp.asarray(6.0), "tau_s": jnp.asarray(440.0), "tau_r": jnp.asarray(300.0), **params}
+        )
+
+    fitted = fit_parameters(
+        observed,
+        {"gap": 178.0},
+        decay_fn=decay_gap,
+        learning_rate=0.01,
+        n_iters=120,
+    )
+    assert fitted["gap"] == pytest.approx(168.0, rel=0.01)
+
+
 def test_parameter_recovery_by_gradient_fit(decay_fn):
     # Fit the identifiable parameter: total QP number is insensitive to tau_s
     # (scattering conserves number), so only tau_r is recoverable from this
