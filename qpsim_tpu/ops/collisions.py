@@ -162,10 +162,16 @@ def _affine_growth_update(y, a_term, b_term, dt):
     return jnp.maximum(jnp.exp(x) * y + coeff * a_term, 0.0)
 
 
-def make_collision_step(plan: CollisionPlan, dt: float):
+def make_collision_step(plan: CollisionPlan, dt: float, *, gap_id_arg: bool = False):
     """Build ``(n_qp, n_ph) -> (n_qp, n_ph)`` for one collision substep.
 
     State shapes: n_qp (NE, Ny, Nx), n_ph (NW, Ny, Nx); dt is baked in.
+
+    With ``gap_id_arg=True`` the returned step takes a third argument — a
+    dense (Ny, Nx) int32 gap-id plane used instead of the plan's baked
+    ``gap_id_flat``.  This is how spatially sharded callers supply each
+    shard's own slice of a non-uniform gap map (a baked plane would be
+    replicated identically to every shard under ``shard_map``).
     """
     ne = plan.num_energy_bins
     nw = plan.num_omega
@@ -231,9 +237,7 @@ def make_collision_step(plan: CollisionPlan, dt: float):
     chunk = plan.pixel_chunk
     n_chunks = pad_to // chunk
 
-    def step(n_qp: jax.Array, n_ph: jax.Array) -> tuple[jax.Array, jax.Array]:
-        if not (plan.enable_scattering or plan.enable_recombination):
-            return n_qp, n_ph
+    def run(n_qp: jax.Array, n_ph: jax.Array, gid_flat: jax.Array):
         ny, nx = n_qp.shape[-2:]
         p_live = ny * nx
         q = n_qp.reshape(ne, p_live).T
@@ -244,7 +248,7 @@ def make_collision_step(plan: CollisionPlan, dt: float):
             ph = jnp.pad(ph, ((0, pad), (0, 0)))
         qc = q.reshape(n_chunks, chunk, ne)
         pc = ph.reshape(n_chunks, chunk, nw)
-        gc = plan.gap_id_flat.reshape(n_chunks, chunk)
+        gc = gid_flat.reshape(n_chunks, chunk)
         if n_chunks == 1:
             q_new, ph_new = chunk_update((qc[0], pc[0], gc[0]))
             q_new = q_new[None]
@@ -254,5 +258,23 @@ def make_collision_step(plan: CollisionPlan, dt: float):
         q_out = q_new.reshape(pad_to, ne)[:p_live].T.reshape(ne, ny, nx)
         ph_out = ph_new.reshape(pad_to, nw)[:p_live].T.reshape(nw, ny, nx)
         return q_out, ph_out
+
+    if gap_id_arg:
+
+        def step_with_gid(n_qp, n_ph, gap_id):
+            if not (plan.enable_scattering or plan.enable_recombination):
+                return n_qp, n_ph
+            gid = jnp.asarray(gap_id, jnp.int32).reshape(-1)
+            pad = pad_to - gid.shape[0]
+            if pad:
+                gid = jnp.pad(gid, (0, pad))
+            return run(n_qp, n_ph, gid)
+
+        return step_with_gid
+
+    def step(n_qp: jax.Array, n_ph: jax.Array) -> tuple[jax.Array, jax.Array]:
+        if not (plan.enable_scattering or plan.enable_recombination):
+            return n_qp, n_ph
+        return run(n_qp, n_ph, plan.gap_id_flat)
 
     return step

@@ -430,7 +430,7 @@ def build_pallas_collision_step_analytic(
     *,
     E_bins: np.ndarray,
     dE: float,
-    gap_plane: np.ndarray,
+    gap_plane: np.ndarray | None,
     pmap: PhononFrequencyMap,
     dt: float,
     tau_s: float | None,
@@ -451,6 +451,11 @@ def build_pallas_collision_step_analytic(
     unique-gap table path (G ≤ 8) and the XLA gather integrator are the
     alternatives.  Returns None outside the envelope (non-uniform energy
     grid or NE > 64).
+
+    With ``gap_plane=None`` the returned step takes the gap plane as a
+    third *call-time* argument ``step(n_qp, n_ph, gap_plane)`` — required
+    by spatially sharded callers, where each shard must supply its own
+    slice of the map (a baked plane would be replicated under shard_map).
     """
     from .kernels import recombination_kernel_base, scattering_kernel_base
 
@@ -497,10 +502,13 @@ def build_pallas_collision_step_analytic(
         update_phonons=bool(update_phonons),
     )
     kernel = _make_analytic_kernel(phys, dt)
-    g2_row = np.zeros((8, int(np.asarray(gap_plane).size)), np.float64)
-    g2_row[:] = (np.asarray(gap_plane, np.float64) ** 2).reshape(1, -1)
+    if gap_plane is not None:
+        g2_row = np.zeros((8, int(np.asarray(gap_plane).size)), np.float64)
+        g2_row[:] = (np.asarray(gap_plane, np.float64) ** 2).reshape(1, -1)
+    else:
+        g2_row = None
 
-    def step(n_qp: jax.Array, n_ph: jax.Array):
+    def run(n_qp: jax.Array, n_ph: jax.Array, gp: jax.Array | None):
         ne_, ny, nx = n_qp.shape
         p_live = ny * nx
         q = n_qp.reshape(ne_, p_live)
@@ -508,7 +516,12 @@ def build_pallas_collision_step_analytic(
         if nw_pad - nw:
             ph = jnp.pad(ph, ((0, nw_pad - nw), (0, 0)))
         pad_cols = (-p_live) % tile
-        g2 = jnp.asarray(g2_row, dtype=n_qp.dtype)
+        if g2_row is not None:
+            g2 = jnp.asarray(g2_row, dtype=n_qp.dtype)
+        else:
+            g2 = jnp.broadcast_to(
+                (jnp.asarray(gp, dtype=n_qp.dtype) ** 2).reshape(1, p_live), (8, p_live)
+            )
         if pad_cols:
             q = jnp.pad(q, ((0, 0), (0, pad_cols)))
             ph = jnp.pad(ph, ((0, 0), (0, pad_cols)))
@@ -531,7 +544,9 @@ def build_pallas_collision_step_analytic(
         ph_out = ph_new[:nw, :p_live].reshape(nw, ny, nx)
         return q_out, ph_out
 
-    return step
+    if gap_plane is None:
+        return lambda n_qp, n_ph, gp: run(n_qp, n_ph, gp)
+    return lambda n_qp, n_ph: run(n_qp, n_ph, None)
 
 
 def build_pallas_collision_step(

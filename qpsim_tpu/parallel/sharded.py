@@ -15,8 +15,12 @@ sharding the dense state ``(NE, Ny, Nx)`` by **rows** over the mesh's
 
 This is the TPU-native replacement for a distributed sparse solver: two all_to_alls
 and two ppermutes per step, all riding ICI, everything else local compute.
-The uniform-gap case is supported (per-pixel gap sharding lands with the
-ensemble runner); Strang composition matches the single-chip engine.
+Strang composition matches the single-chip engine.  Non-uniform gap maps are
+supported: the dense Δ plane (or its gap-id plane) rides shard_map as a
+rows-sharded argument — on TPU the analytic-gap Pallas kernel consumes each
+shard's Δ² slice directly, elsewhere the XLA gather integrator takes the
+shard's gap ids at call time — and variable-D diffusion uses the per-bin
+coefficient planes, which shard exactly like the state.
 """
 
 from __future__ import annotations
@@ -91,12 +95,21 @@ def build_sharded_step(
     Parameters
     ----------
     op:
-        Uniform-gap split diffusion operator (coefficients broadcastable to
-        (NB, Ny, Nx)).
+        Split diffusion operator — uniform-gap (coefficients broadcastable
+        to (NB, Ny, Nx)) or variable-D (full per-bin planes from
+        ``fold_diffusion`` with a dense D field; they shard like the state).
     collisions:
         Optional dict with keys ``dE, rho, K_r0, K_s0, pmap`` (uniform-gap
         kernels and the static phonon map) plus toggles
         ``enable_recombination/enable_scattering/update_phonons``.
+
+        **Non-uniform gap maps**: additionally pass ``gap_plane`` (dense
+        (Ny, Nx) Δ in µeV) and ``tau_s/tau_r/T_c`` (+ optional
+        ``dynes_gamma``).  On TPU the analytic-gap Pallas kernel evaluates
+        exact per-pixel kernels from each shard's slice of Δ²; elsewhere
+        (CPU-mesh dry runs, f64) the XLA gather integrator receives each
+        shard's gap-id slice at call time.  ``rho/K_r0/K_s0`` then refer to
+        the *nominal* gap and are only used to decide which channels exist.
     """
     ny, nx = op.mask.shape
     n_space = mesh.shape[SPACE_AXIS]
@@ -160,6 +173,95 @@ def build_sharded_step(
 
     plan_local: CollisionPlan | None = None
     col_half = None
+    col_mode = "baked"  # "baked" | "gap_plane" | "gap_id"
+    gap_aux = None  # extra rows-sharded plane fed to the collision step
+    gap_plane = None if collisions is None else collisions.get("gap_plane")
+    if collisions is not None and gap_plane is not None:
+        gap_plane = np.asarray(gap_plane, dtype=np.float64)
+        if gap_plane.shape != (ny, nx):
+            raise ValueError(
+                f"gap_plane must have the dense grid shape ({ny}, {nx}); "
+                f"got {gap_plane.shape}"
+            )
+        missing = [
+            k
+            for k in ("E_bins", "T_c")
+            + (("tau_s",) if collisions.get("enable_scattering") else ())
+            + (("tau_r",) if collisions.get("enable_recombination") else ())
+            if collisions.get(k) is None
+        ]
+        if missing:
+            raise ValueError(
+                f"collisions with gap_plane requires {missing} in the dict "
+                "(per-pixel kernels are built from the energy grid and taus)"
+            )
+        pmap_g: PhononFrequencyMap = collisions["pmap"]
+        on_tpu_c = jax.default_backend() == "tpu"
+        dtype_ok_c = jnp.dtype(dtype) != jnp.float64 or not on_tpu_c
+        e_bins_g = collisions.get("E_bins")
+        use_analytic = on_tpu_c and dtype_ok_c and e_bins_g is not None
+        if use_analytic:
+            from ..ops.pallas_collisions import (
+                build_pallas_collision_step_analytic,
+                pallas_analytic_collisions_supported,
+            )
+
+            use_analytic = pallas_analytic_collisions_supported(np.asarray(e_bins_g))
+        if use_analytic:
+            col_half = build_pallas_collision_step_analytic(
+                E_bins=np.asarray(e_bins_g),
+                dE=collisions["dE"],
+                gap_plane=None,  # call-time arg: each shard passes its slice
+                pmap=pmap_g,
+                dt=0.5 * float(dt),
+                tau_s=collisions["tau_s"] if collisions.get("enable_scattering") else None,
+                tau_r=collisions["tau_r"] if collisions.get("enable_recombination") else None,
+                T_c=collisions["T_c"],
+                dynes_gamma=collisions.get("dynes_gamma", 0.0),
+                update_phonons=collisions.get("update_phonons", True),
+            )
+        if col_half is not None:
+            col_mode = "gap_plane"
+            gap_aux = jnp.asarray(gap_plane, dtype=dtype)
+        else:
+            # XLA gather integrator with per-shard gap ids at call time
+            from ..ops.dos import dynes_density_of_states
+            from ..ops.kernels import recombination_kernel_base, scattering_kernel_base
+
+            gamma = collisions.get("dynes_gamma", 0.0)
+            unique_gaps = np.unique(gap_plane)
+            gid_global = np.searchsorted(unique_gaps, gap_plane).astype(np.int32)
+            plan_local = build_collision_plan_arrays(
+                dE=collisions["dE"],
+                rho_by_gap=np.stack(
+                    [dynes_density_of_states(np.asarray(collisions["E_bins"]), float(g), gamma) for g in unique_gaps]
+                ),
+                K_r0_by_gap=(
+                    np.stack(
+                        [recombination_kernel_base(np.asarray(collisions["E_bins"]), float(g), collisions["tau_r"], collisions["T_c"]) for g in unique_gaps]
+                    )
+                    if collisions.get("enable_recombination", False)
+                    else None
+                ),
+                K_s0_by_gap=(
+                    np.stack(
+                        [scattering_kernel_base(np.asarray(collisions["E_bins"]), float(g), collisions["tau_s"], collisions["T_c"]) for g in unique_gaps]
+                    )
+                    if collisions.get("enable_scattering", False)
+                    else None
+                ),
+                gap_id=np.zeros((ny // n_space, nx), np.int32),  # local shape
+                pmap=pmap_g,
+                enable_recombination=collisions.get("enable_recombination", False),
+                enable_scattering=collisions.get("enable_scattering", False),
+                update_phonons=collisions.get("update_phonons", True),
+                dtype=dtype,
+                pixel_chunk=collisions.get("pixel_chunk", 4096),
+            )
+            col_half = make_collision_step(plan_local, 0.5 * float(dt), gap_id_arg=True)
+            col_mode = "gap_id"
+            gap_aux = jnp.asarray(gid_global)
+        collisions = None  # uniform-path construction below is bypassed
     if collisions is not None:
         pmap: PhononFrequencyMap = collisions["pmap"]
         # collisions are pixel-local, so the VMEM Pallas kernel drops straight
@@ -294,11 +396,16 @@ def build_sharded_step(
         return jax.lax.all_to_all(u_new_T, SPACE_AXIS, split_axis=1, concat_axis=2, tiled=True)
 
     def local_step(q, ph, raw, s):
+        def collide(q, ph):
+            if col_mode == "baked":
+                return col_half(q, ph)
+            return col_half(q, ph, raw["gap_aux"])
+
         if col_half is not None:
-            q, ph = col_half(q, ph)
+            q, ph = collide(q, ph)
         q = local_diffusion(q, raw, s)
         if col_half is not None:
-            q, ph = col_half(q, ph)
+            q, ph = collide(q, ph)
         mass = jax.lax.psum(jnp.sum(q), SPACE_AXIS) * (dx * dx)
         return q, ph, mass
 
@@ -316,6 +423,10 @@ def build_sharded_step(
         "axlT": cols, "axdT": cols, "axhT": cols,
         "aylC": cols, "aydC": cols, "ayhC": cols,
     }
+    if gap_aux is not None:
+        # per-shard slice of the gap map / gap-id plane (2D, rows-sharded)
+        raw_arrays["gap_aux"] = gap_aux
+        raw_specs["gap_aux"] = P(SPACE_AXIS, None)
 
     if ensemble:
         # each local shard carries a batch of independent ensemble members;

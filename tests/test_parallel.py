@@ -196,6 +196,111 @@ def test_film_ensemble_members_independent_and_match_solo():
     assert float(np.abs(np.asarray(qj)[:, ny, :]).max()) == 0.0
 
 
+def test_sharded_nonuniform_gap_matches_single_chip():
+    # non-uniform gap map: per-shard gap-id slices feed the XLA gather
+    # integrator at call time (the CPU-mesh dry-run path), and variable-D
+    # diffusion planes shard like the state
+    ny, nx = 16, 16
+    ne = 5
+    mask, edges, bcs = _geometry(ny, nx)
+    E, dE = build_energy_grid(GAP, 1.0, 3.0, ne)
+    pm = build_phonon_frequency_map(E)
+    # piecewise gap: top half suppressed
+    gap_plane = np.full((ny, nx), GAP)
+    gap_plane[: ny // 2] = 150.0
+    unique_gaps = np.unique(gap_plane)
+    gid = np.searchsorted(unique_gaps, gap_plane).astype(np.int32)
+    # variable-D per-bin planes (harmonic-mean interfaces inside fold)
+    D_dense = np.stack(
+        [
+            np.where(
+                gap_plane < E[i],
+                6.0 * np.sqrt(np.maximum(0.0, 1.0 - (gap_plane / E[i]) ** 2)),
+                0.0,
+            )
+            for i in range(ne)
+        ]
+    )
+    xs, ys = build_directional_stencils(mask, edges, bcs, 1.0)
+    op = fold_diffusion(xs, ys, mask, 1.0, D_dense)
+    dt = 0.05
+
+    mesh = make_mesh(n_space=len(jax.devices()))
+    sharded = build_sharded_step(
+        mesh,
+        op,
+        dt,
+        collisions=dict(
+            dE=dE, rho=dynes_density_of_states(E, GAP, 0.0), pmap=pm, E_bins=E,
+            gap_plane=gap_plane, tau_s=TAU, tau_r=TAU, T_c=TC,
+            enable_recombination=True, enable_scattering=True, update_phonons=True,
+        ),
+        dtype=jnp.float64,
+    )
+
+    plan = build_collision_plan_arrays(
+        dE=dE,
+        rho_by_gap=np.stack([dynes_density_of_states(E, g, 0.0) for g in unique_gaps]),
+        K_r0_by_gap=np.stack([recombination_kernel_base(E, g, TAU, TC) for g in unique_gaps]),
+        K_s0_by_gap=np.stack([scattering_kernel_base(E, g, TAU, TC) for g in unique_gaps]),
+        gap_id=gid, pmap=pm,
+        enable_recombination=True, enable_scattering=True, update_phonons=True,
+    )
+    col_half = make_collision_step(plan, 0.5 * dt)
+    diff = ADIDiffusion(op, dtype=jnp.float64).make_step(dt)
+
+    @jax.jit
+    def single(q, ph):
+        q, ph = col_half(q, ph)
+        q = diff(q)
+        q, ph = col_half(q, ph)
+        return q, ph
+
+    rng = np.random.default_rng(4)
+    q0 = rng.uniform(0, 1e-4, (ne, ny, nx))
+    ph0 = np.broadcast_to(
+        thermal_phonon_occupation(pm.omega_bins, TBATH)[:, None, None],
+        (pm.num_omega, ny, nx),
+    ).copy()
+    q_sh = jax.device_put(jnp.asarray(q0), sharded.q_sharding)
+    ph_sh = jax.device_put(jnp.asarray(ph0), sharded.ph_sharding)
+    q_s, ph_s = jnp.asarray(q0), jnp.asarray(ph0)
+    for _ in range(3):
+        q_sh, ph_sh, _ = sharded.step(q_sh, ph_sh)
+        q_s, ph_s = single(q_s, ph_s)
+    np.testing.assert_allclose(np.asarray(q_sh), np.asarray(q_s), atol=1e-13)
+    np.testing.assert_allclose(np.asarray(ph_sh), np.asarray(ph_s), atol=1e-13)
+    # the suppressed-gap half must actually behave differently
+    final = np.asarray(q_sh).sum(axis=0)
+    assert not np.allclose(final[: ny // 2].sum(), final[ny // 2 :].sum())
+
+
+def test_analytic_step_gap_plane_arg_matches_baked():
+    # the call-time gap-plane variant (used by sharded TPU runs) is the
+    # same computation as the baked-plane variant
+    from qpsim_tpu.ops.dos import thermal_phonon_occupation as tpo
+    from qpsim_tpu.ops.pallas_collisions import build_pallas_collision_step_analytic
+
+    E, dE = build_energy_grid(GAP, 1.0, 3.0, 6)
+    pm = build_phonon_frequency_map(E)
+    ny, nx = 2, 8
+    rng = np.random.default_rng(9)
+    gp = rng.uniform(130.0, 200.0, (ny, nx))
+    kw = dict(E_bins=E, dE=dE, pmap=pm, dt=0.02, tau_s=TAU, tau_r=TAU,
+              T_c=TC, update_phonons=True, tile=128, interpret=True)
+    baked = build_pallas_collision_step_analytic(gap_plane=gp, **kw)
+    argmode = build_pallas_collision_step_analytic(gap_plane=None, **kw)
+    rho = dynes_density_of_states(E, GAP, 0.0)
+    q0 = jnp.asarray(rng.uniform(0, 1e-4, (6, ny, nx)) * rho[:, None, None])
+    ph0 = jnp.asarray(
+        np.broadcast_to(tpo(pm.omega_bins, 0.2)[:, None, None], (pm.num_omega, ny, nx)).copy()
+    )
+    q1, p1 = baked(q0, ph0)
+    q2, p2 = argmode(q0, ph0, jnp.asarray(gp))
+    np.testing.assert_allclose(np.asarray(q2), np.asarray(q1), rtol=1e-14, atol=0)
+    np.testing.assert_allclose(np.asarray(p2), np.asarray(p1), rtol=1e-14, atol=0)
+
+
 def test_sharded_lazy_bin_scale_matches_single_chip(monkeypatch):
     # force the lazy-scale path (normally only taken on very large grids)
     from qpsim_tpu.solver.diffusion_backends import ADIDiffusion
