@@ -195,7 +195,7 @@ def build_film_ensemble(
     *,
     n_members: int,
     member_shape: tuple[int, int] = (64, 64),
-    gap: float = 180.0,
+    gap: np.ndarray | float = 180.0,
     num_energy_bins: int = 8,
     energy_max_factor: float = 4.0,
     D0: float = 6.0,
@@ -208,13 +208,20 @@ def build_film_ensemble(
 ) -> FilmEnsemble:
     """Build a Strang step over a B-member film ensemble (reflective walls).
 
-    ``tau_s``/``tau_r`` may be scalars or (B,) arrays — per-member collision
-    times become per-member kernel stacks selected by a member-id plane.
+    ``tau_s``/``tau_r``/``gap`` may be scalars or (B,) arrays — per-member
+    values become per-member physics: collision times via per-member kernel
+    stacks selected by a member-id plane; per-member gaps (film-to-film Δ
+    variation) via the analytic-gap Pallas kernel and per-member variable-D
+    diffusion.  The energy grid is built once from the largest member gap so
+    every bin sits above every member's gap.
     """
     ny, nx = member_shape
     b = int(n_members)
     tau_s = np.broadcast_to(np.asarray(tau_s, dtype=np.float64), (b,))
     tau_r = np.broadcast_to(np.asarray(tau_r, dtype=np.float64), (b,))
+    gaps = np.broadcast_to(np.asarray(gap, dtype=np.float64), (b,))
+    gaps_vary = not bool(np.all(gaps == gaps[0]))
+    gap_nom = float(gaps.max())
 
     # members stacked along y with one masked-off separator row between them
     gapped = np.zeros(((ny + 1) * b - 1, nx), dtype=bool)
@@ -223,19 +230,50 @@ def build_film_ensemble(
     edges = extract_edge_segments(gapped)
     bcs = {e.edge_id: BoundaryCondition(kind="reflective") for e in edges}
 
-    E_bins, dE = build_energy_grid(gap, 1.0, energy_max_factor, num_energy_bins)
+    E_bins, dE = build_energy_grid(gap_nom, 1.0, energy_max_factor, num_energy_bins)
     pmap = build_phonon_frequency_map(E_bins)
-    rho = dynes_density_of_states(E_bins, gap, dynes_gamma)
+    rho = dynes_density_of_states(E_bins, gap_nom, dynes_gamma)
 
     x_st, y_st = build_directional_stencils(gapped, edges, bcs, 1.0)
-    op = fold_diffusion(
-        x_st, y_st, gapped, 1.0, diffusion_coefficient_of_energy(D0, E_bins, gap)
-    )
+    if gaps_vary:
+        # per-member D(E, Δ_m): per-bin planes, harmonic-mean interfaces
+        gap_plane = np.full(gapped.shape, gap_nom)
+        for m in range(b):
+            gap_plane[m * (ny + 1) : m * (ny + 1) + ny, :] = gaps[m]
+        D_dense = np.stack(
+            [
+                D0 * np.sqrt(np.maximum(0.0, 1.0 - (gap_plane / e) ** 2))
+                for e in E_bins
+            ]
+        )
+        op = fold_diffusion(x_st, y_st, gapped, 1.0, D_dense)
+    else:
+        op = fold_diffusion(
+            x_st, y_st, gapped, 1.0, diffusion_coefficient_of_energy(D0, E_bins, gap_nom)
+        )
     diff = ADIDiffusion(op, dtype=dtype).make_step(dt)
 
     uniform_taus = bool(np.all(tau_s == tau_s[0]) and np.all(tau_r == tau_r[0]))
+    interpret = jax.default_backend() != "tpu"
     col_half = None
-    if uniform_taus:
+    if gaps_vary and uniform_taus:
+        # per-member gaps: exact per-pixel kernels from the Δ² plane
+        from ..ops.pallas_collisions import build_pallas_collision_step_analytic
+
+        col_half = build_pallas_collision_step_analytic(
+            E_bins=E_bins,
+            dE=dE,
+            gap_plane=gap_plane,
+            pmap=pmap,
+            dt=0.5 * dt,
+            tau_s=float(tau_s[0]),
+            tau_r=float(tau_r[0]),
+            T_c=T_c,
+            dynes_gamma=dynes_gamma,
+            update_phonons=True,
+            interpret=interpret,
+        )
+    elif uniform_taus:
         # identical member kernels: the Pallas collision kernel applies
         from ..ops.pallas_collisions import build_pallas_collision_step
 
@@ -243,25 +281,34 @@ def build_film_ensemble(
             E_bins=E_bins,
             dE=dE,
             rho=rho,
-            K_s0=scattering_kernel_base(E_bins, gap, float(tau_s[0]), T_c),
-            K_r0=recombination_kernel_base(E_bins, gap, float(tau_r[0]), T_c),
+            K_s0=scattering_kernel_base(E_bins, gap_nom, float(tau_s[0]), T_c),
+            K_r0=recombination_kernel_base(E_bins, gap_nom, float(tau_r[0]), T_c),
             pmap=pmap,
             dt=0.5 * dt,
             update_phonons=True,
-            interpret=jax.default_backend() != "tpu",
+            interpret=interpret,
         )
     if col_half is None:
+        # per-member (gap, τ) kernel stacks selected by the member-id plane
         member_id = np.zeros(gapped.shape, dtype=np.int32)
         for m in range(b):
             member_id[m * (ny + 1) : m * (ny + 1) + ny, :] = m
         plan = build_collision_plan_arrays(
             dE=dE,
-            rho_by_gap=np.broadcast_to(rho, (b, num_energy_bins)).copy(),
+            rho_by_gap=np.stack(
+                [dynes_density_of_states(E_bins, float(g), dynes_gamma) for g in gaps]
+            ),
             K_r0_by_gap=np.stack(
-                [recombination_kernel_base(E_bins, gap, float(t), T_c) for t in tau_r]
+                [
+                    recombination_kernel_base(E_bins, float(g), float(t), T_c)
+                    for g, t in zip(gaps, tau_r)
+                ]
             ),
             K_s0_by_gap=np.stack(
-                [scattering_kernel_base(E_bins, gap, float(t), T_c) for t in tau_s]
+                [
+                    scattering_kernel_base(E_bins, float(g), float(t), T_c)
+                    for g, t in zip(gaps, tau_s)
+                ]
             ),
             gap_id=member_id,
             pmap=pmap,

@@ -196,6 +196,53 @@ def test_film_ensemble_members_independent_and_match_solo():
     assert float(np.abs(np.asarray(qj)[:, ny, :]).max()) == 0.0
 
 
+def test_film_ensemble_per_member_gaps():
+    # film-to-film gap variation: members with different gaps evolve
+    # differently, and each matches a solo run at its own gap — via the
+    # analytic-gap kernel (uniform taus) AND the per-member-stack XLA path
+    # (taus varying too)
+    import jax.numpy as jnp
+
+    from qpsim_tpu.parallel.ensemble import build_film_ensemble
+
+    ny, nx, ne, b = 6, 8, 5, 3
+    gaps = np.array([150.0, 180.0, 210.0])
+    rng = np.random.default_rng(2)
+    base_q = rng.uniform(0, 1e-4, (ne, ny, nx))
+    for taus in (440.0, np.array([300.0, 440.0, 600.0])):
+        ens = build_film_ensemble(
+            n_members=b, member_shape=(ny, nx), num_energy_bins=ne,
+            energy_max_factor=3.0, gap=gaps, tau_s=taus, tau_r=taus, dt=0.1,
+            dtype=jnp.float64,
+        )
+        q_members = np.stack([base_q.copy() for _ in range(b)])
+        ph_members = ens.thermal_phonons(np.full(b, 0.2))
+        q, ph = ens.pack(q_members, ph_members)
+        qj, pj = jnp.asarray(q), jnp.asarray(ph)
+        stepped = jax.jit(ens.step)
+        for _ in range(3):
+            qj, pj = stepped(qj, pj)
+        qm, _ = ens.unpack(qj, pj)
+        assert not np.allclose(qm[0], qm[1])
+        assert not np.allclose(qm[1], qm[2])
+        # member 0 equals a solo ensemble at its own (gap, tau); note the
+        # solo energy grid must match: pass the same nominal max gap
+        solo = build_film_ensemble(
+            n_members=2, member_shape=(ny, nx), num_energy_bins=ne,
+            energy_max_factor=3.0, gap=np.array([gaps[0], gaps.max()]),
+            tau_s=np.broadcast_to(np.asarray(taus), (b,))[np.array([0, 2])],
+            tau_r=np.broadcast_to(np.asarray(taus), (b,))[np.array([0, 2])],
+            dt=0.1, dtype=jnp.float64,
+        )
+        qs, ps = solo.pack(q_members[:2], ph_members[:2])
+        qsj, psj = jnp.asarray(qs), jnp.asarray(ps)
+        solo_step = jax.jit(solo.step)
+        for _ in range(3):
+            qsj, psj = solo_step(qsj, psj)
+        qsm, _ = solo.unpack(qsj, psj)
+        np.testing.assert_allclose(qm[0], qsm[0], atol=1e-13)
+
+
 def test_sharded_nonuniform_gap_matches_single_chip():
     # non-uniform gap map: per-shard gap-id slices feed the XLA gather
     # integrator at call time (the CPU-mesh dry-run path), and variable-D
