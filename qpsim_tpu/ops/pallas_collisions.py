@@ -691,6 +691,10 @@ def build_pallas_collision_step(
             in_specs=in_specs,
             out_specs=(q_spec, ph_spec),
             out_shape=out_shape,
+            # in-place update: each tile's inputs are fetched to VMEM before
+            # its outputs are stored, so donating q/ph lets scan-carried
+            # states ping-pong without XLA inserting full-array copies
+            input_output_aliases={0: 0, 1: 1},
             interpret=interpret,
         )(*args)
         q_new = q_new.reshape(ne_, p_pad)
