@@ -18,6 +18,7 @@ from ..constants import K_B_UEV_PER_K, OCCUPATION_EXP_CLIP
 __all__ = [
     "bcs_density_of_states",
     "dynes_density_of_states",
+    "dynes_density_of_states_per_pixel",
     "bose_einstein_occupation",
     "fermi_dirac_occupation",
     "thermal_phonon_occupation",
@@ -40,6 +41,27 @@ def dynes_density_of_states(E: np.ndarray, gap: float, gamma: float = 0.0) -> np
     z = np.asarray(E, dtype=np.float64) - 1j * gamma
     with np.errstate(invalid="ignore"):
         rho = np.real(z / np.sqrt(z**2 - gap**2))
+    return np.maximum(rho, 0.0)
+
+
+def dynes_density_of_states_per_pixel(
+    E: np.ndarray, gap_values: np.ndarray, gamma: float = 0.0
+) -> np.ndarray:
+    """Vectorized ρ(Eᵢ, Δₚ): (NE, P) from per-pixel gaps in one shot.
+
+    Same formula as :func:`dynes_density_of_states`; avoids the per-unique-
+    gap Python loop, which matters for continuous gap maps where the number
+    of distinct gaps is comparable to the pixel count.
+    """
+    E = np.asarray(E, dtype=np.float64)[:, None]
+    g = np.asarray(gap_values, dtype=np.float64)[None, :]
+    if gamma <= 0:
+        above = E > g
+        r2 = np.where(above, E**2 - g**2, 1.0)
+        return np.where(above, E / np.sqrt(r2), 0.0)
+    z = E - 1j * gamma
+    with np.errstate(invalid="ignore"):
+        rho = np.real(z / np.sqrt(z**2 - g**2))
     return np.maximum(rho, 0.0)
 
 

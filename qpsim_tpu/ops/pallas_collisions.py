@@ -59,6 +59,9 @@ _DEFAULT_TILE = 2048
 #: compile at 50 bins, which buys a 4.8x faster substep than the fori_loop
 #: kernel — 1.03 vs 4.96 ms at 50×256²); VMEM at 64 bins ≈ 4.2 MB
 _MAX_UNROLLED_BINS = 64
+#: multi-gap blending adds up to 3(G−1) selects per pair, so the unroll cap
+#: drops to keep Mosaic compile times in the measured single-gap range
+_MAX_UNROLLED_BINS_MULTIGAP = 32
 
 
 def _expm1(x):
@@ -472,6 +475,8 @@ def build_pallas_collision_step_analytic(
     scattering = tau_s is not None
     recombination = tau_r is not None
     if not (scattering or recombination):
+        if gap_plane is None:  # arg-mode steps take (and ignore) the plane
+            return lambda n_qp, n_ph, gp: (n_qp, n_ph)
         return lambda n_qp, n_ph: (n_qp, n_ph)
 
     prod = np.maximum(e[:, None] * e[None, :], 1e-30)
@@ -583,7 +588,7 @@ def build_pallas_collision_step(
         return None
     if n_gaps > 1 and gap_id is None:
         return None
-    if ne > _MAX_UNROLLED_BINS:
+    if ne > (_MAX_UNROLLED_BINS if n_gaps == 1 else _MAX_UNROLLED_BINS_MULTIGAP):
         # beyond the static-unroll envelope (compile time grows as NE²),
         # dispatch to the fori_loop kernel — same contract and physics
         from .pallas_collisions_loop import build_pallas_collision_step_loop

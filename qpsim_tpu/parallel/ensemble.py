@@ -255,8 +255,11 @@ def build_film_ensemble(
 
     uniform_taus = bool(np.all(tau_s == tau_s[0]) and np.all(tau_r == tau_r[0]))
     interpret = jax.default_backend() != "tpu"
+    # Mosaic has no practical f64 support — x64 ensembles forced onto TPU
+    # stay on the XLA integrator (same guard as engine.py / sharded.py)
+    pallas_ok = jnp.dtype(dtype) != jnp.float64 or interpret
     col_half = None
-    if gaps_vary and uniform_taus:
+    if pallas_ok and gaps_vary and uniform_taus:
         # per-member gaps: exact per-pixel kernels from the Δ² plane
         from ..ops.pallas_collisions import build_pallas_collision_step_analytic
 
@@ -273,7 +276,7 @@ def build_film_ensemble(
             update_phonons=True,
             interpret=interpret,
         )
-    elif uniform_taus:
+    elif pallas_ok and uniform_taus:
         # identical member kernels: the Pallas collision kernel applies
         from ..ops.pallas_collisions import build_pallas_collision_step
 

@@ -61,6 +61,7 @@ from ..ops.diffusion import build_directional_stencils, fold_diffusion
 from ..ops.dos import (
     diffusion_coefficient_of_energy,
     dynes_density_of_states,
+    dynes_density_of_states_per_pixel,
     thermal_phonon_occupation,
 )
 from ..ops.energy_grid import build_energy_grid, integration_widths_from_centers
@@ -585,13 +586,22 @@ def _run_energy_resolved(
     elif collision_backend not in ("auto", "pallas", "xla"):
         raise ValueError(f"Unknown collision backend: {collision_backend!r}")
 
-    rho_by_gap = np.stack(
-        [dynes_density_of_states(E_bins, float(g), dynes_gamma) for g in unique_gaps]
-    )
     if use_analytic_collisions:
+        # continuous gap maps: G ~ Npix, so the per-unique-gap stacks would
+        # loop for seconds and hold (G, NE, NE) arrays; the analytic kernel
+        # needs none of them, and the Pauli ρ plane comes from the
+        # vectorized per-pixel DOS instead
+        rho_by_gap = None
+        rho_per_pixel = dynes_density_of_states_per_pixel(
+            E_bins, gap_values, dynes_gamma
+        )
         K_r0_by_gap = K_s0_by_gap = None
         plan = None
     else:
+        rho_by_gap = np.stack(
+            [dynes_density_of_states(E_bins, float(g), dynes_gamma) for g in unique_gaps]
+        )
+        rho_per_pixel = rho_by_gap[gap_lookup].T
         K_r0_by_gap = (
             np.stack(
                 [recombination_kernel_base(E_bins, float(g), tau_r_eff, T_c) for g in unique_gaps]
@@ -678,7 +688,7 @@ def _run_energy_resolved(
 
     # --- Pauli monitoring ------------------------------------------------------
     rho_state_np = np.zeros((num_energy_bins, ny, nx), dtype=np.float64)
-    rho_state_np[:, mask] = rho_by_gap[gap_lookup].T
+    rho_state_np[:, mask] = rho_per_pixel
     pauli_stats = make_pauli_stats_fn(
         jnp.asarray(rho_state_np, dtype=dtype), pauli_density_floor
     )

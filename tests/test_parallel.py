@@ -346,6 +346,11 @@ def test_analytic_step_gap_plane_arg_matches_baked():
     q2, p2 = argmode(q0, ph0, jnp.asarray(gp))
     np.testing.assert_allclose(np.asarray(q2), np.asarray(q1), rtol=1e-14, atol=0)
     np.testing.assert_allclose(np.asarray(p2), np.asarray(p1), rtol=1e-14, atol=0)
+    # both-channels-off no-op keeps the arg-mode arity
+    noop = build_pallas_collision_step_analytic(
+        **{**kw, "tau_s": None, "tau_r": None}, gap_plane=None)
+    q3, p3 = noop(q0, ph0, jnp.asarray(gp))
+    assert q3 is q0 and p3 is ph0
 
 
 def test_sharded_lazy_bin_scale_matches_single_chip(monkeypatch):
