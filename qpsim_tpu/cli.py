@@ -67,6 +67,8 @@ def _cmd_run(args: argparse.Namespace) -> int:
         save=not args.no_save,
         save_path=Path(args.output) if args.output else None,
         diffusion_backend=args.backend,
+        collision_backend=args.collision_backend,
+        strang_mode=args.strang_mode,
         checkpoint_dir=args.checkpoint_dir,
     )
     meta = result.metadata
@@ -190,6 +192,22 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--no-save", action="store_true", help="don't persist the result")
     r.add_argument(
         "--backend", default="auto", choices=("auto", "dense", "adi", "cg", "wang", "pallas")
+    )
+    r.add_argument(
+        "--collision-backend",
+        dest="collision_backend",
+        default="auto",
+        choices=("auto", "xla", "pallas"),
+        help="collision integrator (auto picks the Pallas kernels on TPU)",
+    )
+    r.add_argument(
+        "--strang-mode",
+        dest="strang_mode",
+        default="exact",
+        choices=("exact", "merged"),
+        help="'merged' fuses adjacent collision half-steps between stored "
+        "frames (~25%% faster coupled steps, same splitting order; "
+        "incompatible with external generation)",
     )
     r.add_argument("--verbose", action="store_true", help="print stored-step progress")
     r.add_argument(

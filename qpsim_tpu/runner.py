@@ -96,6 +96,8 @@ def run_setup(
     save: bool = True,
     save_path: Path | None = None,
     diffusion_backend: str = "auto",
+    collision_backend: str = "auto",
+    strang_mode: str = "exact",
     dtype=None,
     checkpoint_dir: str | Path | None = None,
 ) -> tuple[SimulationResultData, str | None]:
@@ -168,6 +170,8 @@ def run_setup(
         phonon_history_out=phonon_sink,
         progress_callback=progress_callback,
         diffusion_backend=diffusion_backend,
+        collision_backend=collision_backend,
+        strang_mode=strang_mode,
         dtype=dtype,
         checkpointer=checkpointer,
     )
