@@ -94,7 +94,7 @@ def bench_scalar_cn_1024() -> float:
 
     @jax.jit
     def chunk(u):
-        return jax.lax.scan(lambda c, _: (one(c), None), u, None, length=length)[0]
+        return jax.lax.scan(lambda c, _: (one(c), None), u, None, length=length, unroll=8)[0]
 
     u = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (1, n, n)), dtype=jnp.float32)
     per_step, _ = _timed_chunk(chunk, u, length, f"scalar CN {n}^2")
@@ -165,7 +165,8 @@ def bench_coupled_2d(ny=256, nx=256, ne=16, length=1000) -> dict:
 
     @jax.jit
     def chunk(state):
-        return jax.lax.scan(step, state, None, length=length)[0]
+        # unroll=4 is the measured optimum at this carry size (8 regresses)
+        return jax.lax.scan(step, state, None, length=length, unroll=4)[0]
 
     per_step, _ = _timed_chunk(chunk, (q0, ph0), length, f"coupled 2D {ny}x{nx}x{ne}")
     px_collisions = 2 * ny * nx / per_step
@@ -204,7 +205,7 @@ def bench_masked_512(length: int = 2000) -> dict:
 
     @jax.jit
     def chunk(u):
-        return jax.lax.scan(lambda c, _: (one(c), None), u, None, length=length)[0]
+        return jax.lax.scan(lambda c, _: (one(c), None), u, None, length=length, unroll=8)[0]
 
     u0 = np.zeros((1, n, n), np.float32)
     u0[0][mask] = 1.0
@@ -233,7 +234,7 @@ def bench_coupled_full_scale(length: int = 200) -> dict:
 
     @jax.jit
     def chunk(state):
-        return jax.lax.scan(step, state, None, length=length)[0]
+        return jax.lax.scan(step, state, None, length=length, unroll=8)[0]
 
     per_step, _ = _timed_chunk(chunk, (q0, ph0), length, "coupled 1024^2 x 16")
 
@@ -266,7 +267,7 @@ def bench_coupled_full_scale(length: int = 200) -> dict:
     def chunk_m(state):
         q, ph = state
         q, ph = col_half(q, ph)
-        (q, ph), _ = jax.lax.scan(step_m, (q, ph), None, length=length - 1)
+        (q, ph), _ = jax.lax.scan(step_m, (q, ph), None, length=length - 1, unroll=8)
         q = diff(q)
         q, ph = col_half(q, ph)
         return q, ph
@@ -315,7 +316,7 @@ def bench_collisions_50bin(ny=256, nx=256, ne=50, length=200) -> dict:
 
     @jax.jit
     def chunk(state):
-        return jax.lax.scan(lambda c, _: (col(*c), None), state, None, length=length)[0]
+        return jax.lax.scan(lambda c, _: (col(*c), None), state, None, length=length, unroll=8)[0]
 
     per_step, _ = _timed_chunk(chunk, (q0, ph0), length, f"collisions {ny}x{nx}x{ne}")
     return {
@@ -356,7 +357,7 @@ def bench_analytic_gap(ny=256, nx=256, ne=16, length=1000) -> dict:
 
     @jax.jit
     def chunk(state):
-        return jax.lax.scan(lambda c, _: (col(*c), None), state, None, length=length)[0]
+        return jax.lax.scan(lambda c, _: (col(*c), None), state, None, length=length, unroll=8)[0]
 
     per_step, _ = _timed_chunk(chunk, (q0, ph0), length, f"analytic-gap {ny}x{nx}x{ne}")
     return {"analytic_gap_ms_per_substep": per_step * 1e3}
@@ -379,7 +380,7 @@ def bench_1d_64bin(nx=4096, ne=64, length=200) -> dict:
 
     @jax.jit
     def chunk(state):
-        return jax.lax.scan(step, state, None, length=length)[0]
+        return jax.lax.scan(step, state, None, length=length, unroll=8)[0]
 
     per_step, _ = _timed_chunk(chunk, (q0, ph0), length, f"1D {nx}x{ne}bins")
     return {
@@ -409,7 +410,7 @@ def bench_ensemble_sweep(n_members=32, member=(64, 64), ne=8, length=1000) -> di
 
     @jax.jit
     def chunk(state):
-        return jax.lax.scan(lambda c, _: (ens.step(*c), None), state, None, length=length)[0]
+        return jax.lax.scan(lambda c, _: (ens.step(*c), None), state, None, length=length, unroll=8)[0]
 
     state = (jnp.asarray(q, jnp.float32), jnp.asarray(ph, jnp.float32))
     per_step, _ = _timed_chunk(chunk, state, length, f"ensemble {n_members}x{member}x{ne}")
@@ -441,7 +442,7 @@ def bench_mkid_pulse(total_steps=10_000, nx=1024, ne=16) -> dict:
 
     @jax.jit
     def run_chunk(state, i0):
-        return jax.lax.scan(step, state, i0 + jnp.arange(chunk_len))[0]
+        return jax.lax.scan(step, state, i0 + jnp.arange(chunk_len), unroll=8)[0]
 
     state = (q0, ph0)
     state = run_chunk(state, jnp.asarray(0))

@@ -332,10 +332,14 @@ def _run_scalar(
                 step_fns[key] = jax.jit(lambda s: s)
             else:
                 one, aux = backend.make_step_aux(seg_dt)
+                # amortize the while-loop back-edge cost on large carries
+                # (same rationale as the energy-resolved segment runner)
+                u = 8 if int(mask.sum()) >= (1 << 18) else 1
 
                 def run(s, a):
                     return jax.lax.scan(
-                        lambda c, _: (one(c, a), None), s, None, length=length
+                        lambda c, _: (one(c, a), None), s, None, length=length,
+                        unroll=u,
                     )[0]
 
                 jit_run = jax.jit(run)
@@ -771,6 +775,18 @@ def _run_energy_resolved(
         return make_collision_step(plan, dt_col)
 
     # --- compiled segment runners -------------------------------------------------
+    # TPU while-loops pay a fixed per-iteration cost that scales with the
+    # carry size (back-edge buffer copies: ~2.9 ms at 1024²×16 QP+phonon
+    # carries); unrolling the scan body amortizes it — measured collision
+    # substeps 4.8 → 2.3 ms and full coupled steps 7.6 → 5.2 ms at
+    # unroll=8 on 1024²×16.  Gated on carry size so small-grid (CPU test)
+    # compile times are unaffected.
+    # measured optimum shifts with carry size: 8 at 1024²-class carries,
+    # 4 at 256²-class (unroll=8 regresses there — 0.374 vs 0.302 ms/step)
+    _carry_elems = n_spatial * (num_energy_bins + pmap.num_omega)
+    scan_unroll = (
+        8 if _carry_elems >= (1 << 24) else (4 if _carry_elems >= (1 << 20) else 1)
+    )
     seg_cache: dict[tuple[float, int], Callable] = {}
 
     def segment_runner(seg_dt: float, length: int):
@@ -831,7 +847,7 @@ def _run_energy_resolved(
                     return (qq, pp), stats + (no, no)
 
                 (qq, pp), stats = jax.lax.scan(
-                    body_m, (qq, pp), None, length=length - 1
+                    body_m, (qq, pp), None, length=length - 1, unroll=scan_unroll
                 )
                 qq = diff_step(qq, daux)
                 qq, pp = col_half(qq, pp)
@@ -847,7 +863,8 @@ def _run_energy_resolved(
                 return run_merged(qq, pp)
 
             (qq, pp, _), stats = jax.lax.scan(
-                body, (qq, pp, t_start), jnp.arange(length), length=length
+                body, (qq, pp, t_start), jnp.arange(length), length=length,
+                unroll=scan_unroll,
             )
             return qq, pp, stats
 
