@@ -190,6 +190,24 @@ class FilmEnsemble:
             out[m] = thermal_phonon_occupation(self.omega_bins, float(t))[:, None, None]
         return out
 
+    def make_chunk(self, n_steps: int, *, unroll: int = 8):
+        """Jitted ``(q, ph) -> (q, ph)`` advancing n_steps with an unrolled
+        scan — amortizes the TPU while-loop back-edge cost on big carries."""
+        import jax
+
+        step = self.step
+
+        @jax.jit
+        def chunk(q, ph):
+            def body(carry, _):
+                return step(*carry), None
+
+            return jax.lax.scan(
+                body, (q, ph), None, length=n_steps, unroll=min(unroll, n_steps)
+            )[0]
+
+        return chunk
+
 
 def build_film_ensemble(
     *,

@@ -69,7 +69,10 @@ class ShardedStep:
     """Compiled multi-chip step: ``(q, ph) -> (q, ph, mass)``.
 
     ``q_sharding`` / ``ph_sharding`` describe the expected input placement;
-    ``step`` is jit-compiled over the mesh.
+    ``step`` is jit-compiled over the mesh.  For many steps prefer
+    :meth:`make_chunk` over calling ``step`` in a Python loop or scanning
+    it yourself: TPU while-loops pay a per-iteration back-edge cost that
+    scales with the carry size, which the chunk amortizes by unrolling.
     """
 
     mesh: Mesh
@@ -77,6 +80,31 @@ class ShardedStep:
     q_sharding: NamedSharding
     ph_sharding: NamedSharding
     grid_shape: tuple[int, int]
+
+    def make_chunk(self, n_steps: int, *, unroll: int = 8) -> Callable:
+        """Return jitted ``(q, ph) -> (q, ph, mass)`` advancing n_steps.
+
+        ``mass`` is from the final step.  The scan body is unrolled
+        (default 8 — the measured optimum for 1024²-class carries; use 4
+        for 256²-class).
+        """
+        import jax
+
+        step = self.step  # jitted callables inline when traced inside jit
+
+        @jax.jit
+        def chunk(q, ph):
+            def body(carry, _):
+                q, ph = carry
+                q, ph, mass = step(q, ph)
+                return (q, ph), mass
+
+            (q, ph), masses = jax.lax.scan(
+                body, (q, ph), None, length=n_steps, unroll=min(unroll, n_steps)
+            )
+            return q, ph, masses[-1]
+
+        return chunk
 
 
 def build_sharded_step(

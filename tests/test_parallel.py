@@ -322,6 +322,42 @@ def test_sharded_nonuniform_gap_matches_single_chip():
     assert not np.allclose(final[: ny // 2].sum(), final[ny // 2 :].sum())
 
 
+def test_chunk_helpers_match_stepwise():
+    # make_chunk (sharded + ensemble) equals calling step() n times
+    import jax.numpy as jnp
+
+    from qpsim_tpu.parallel.ensemble import build_film_ensemble
+
+    ny, nx = 16, 16
+    mask, edges, bcs = _geometry(ny, nx)
+    xs, ys = build_directional_stencils(mask, edges, bcs, 1.0)
+    op = fold_diffusion(xs, ys, mask, 1.0, 6.0)
+    mesh = make_mesh(n_space=len(jax.devices()))
+    sharded = build_sharded_step(mesh, op, 0.05, dtype=jnp.float64)
+    q = jax.device_put(jnp.ones((1, ny, nx)), sharded.q_sharding)
+    ph = jax.device_put(jnp.zeros((1, ny, nx)), sharded.ph_sharding)
+    q_it, ph_it = q, ph
+    for _ in range(5):
+        q_it, ph_it, mass_it = sharded.step(q_it, ph_it)
+    q_ch, ph_ch, mass_ch = sharded.make_chunk(5, unroll=2)(q, ph)
+    np.testing.assert_allclose(np.asarray(q_ch), np.asarray(q_it), atol=1e-14)
+    assert abs(float(mass_ch) - float(mass_it)) < 1e-10
+
+    ens = build_film_ensemble(n_members=2, member_shape=(6, 8), num_energy_bins=4,
+                              energy_max_factor=3.0, dt=0.1, dtype=jnp.float64)
+    rng = np.random.default_rng(1)
+    qm, pm_ = ens.pack(rng.uniform(0, 1e-4, (2, 4, 6, 8)),
+                       ens.thermal_phonons(np.full(2, 0.2)))
+    qe, pe = jnp.asarray(qm), jnp.asarray(pm_)
+    q_it2, p_it2 = qe, pe
+    stepped = jax.jit(ens.step)
+    for _ in range(4):
+        q_it2, p_it2 = stepped(q_it2, p_it2)
+    q_ch2, p_ch2 = ens.make_chunk(4, unroll=2)(qe, pe)
+    np.testing.assert_allclose(np.asarray(q_ch2), np.asarray(q_it2), atol=1e-14)
+    np.testing.assert_allclose(np.asarray(p_ch2), np.asarray(p_it2), atol=1e-14)
+
+
 def test_analytic_step_gap_plane_arg_matches_baked():
     # the call-time gap-plane variant (used by sharded TPU runs) is the
     # same computation as the baked-plane variant
