@@ -234,7 +234,7 @@ def bench_coupled_full_scale(length: int = 200) -> dict:
 
     @jax.jit
     def chunk(state):
-        return jax.lax.scan(step, state, None, length=length, unroll=8)[0]
+        return jax.lax.scan(step, state, None, length=length, unroll=32)[0]
 
     per_step, _ = _timed_chunk(chunk, (q0, ph0), length, "coupled 1024^2 x 16")
 
@@ -267,7 +267,7 @@ def bench_coupled_full_scale(length: int = 200) -> dict:
     def chunk_m(state):
         q, ph = state
         q, ph = col_half(q, ph)
-        (q, ph), _ = jax.lax.scan(step_m, (q, ph), None, length=length - 1, unroll=8)
+        (q, ph), _ = jax.lax.scan(step_m, (q, ph), None, length=length - 1, unroll=32)
         q = diff(q)
         q, ph = col_half(q, ph)
         return q, ph

@@ -339,7 +339,7 @@ def _run_scalar(
                 def run(s, a):
                     return jax.lax.scan(
                         lambda c, _: (one(c, a), None), s, None, length=length,
-                        unroll=u,
+                        unroll=min(u, length),
                     )[0]
 
                 jit_run = jax.jit(run)
@@ -781,11 +781,13 @@ def _run_energy_resolved(
     # substeps 4.8 → 2.3 ms and full coupled steps 7.6 → 5.2 ms at
     # unroll=8 on 1024²×16.  Gated on carry size so small-grid (CPU test)
     # compile times are unaffected.
-    # measured optimum shifts with carry size: 8 at 1024²-class carries,
+    # measured optimum shifts with carry size: 32 at 1024²-class carries
+    # (5.01 vs 5.27 ms/step at 8 — the residual F/u keeps shrinking and
+    # XLA's cached kernels make the extra unroll cheap to compile),
     # 4 at 256²-class (unroll=8 regresses there — 0.374 vs 0.302 ms/step)
     _carry_elems = n_spatial * (num_energy_bins + pmap.num_omega)
     scan_unroll = (
-        8 if _carry_elems >= (1 << 24) else (4 if _carry_elems >= (1 << 20) else 1)
+        32 if _carry_elems >= (1 << 24) else (4 if _carry_elems >= (1 << 20) else 1)
     )
     seg_cache: dict[tuple[float, int], Callable] = {}
 
@@ -847,7 +849,8 @@ def _run_energy_resolved(
                     return (qq, pp), stats + (no, no)
 
                 (qq, pp), stats = jax.lax.scan(
-                    body_m, (qq, pp), None, length=length - 1, unroll=scan_unroll
+                    body_m, (qq, pp), None, length=length - 1,
+                    unroll=min(scan_unroll, length - 1),
                 )
                 qq = diff_step(qq, daux)
                 qq, pp = col_half(qq, pp)
@@ -864,7 +867,7 @@ def _run_energy_resolved(
 
             (qq, pp, _), stats = jax.lax.scan(
                 body, (qq, pp, t_start), jnp.arange(length), length=length,
-                unroll=scan_unroll,
+                unroll=min(scan_unroll, length),
             )
             return qq, pp, stats
 
