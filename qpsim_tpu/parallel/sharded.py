@@ -141,6 +141,10 @@ def build_sharded_step(
     """
     ny, nx = op.mask.shape
     n_space = mesh.shape[SPACE_AXIS]
+    # Backend selection must follow the devices the step will RUN on, not the
+    # process default: a CPU dry-run mesh can coexist with a TPU default
+    # backend (this environment registers platforms "axon,cpu" side by side).
+    mesh_platform = next(iter(np.asarray(mesh.devices).flat)).platform
     if ny % n_space or nx % n_space:
         raise ValueError(
             f"Grid {ny}x{nx} must divide by the {n_space}-way 'space' axis in "
@@ -180,7 +184,7 @@ def build_sharded_step(
     # local tridiagonal solves: the in-VMEM Pallas solve (fused coefficient
     # assembly + Wang partition, ops.pallas_adi) on TPU f32; the XLA scan
     # Thomas elsewhere (CPU-mesh dry runs, f64 parity).
-    on_tpu_solve = jax.default_backend() == "tpu"
+    on_tpu_solve = mesh_platform == "tpu"
     if tridiag_backend == "auto":
         pallas_solve = on_tpu_solve and jnp.dtype(dtype) == jnp.float32
         pallas_interpret = False
@@ -224,7 +228,7 @@ def build_sharded_step(
                 "(per-pixel kernels are built from the energy grid and taus)"
             )
         pmap_g: PhononFrequencyMap = collisions["pmap"]
-        on_tpu_c = jax.default_backend() == "tpu"
+        on_tpu_c = mesh_platform == "tpu"
         dtype_ok_c = jnp.dtype(dtype) != jnp.float64 or not on_tpu_c
         e_bins_g = collisions.get("E_bins")
         use_analytic = on_tpu_c and dtype_ok_c and e_bins_g is not None
@@ -297,7 +301,7 @@ def build_sharded_step(
         # envelope holds and E_bins are provided, XLA integrator otherwise
         # (including the CPU-mesh dry runs, where Pallas TPU kernels can't run).
         use_pallas = collisions.get("use_pallas", "auto")
-        on_tpu = jax.default_backend() == "tpu"
+        on_tpu = mesh_platform == "tpu"
         # Mosaic has no practical f64 support (same guard as the engine)
         dtype_ok = jnp.dtype(dtype) != jnp.float64 or not on_tpu
         want_pallas = use_pallas is True or (use_pallas == "auto" and on_tpu and dtype_ok)

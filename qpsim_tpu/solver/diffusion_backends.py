@@ -443,7 +443,11 @@ def choose_backend(op: SplitOperator, dtype, preference: str = "auto"):
     n_cells = int(np.asarray(op.mask, dtype=bool).sum())
     if n_cells <= DENSE_BACKEND_MAX_CELLS:
         return DenseSpectralDiffusion(op, dtype)
-    if _pallas_adi_ok(dtype) is None:
+    if _pallas_adi_ok(dtype) is None and min(op.mask.shape) >= 8:
+        # Degenerate/1D grids stay on XLA ADI: the Pallas solve pads the
+        # short axis to full 128-lane tiles (~128x wasted work on a 1xN
+        # wire), and a long wire's single-tile working set (5 line blocks +
+        # 4 Wang scratch buffers) presses against the 16 MB VMEM budget.
         return PallasADI(op, dtype)
     # NOTE: PrefactoredWangADI stays out of 'auto': on v5e at 1024²×16 its
     # factor-array traffic (10 full-size reads/step) costs more than the
