@@ -34,6 +34,9 @@ operators (reference solver.py:1085-1089).
 
 from __future__ import annotations
 
+import hashlib
+import threading
+from collections import OrderedDict
 from dataclasses import dataclass
 from typing import Any, Callable
 
@@ -72,7 +75,13 @@ from .diffusion_backends import choose_backend
 from .pauli import PauliEnforcer, make_pauli_stats_fn
 from .phonon_history import build_fixed_phonon_history, reconstruct_field
 
-__all__ = ["run_2d_crank_nicolson", "reconstruct_field", "default_dtype"]
+__all__ = [
+    "run_2d_crank_nicolson",
+    "reconstruct_field",
+    "default_dtype",
+    "clear_engine_program_cache",
+    "engine_trace_count",
+]
 
 
 def default_dtype():
@@ -150,13 +159,21 @@ def run_2d_crank_nicolson(
     checkpointer=None,
     collision_backend: str = "auto",
     strang_mode: str = "exact",
+    mesh=None,
 ) -> tuple:
     """Run an (optionally energy-resolved) masked 2D diffusion–collision sim.
 
     Reference-compatible entry point; see module docstring.  TPU-specific
     keyword-only extras: ``diffusion_backend`` ('auto'|'dense'|'adi'|'cg'|'wang'|'pallas'),
     ``dtype`` (defaults to f64 under x64, else f32), ``pixel_chunk``
-    (collision chunking) and ``strang_mode``:
+    (collision chunking), ``mesh`` (a ``jax.sharding.Mesh`` with a 'space'
+    axis: the hot loop is routed through the spatially sharded multi-chip
+    step from :func:`qpsim_tpu.parallel.sharded.build_sharded_step` —
+    ppermute halos + all_to_all pencil transposes — while snapshots,
+    checkpoints, Pauli monitoring and generation keep their single-chip
+    semantics; requires energy-resolved mode, ``enable_diffusion=True``,
+    a grid divisible by the 'space' axis in both dimensions, and
+    ``strang_mode='exact'``) and ``strang_mode``:
 
     * ``"exact"`` (default) — the reference's stepping, C(dt/2) D(dt) C(dt/2)
       every step (``/root/reference/qpsim/solver.py:1466-1475``).
@@ -187,6 +204,21 @@ def run_2d_crank_nicolson(
                 "the merged composition has no per-step boundary to apply g_ext at. "
                 "Use strang_mode='exact'."
             )
+    if mesh is not None:
+        if energy_gap <= 0.0:
+            raise ValueError(
+                "mesh= requires energy-resolved mode (energy_gap > 0); the "
+                "scalar path is single-chip (use the ensemble API for "
+                "data-parallel scalar sweeps)."
+            )
+        if not enable_diffusion:
+            raise ValueError(
+                "mesh= requires enable_diffusion=True: pure collision "
+                "physics is pixel-local and needs no spatial sharding "
+                "(use qpsim_tpu.parallel.ensemble for data parallelism)."
+            )
+        if strang_mode != "exact":
+            raise ValueError("mesh= currently supports strang_mode='exact' only.")
     if store_every <= 0:
         store_every = 1
     mask = np.asarray(mask, dtype=bool)
@@ -253,6 +285,7 @@ def run_2d_crank_nicolson(
             checkpointer=checkpointer,
             collision_backend=collision_backend,
             strang_mode=strang_mode,
+            mesh=mesh,
         )
 
     return _run_scalar(
@@ -429,90 +462,211 @@ def _run_scalar(
 # --------------------------------------------------------------------------
 
 
-def _run_energy_resolved(
+# --------------------------------------------------------------------------
+# energy-resolved mode: cross-call compiled-program cache
+# --------------------------------------------------------------------------
+#
+# ``run_2d_crank_nicolson`` used to rebuild (and therefore re-jit) its
+# segment runners on every call — minutes of remote-TPU compile per call at
+# 1024²×16 (the reference GUI runs the same setup again and again,
+# /root/reference/qpsim/ui/main_app.py:1873).  The compiled program depends
+# only on the *configuration* (geometry, BCs, energy grid, kernels, toggles,
+# dtype), not on the initial state or run length, so it is cached at module
+# level keyed on a fingerprint of exactly those inputs; a second run with
+# the same setup compiles nothing (tests/test_engine.py asserts zero new
+# traces via ``engine_trace_count``).
+
+_TRACE_EVENTS = 0  # incremented whenever a segment/step body is traced
+
+
+def engine_trace_count() -> int:
+    """Number of segment-runner traces since import (test/diagnostic hook)."""
+    return _TRACE_EVENTS
+
+
+@dataclass
+class _EngineProgram:
+    pmap: Any
+    segment_runner: Callable  # (seg_dt, length) -> compiled segment fn
+    single_step: Callable  # (seg_dt,) -> compiled one-step fn
+    pauli_stats_jit: Callable
+    host_gen: bool
+    q_sharding: Any = None  # set in mesh mode: expected state placement
+    ph_sharding: Any = None
+
+
+_PROGRAM_CACHE: "OrderedDict[str, _EngineProgram]" = OrderedDict()
+_PROGRAM_CACHE_MAX = 4
+_PROGRAM_CACHE_LOCK = threading.Lock()
+
+
+def clear_engine_program_cache() -> None:
+    """Drop all cached compiled programs (frees their captured device arrays)."""
+    with _PROGRAM_CACHE_LOCK:
+        _PROGRAM_CACHE.clear()
+
+
+def _hash_update_array(h, a) -> None:
+    a = np.ascontiguousarray(a)
+    h.update(str(a.dtype).encode())
+    h.update(str(a.shape).encode())
+    h.update(a.tobytes())
+
+
+def _engine_program_key(
     *,
     mask,
     edges,
     edge_conditions,
-    initial_field,
-    diffusion_coefficient,
-    dt,
     dx,
-    segments,
-    total_steps,
-    energy_gap,
-    energy_min_factor,
-    energy_max_factor,
+    dtype,
+    gap,
+    E_bins,
+    dE,
     num_energy_bins,
-    energy_weights,
+    diffusion_coefficient,
     enable_diffusion,
+    diffusion_backend,
+    precomputed,
+    nonuniform_gap,
     enable_recombination,
     enable_scattering,
     dynes_gamma,
-    collision_solver,
     tau_s_eff,
     tau_r_eff,
     T_c,
-    bath_temperature,
-    external_generation,
-    initial_condition_spec,
-    gap_expression,
-    precomputed,
-    pauli_warn_threshold,
-    pauli_error_threshold,
-    enforce_pauli,
-    pauli_density_floor,
     freeze_phonon_dynamics,
-    phonon_history_out,
-    progress_callback,
-    diffusion_backend,
-    dtype,
+    collision_backend,
     pixel_chunk,
-    checkpointer=None,
-    collision_backend="auto",
-    strang_mode="exact",
-):
-    gap = float(energy_gap)
+    external_generation,
+    pauli_density_floor,
+    strang_mode,
+    mesh=None,
+) -> str:
+    h = hashlib.sha256()
+
+    def put(*vals):
+        h.update(repr(vals).encode())
+
+    put(
+        "engine-program-v1",
+        jax.default_backend(),
+        str(jnp.dtype(dtype)),
+        bool(jax.config.jax_enable_x64),
+        mask.shape,
+        float(dx),
+        float(gap),
+        float(dE),
+        int(num_energy_bins),
+        float(diffusion_coefficient),
+        bool(enable_diffusion),
+        str(diffusion_backend),
+        bool(nonuniform_gap),
+        bool(enable_recombination),
+        bool(enable_scattering),
+        float(dynes_gamma),
+        float(tau_s_eff),
+        float(tau_r_eff),
+        float(T_c),
+        bool(freeze_phonon_dynamics),
+        str(collision_backend),
+        int(pixel_chunk),
+        float(pauli_density_floor),
+        str(strang_mode),
+    )
+    if mesh is not None:
+        put(
+            "mesh",
+            tuple(mesh.shape.items()),
+            tuple((int(d.id), str(d.platform)) for d in np.asarray(mesh.devices).flat),
+        )
+    _hash_update_array(h, np.packbits(np.asarray(mask, dtype=bool)))
+    _hash_update_array(h, np.asarray(E_bins, dtype=np.float64))
+    for e in edges:
+        put(
+            e.edge_id,
+            e.x0,
+            e.y0,
+            e.x1,
+            e.y1,
+            e.normal,
+            tuple((f.row, f.col, f.direction) for f in e.faces),
+        )
+    for eid in sorted(edge_conditions):
+        bc = edge_conditions[eid]
+        put(eid, bc.kind, bc.value, bc.aux_value)
+    if external_generation is not None:
+        put(
+            external_generation.mode,
+            external_generation.rate,
+            external_generation.pulse_start,
+            external_generation.pulse_duration,
+            external_generation.pulse_rate,
+            external_generation.custom_body,
+        )
+        for k in sorted(external_generation.custom_params):
+            v = external_generation.custom_params[k]
+            if isinstance(v, np.ndarray):
+                put("param-array", k)
+                _hash_update_array(h, v)
+            else:
+                put(k, v)
+    if precomputed is not None:
+        put("precomputed", bool(np.asarray(precomputed.get("is_uniform", True)).reshape(-1)[0]))
+        _hash_update_array(h, np.asarray(precomputed["D_array"], dtype=np.float64))
+        if "gap_values" in precomputed:
+            _hash_update_array(h, np.asarray(precomputed["gap_values"], dtype=np.float64))
+    return h.hexdigest()
+
+
+def _get_engine_program(**kw) -> _EngineProgram:
+    key = _engine_program_key(**kw)
+    with _PROGRAM_CACHE_LOCK:
+        prog = _PROGRAM_CACHE.get(key)
+        if prog is not None:
+            _PROGRAM_CACHE.move_to_end(key)
+            return prog
+    prog = _build_engine_program(**kw)
+    with _PROGRAM_CACHE_LOCK:
+        _PROGRAM_CACHE[key] = prog
+        while len(_PROGRAM_CACHE) > _PROGRAM_CACHE_MAX:
+            _PROGRAM_CACHE.popitem(last=False)
+    return prog
+
+
+def _build_engine_program(
+    *,
+    mask,
+    edges,
+    edge_conditions,
+    dx,
+    dtype,
+    gap,
+    E_bins,
+    dE,
+    num_energy_bins,
+    diffusion_coefficient,
+    enable_diffusion,
+    diffusion_backend,
+    precomputed,
+    nonuniform_gap,
+    enable_recombination,
+    enable_scattering,
+    dynes_gamma,
+    tau_s_eff,
+    tau_r_eff,
+    T_c,
+    freeze_phonon_dynamics,
+    collision_backend,
+    pixel_chunk,
+    external_generation,
+    pauli_density_floor,
+    strang_mode,
+    mesh=None,
+) -> _EngineProgram:
     ny, nx = mask.shape
     n_spatial = int(mask.sum())
-    E_bins, dE = build_energy_grid(gap, energy_min_factor, energy_max_factor, num_energy_bins)
-    normalize_collision_solver_name(collision_solver)
-
-    custom_qp_state = None
-    if initial_condition_spec is not None:
-        custom_qp_state = build_initial_qp_energy_state(mask, E_bins, initial_condition_spec)
-
-    # Auto-precompute diffusion arrays when a gap map is requested.
-    if precomputed is None and str(gap_expression or "").strip():
-        from ..io.precompute import precompute_arrays
-        from ..models.params import SimulationParameters
-
-        auto_params = SimulationParameters(
-            diffusion_coefficient=diffusion_coefficient,
-            dt=dt,
-            total_time=max(dt, dt * max(1, total_steps)),
-            mesh_size=dx,
-            energy_gap=energy_gap,
-            energy_min_factor=energy_min_factor,
-            energy_max_factor=energy_max_factor,
-            num_energy_bins=num_energy_bins,
-            dynes_gamma=dynes_gamma,
-            gap_expression=gap_expression,
-            tau_0=0.5 * (tau_s_eff + tau_r_eff),
-            tau_s=tau_s_eff,
-            tau_r=tau_r_eff,
-            T_c=T_c,
-            bath_temperature=bath_temperature,
-        )
-        precomputed = precompute_arrays(
-            mask, edges, edge_conditions, auto_params, include_collision_kernels=False
-        )
-
     has_precomp = precomputed is not None
-    nonuniform_gap = has_precomp and not bool(
-        np.asarray(precomputed.get("is_uniform", True)).reshape(-1)[0]
-    )
-
     if has_precomp:
         D_array = np.asarray(precomputed["D_array"], dtype=np.float64)  # (NE, P)
     else:
@@ -530,7 +684,8 @@ def _run_energy_resolved(
             op = fold_diffusion(x_st, y_st, mask, dx, D_dense)
         else:
             op = fold_diffusion(x_st, y_st, mask, dx, D_array[:, 0])
-        backend = choose_backend(op, dtype, diffusion_backend)
+        # mesh mode builds its own local solves inside the sharded step
+        backend = None if mesh is not None else choose_backend(op, dtype, diffusion_backend)
 
     # --- collision data ------------------------------------------------------
     pmap = build_phonon_frequency_map(E_bins)
@@ -634,86 +789,11 @@ def _run_energy_resolved(
             dtype=dtype,
             pixel_chunk=pixel_chunk,
         )
-
-    # --- initial states ------------------------------------------------------
-    if custom_qp_state is not None:
-        state_flat = np.asarray(custom_qp_state, dtype=np.float64)
-        if state_flat.shape != (num_energy_bins, n_spatial):
-            raise ValueError(
-                "Full custom quasiparticle profile must have shape "
-                f"({num_energy_bins}, {n_spatial}); got {state_flat.shape}."
-            )
-        if not np.all(np.isfinite(state_flat)):
-            raise ValueError("Full custom quasiparticle profile produced non-finite values.")
-        if np.any(state_flat < 0):
-            raise ValueError("Full custom quasiparticle profile must be non-negative.")
-    else:
-        spatial_values = initial_field[mask].astype(np.float64)
-        if energy_weights is not None:
-            raw_w = np.asarray(energy_weights, dtype=np.float64)
-            if raw_w.ndim != 1:
-                raise ValueError("energy_weights must be a 1D array.")
-            if raw_w.shape[0] != num_energy_bins:
-                raise ValueError(
-                    f"energy_weights must have length {num_energy_bins}, got {raw_w.shape[0]}."
-                )
-            if not np.all(np.isfinite(raw_w)):
-                raise ValueError("energy_weights must contain only finite values.")
-            if np.any(raw_w < 0):
-                raise ValueError("energy_weights must be non-negative.")
-            integral = float(np.sum(raw_w) * dE)
-            weights = raw_w / integral if integral > 0 else np.full(
-                num_energy_bins, 1.0 / (num_energy_bins * dE)
-            )
-        else:
-            rho_w = dynes_density_of_states(E_bins, gap, dynes_gamma)
-            integral = float(np.sum(rho_w) * dE)
-            weights = rho_w / integral if integral > 0 else np.full(
-                num_energy_bins, 1.0 / (num_energy_bins * dE)
-            )
-        state_flat = weights[:, None] * spatial_values[None, :]
-
-    if initial_condition_spec is not None:
-        phonon_flat = build_initial_phonon_energy_state(
-            mask, omega_bins, initial_condition_spec, bath_temperature
-        )
-    else:
-        phonon_flat = thermal_phonon_occupation(omega_bins, bath_temperature)[:, None] * np.ones(
-            (1, n_spatial)
-        )
-
-    nw = omega_bins.size
-    q_np = np.zeros((num_energy_bins, ny, nx), dtype=np.float64)
-    q_np[:, mask] = state_flat
-    ph_np = np.zeros((nw, ny, nx), dtype=np.float64)
-    ph_np[:, mask] = phonon_flat
-    q = jnp.asarray(q_np, dtype=dtype)
-    ph = jnp.asarray(ph_np, dtype=dtype)
-
-    # --- Pauli monitoring ------------------------------------------------------
     rho_state_np = np.zeros((num_energy_bins, ny, nx), dtype=np.float64)
     rho_state_np[:, mask] = rho_per_pixel
     pauli_stats = make_pauli_stats_fn(
         jnp.asarray(rho_state_np, dtype=dtype), pauli_density_floor
     )
-    enforcer = PauliEnforcer(
-        E_bins=E_bins,
-        grid_shape=(ny, nx),
-        enforce=enforce_pauli,
-        warn_threshold=pauli_warn_threshold,
-        error_threshold=pauli_error_threshold,
-    )
-
-    init_stats = jax.jit(pauli_stats)(q)
-    enforcer.check(
-        0,
-        0.0,
-        float(init_stats[0]),
-        int(init_stats[1]),
-        bool(init_stats[2]),
-        int(init_stats[3]),
-    )
-
     # --- generation --------------------------------------------------------------
     gen = build_generation_program(external_generation, E_bins, mask, dtype)
     mask_dev = jnp.asarray(mask)
@@ -791,6 +871,113 @@ def _run_energy_resolved(
     )
     seg_cache: dict[tuple[float, int], Callable] = {}
 
+    if mesh is not None:
+        # --- multi-chip: route the hot loop through the sharded step --------
+        # Same C(dt/2) D(dt) C(dt/2) composition (ppermute halos +
+        # all_to_all pencil transposes over the 'space' axis); generation
+        # and Pauli statistics stay in the scan body as plain jnp ops, which
+        # GSPMD partitions against the sharded state automatically.
+        from ..parallel.sharded import build_sharded_step
+
+        if collisions_on:
+            if int(unique_gaps.size) == 1:
+                mesh_collisions = dict(
+                    E_bins=E_bins, dE=dE, rho=rho_by_gap[0], pmap=pmap,
+                    K_r0=None if K_r0_by_gap is None else K_r0_by_gap[0],
+                    K_s0=None if K_s0_by_gap is None else K_s0_by_gap[0],
+                    enable_recombination=enable_recombination,
+                    enable_scattering=enable_scattering,
+                    update_phonons=not freeze_phonon_dynamics,
+                    pixel_chunk=pixel_chunk,
+                )
+            else:
+                gap_plane = np.full((ny, nx), gap, dtype=np.float64)
+                gap_plane[mask] = gap_values
+                mesh_collisions = dict(
+                    E_bins=E_bins, dE=dE, pmap=pmap, gap_plane=gap_plane,
+                    tau_s=tau_s_eff, tau_r=tau_r_eff, T_c=T_c,
+                    dynes_gamma=dynes_gamma,
+                    enable_recombination=enable_recombination,
+                    enable_scattering=enable_scattering,
+                    update_phonons=not freeze_phonon_dynamics,
+                    pixel_chunk=pixel_chunk,
+                )
+        else:
+            mesh_collisions = None
+
+        sharded_cache: dict[float, Any] = {}
+
+        def get_sharded(seg_dt: float):
+            if seg_dt not in sharded_cache:
+                sharded_cache[seg_dt] = build_sharded_step(
+                    mesh, op, seg_dt, dx=dx, collisions=mesh_collisions, dtype=dtype
+                )
+            return sharded_cache[seg_dt]
+
+        def segment_runner_mesh(seg_dt: float, length: int):
+            key = (seg_dt, length)
+            if key in seg_cache:
+                return seg_cache[key]
+            sh = get_sharded(seg_dt)
+
+            def run(qq, pp, t_start):
+                global _TRACE_EVENTS
+                _TRACE_EVENTS += 1
+
+                def body(carry, idx):
+                    qq, pp, t0 = carry
+                    t = t0 + idx.astype(t0.dtype) * seg_dt
+                    gen_nonfinite = jnp.asarray(False)
+                    gen_negative = jnp.asarray(False)
+                    if gen.traced_fn is not None:
+                        g = gen.traced_fn(t)
+                        gen_nonfinite = ~jnp.all(jnp.isfinite(jnp.where(mask_dev, g, 0.0)))
+                        gen_negative = jnp.any(jnp.where(mask_dev, g, 0.0) < 0)
+                        qq = qq + seg_dt * g
+                    qq, pp, _mass = sh.step(qq, pp)
+                    stats = pauli_stats(qq)
+                    return (qq, pp, t0), stats + (gen_nonfinite, gen_negative)
+
+                (qq, pp, _), stats = jax.lax.scan(
+                    body, (qq, pp, t_start), jnp.arange(length), length=length,
+                    unroll=min(scan_unroll, length),
+                )
+                return qq, pp, stats
+
+            seg_cache[key] = jax.jit(run)
+            return seg_cache[key]
+
+        single_step_cache_m: dict[float, Callable] = {}
+
+        def single_step_mesh(seg_dt: float):
+            if seg_dt not in single_step_cache_m:
+                sh = get_sharded(seg_dt)
+
+                def one(qq, pp):
+                    global _TRACE_EVENTS
+                    _TRACE_EVENTS += 1
+                    qq, pp, _mass = sh.step(qq, pp)
+                    return qq, pp, pauli_stats(qq)
+
+                single_step_cache_m[seg_dt] = jax.jit(one)
+            return single_step_cache_m[seg_dt]
+
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
+
+        from ..parallel.mesh import SPACE_AXIS
+
+        rows_sharding = NamedSharding(mesh, P(None, SPACE_AXIS, None))
+        return _EngineProgram(
+            pmap=pmap,
+            segment_runner=segment_runner_mesh,
+            single_step=single_step_mesh,
+            pauli_stats_jit=jax.jit(pauli_stats),
+            host_gen=gen.host_mode,
+            q_sharding=rows_sharding,
+            ph_sharding=rows_sharding,
+        )
+
     def segment_runner(seg_dt: float, length: int):
         key = (seg_dt, length)
         if key in seg_cache:
@@ -814,6 +1001,8 @@ def _run_energy_resolved(
         )
 
         def run(qq, pp, t_start, daux):
+            global _TRACE_EVENTS
+            _TRACE_EVENTS += 1
             def body(carry, idx):
                 qq, pp, t0 = carry
                 t = t0 + idx.astype(t0.dtype) * seg_dt
@@ -875,8 +1064,6 @@ def _run_energy_resolved(
         seg_cache[key] = lambda qq, pp, t: jit_run(qq, pp, t, diff_aux)
         return seg_cache[key]
 
-    # Host-mode generation forces single-step segments with host evaluation.
-    host_gen = gen.host_mode
     single_step_cache: dict[float, Callable] = {}
 
     def single_step(seg_dt: float):
@@ -889,6 +1076,8 @@ def _run_energy_resolved(
                 diff_step, diff_aux = None, ()
 
             def one(qq, pp, daux):
+                global _TRACE_EVENTS
+                _TRACE_EVENTS += 1
                 if collisions_on and diff_step is not None:
                     qq, pp = col_half(qq, pp)
                     qq = diff_step(qq, daux)
@@ -902,7 +1091,210 @@ def _run_energy_resolved(
             jit_one = jax.jit(one)
             single_step_cache[seg_dt] = lambda qq, pp: jit_one(qq, pp, diff_aux)
         return single_step_cache[seg_dt]
+    return _EngineProgram(
+        pmap=pmap,
+        segment_runner=segment_runner,
+        single_step=single_step,
+        pauli_stats_jit=jax.jit(pauli_stats),
+        host_gen=gen.host_mode,
+    )
 
+
+def _run_energy_resolved(
+    *,
+    mask,
+    edges,
+    edge_conditions,
+    initial_field,
+    diffusion_coefficient,
+    dt,
+    dx,
+    segments,
+    total_steps,
+    energy_gap,
+    energy_min_factor,
+    energy_max_factor,
+    num_energy_bins,
+    energy_weights,
+    enable_diffusion,
+    enable_recombination,
+    enable_scattering,
+    dynes_gamma,
+    collision_solver,
+    tau_s_eff,
+    tau_r_eff,
+    T_c,
+    bath_temperature,
+    external_generation,
+    initial_condition_spec,
+    gap_expression,
+    precomputed,
+    pauli_warn_threshold,
+    pauli_error_threshold,
+    enforce_pauli,
+    pauli_density_floor,
+    freeze_phonon_dynamics,
+    phonon_history_out,
+    progress_callback,
+    diffusion_backend,
+    dtype,
+    pixel_chunk,
+    checkpointer=None,
+    collision_backend="auto",
+    strang_mode="exact",
+    mesh=None,
+):
+    gap = float(energy_gap)
+    ny, nx = mask.shape
+    n_spatial = int(mask.sum())
+    E_bins, dE = build_energy_grid(gap, energy_min_factor, energy_max_factor, num_energy_bins)
+    normalize_collision_solver_name(collision_solver)
+
+    custom_qp_state = None
+    if initial_condition_spec is not None:
+        custom_qp_state = build_initial_qp_energy_state(mask, E_bins, initial_condition_spec)
+
+    # Auto-precompute diffusion arrays when a gap map is requested.
+    if precomputed is None and str(gap_expression or "").strip():
+        from ..io.precompute import precompute_arrays
+        from ..models.params import SimulationParameters
+
+        auto_params = SimulationParameters(
+            diffusion_coefficient=diffusion_coefficient,
+            dt=dt,
+            total_time=max(dt, dt * max(1, total_steps)),
+            mesh_size=dx,
+            energy_gap=energy_gap,
+            energy_min_factor=energy_min_factor,
+            energy_max_factor=energy_max_factor,
+            num_energy_bins=num_energy_bins,
+            dynes_gamma=dynes_gamma,
+            gap_expression=gap_expression,
+            tau_0=0.5 * (tau_s_eff + tau_r_eff),
+            tau_s=tau_s_eff,
+            tau_r=tau_r_eff,
+            T_c=T_c,
+            bath_temperature=bath_temperature,
+        )
+        precomputed = precompute_arrays(
+            mask, edges, edge_conditions, auto_params, include_collision_kernels=False
+        )
+
+    has_precomp = precomputed is not None
+    nonuniform_gap = has_precomp and not bool(
+        np.asarray(precomputed.get("is_uniform", True)).reshape(-1)[0]
+    )
+
+    # --- compiled program (module-level cross-call cache) -------------------
+    prog = _get_engine_program(
+        mask=mask,
+        edges=edges,
+        edge_conditions=edge_conditions,
+        dx=dx,
+        dtype=dtype,
+        gap=gap,
+        E_bins=E_bins,
+        dE=dE,
+        num_energy_bins=num_energy_bins,
+        diffusion_coefficient=diffusion_coefficient,
+        enable_diffusion=enable_diffusion,
+        diffusion_backend=diffusion_backend,
+        precomputed=precomputed,
+        nonuniform_gap=nonuniform_gap,
+        enable_recombination=enable_recombination,
+        enable_scattering=enable_scattering,
+        dynes_gamma=dynes_gamma,
+        tau_s_eff=tau_s_eff,
+        tau_r_eff=tau_r_eff,
+        T_c=T_c,
+        freeze_phonon_dynamics=freeze_phonon_dynamics,
+        collision_backend=collision_backend,
+        pixel_chunk=pixel_chunk,
+        external_generation=external_generation,
+        pauli_density_floor=pauli_density_floor,
+        strang_mode=strang_mode,
+        mesh=mesh,
+    )
+    pmap = prog.pmap
+    omega_bins = pmap.omega_bins
+    segment_runner = prog.segment_runner
+    single_step = prog.single_step
+    host_gen = prog.host_gen
+    # --- initial states ------------------------------------------------------
+    if custom_qp_state is not None:
+        state_flat = np.asarray(custom_qp_state, dtype=np.float64)
+        if state_flat.shape != (num_energy_bins, n_spatial):
+            raise ValueError(
+                "Full custom quasiparticle profile must have shape "
+                f"({num_energy_bins}, {n_spatial}); got {state_flat.shape}."
+            )
+        if not np.all(np.isfinite(state_flat)):
+            raise ValueError("Full custom quasiparticle profile produced non-finite values.")
+        if np.any(state_flat < 0):
+            raise ValueError("Full custom quasiparticle profile must be non-negative.")
+    else:
+        spatial_values = initial_field[mask].astype(np.float64)
+        if energy_weights is not None:
+            raw_w = np.asarray(energy_weights, dtype=np.float64)
+            if raw_w.ndim != 1:
+                raise ValueError("energy_weights must be a 1D array.")
+            if raw_w.shape[0] != num_energy_bins:
+                raise ValueError(
+                    f"energy_weights must have length {num_energy_bins}, got {raw_w.shape[0]}."
+                )
+            if not np.all(np.isfinite(raw_w)):
+                raise ValueError("energy_weights must contain only finite values.")
+            if np.any(raw_w < 0):
+                raise ValueError("energy_weights must be non-negative.")
+            integral = float(np.sum(raw_w) * dE)
+            weights = raw_w / integral if integral > 0 else np.full(
+                num_energy_bins, 1.0 / (num_energy_bins * dE)
+            )
+        else:
+            rho_w = dynes_density_of_states(E_bins, gap, dynes_gamma)
+            integral = float(np.sum(rho_w) * dE)
+            weights = rho_w / integral if integral > 0 else np.full(
+                num_energy_bins, 1.0 / (num_energy_bins * dE)
+            )
+        state_flat = weights[:, None] * spatial_values[None, :]
+
+    if initial_condition_spec is not None:
+        phonon_flat = build_initial_phonon_energy_state(
+            mask, omega_bins, initial_condition_spec, bath_temperature
+        )
+    else:
+        phonon_flat = thermal_phonon_occupation(omega_bins, bath_temperature)[:, None] * np.ones(
+            (1, n_spatial)
+        )
+
+    nw = omega_bins.size
+    q_np = np.zeros((num_energy_bins, ny, nx), dtype=np.float64)
+    q_np[:, mask] = state_flat
+    ph_np = np.zeros((nw, ny, nx), dtype=np.float64)
+    ph_np[:, mask] = phonon_flat
+    q = jnp.asarray(q_np, dtype=dtype)
+    ph = jnp.asarray(ph_np, dtype=dtype)
+    if prog.q_sharding is not None:  # mesh mode: shard the state up front
+        q = jax.device_put(q, prog.q_sharding)
+        ph = jax.device_put(ph, prog.ph_sharding)
+
+    # --- Pauli monitoring (stats fn lives in the cached program) ---------------
+    enforcer = PauliEnforcer(
+        E_bins=E_bins,
+        grid_shape=(ny, nx),
+        enforce=enforce_pauli,
+        warn_threshold=pauli_warn_threshold,
+        error_threshold=pauli_error_threshold,
+    )
+    init_stats = prog.pauli_stats_jit(q)
+    enforcer.check(
+        0,
+        0.0,
+        float(init_stats[0]),
+        int(init_stats[1]),
+        bool(init_stats[2]),
+        int(init_stats[3]),
+    )
     # --- snapshot bookkeeping -----------------------------------------------------
     record_phonons = phonon_history_out is not None
     phonon_widths = (
@@ -951,6 +1343,9 @@ def _run_energy_resolved(
         q = jnp.asarray(resume["q"], dtype=dtype)
         if "ph" in resume:
             ph = jnp.asarray(resume["ph"], dtype=dtype)
+        if prog.q_sharding is not None:
+            q = jax.device_put(q, prog.q_sharding)
+            ph = jax.device_put(ph, prog.ph_sharding)
         completed_steps = resume["step"]
         step_counter = completed_steps
         current_time = resume["time_ns"]

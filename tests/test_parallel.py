@@ -459,3 +459,166 @@ def test_sharded_pallas_tridiag_matches_xla_backend():
         qa, pha, _ = ref.step(qa, pha)
         qb, phb, _ = pal.step(qb, phb)
     np.testing.assert_allclose(np.asarray(qb), np.asarray(qa), atol=1e-12)
+
+
+def test_sharded_ensemble_chunk_matches_single_chip_L6():
+    """L=6 chunked sharded run (space × ensemble mesh) ≡ single-chip loop.
+
+    VERDICT r1 item 4: the driver-facing multi-step path — ``make_chunk``
+    over a 2×4 (ensemble × space) mesh with the full coupled physics — must
+    reproduce the per-member single-chip composition, not just one dispatch.
+    """
+    n_dev = len(jax.devices())
+    if n_dev < 4 or n_dev % 2:
+        pytest.skip("needs an even mesh of >= 4 devices")
+    n_ens, n_space = 2, n_dev // 2
+    ny, nx = 8 * n_space, 16
+    ne = 4
+    n_members = 2 * n_ens  # two members per ensemble shard
+    mask, edges, bcs = _geometry(ny, nx)
+    E, dE = build_energy_grid(GAP, 1.0, 3.0, ne)
+    pm = build_phonon_frequency_map(E)
+    rho = dynes_density_of_states(E, GAP, 0.0)
+    Kr = recombination_kernel_base(E, GAP, TAU, TC)
+    Ks = scattering_kernel_base(E, GAP, TAU, TC)
+    D_bins = 6.0 * np.sqrt(np.maximum(0.0, 1.0 - (GAP / E) ** 2))
+    xs, ys = build_directional_stencils(mask, edges, bcs, 1.0)
+    op = fold_diffusion(xs, ys, mask, 1.0, D_bins)
+    dt = 0.05
+    L = 6
+
+    mesh = make_mesh(n_space=n_space, n_ensemble=n_ens)
+    sharded = build_sharded_step(
+        mesh, op, dt,
+        collisions=dict(
+            dE=dE, rho=rho, K_r0=Kr, K_s0=Ks, pmap=pm,
+            enable_recombination=True, enable_scattering=True, update_phonons=True,
+        ),
+        dtype=jnp.float64,
+        ensemble=True,
+    )
+
+    plan = build_collision_plan_arrays(
+        dE=dE, rho_by_gap=rho[None], K_r0_by_gap=Kr[None], K_s0_by_gap=Ks[None],
+        gap_id=np.zeros((ny, nx), np.int32), pmap=pm,
+        enable_recombination=True, enable_scattering=True, update_phonons=True,
+    )
+    col_half = make_collision_step(plan, 0.5 * dt)
+    diff = ADIDiffusion(op, dtype=jnp.float64).make_step(dt)
+
+    @jax.jit
+    def single(q, ph):
+        q, ph = col_half(q, ph)
+        q = diff(q)
+        q, ph = col_half(q, ph)
+        return q, ph
+
+    rng = np.random.default_rng(11)
+    q0 = rng.uniform(0, 1e-4, (n_members, ne, ny, nx))  # distinct per member
+    ph0 = np.broadcast_to(
+        thermal_phonon_occupation(pm.omega_bins, TBATH)[None, :, None, None],
+        (n_members, pm.num_omega, ny, nx),
+    ).copy()
+    q_sh = jax.device_put(jnp.asarray(q0), sharded.q_sharding)
+    ph_sh = jax.device_put(jnp.asarray(ph0), sharded.ph_sharding)
+    q_sh, ph_sh, mass = sharded.make_chunk(L, unroll=2)(q_sh, ph_sh)
+
+    for m in range(n_members):
+        q_s, ph_s = jnp.asarray(q0[m]), jnp.asarray(ph0[m])
+        for _ in range(L):
+            q_s, ph_s = single(q_s, ph_s)
+        np.testing.assert_allclose(np.asarray(q_sh)[m], np.asarray(q_s), atol=1e-13)
+        np.testing.assert_allclose(np.asarray(ph_sh)[m], np.asarray(ph_s), atol=1e-13)
+        assert abs(float(np.asarray(mass)[m]) - float(jnp.sum(q_s))) < 1e-10
+    # members with different ICs must evolve differently
+    assert not np.allclose(np.asarray(q_sh)[0], np.asarray(q_sh)[1])
+
+
+def test_engine_mesh_matches_single_chip():
+    """run_2d_crank_nicolson(mesh=...) ≡ the single-chip engine run.
+
+    VERDICT r1 item 10: multi-chip is not a separate API — the engine's own
+    entry point routes its hot loop through the sharded step while keeping
+    snapshot/Pauli/store_every semantics.  The Wang-partitioned distributed
+    tridiagonal solve reorders floating-point work vs the sequential
+    single-chip sweep, so equality is to f64 roundoff (1e-12), not bitwise.
+    """
+    from qpsim_tpu.solver.engine import run_2d_crank_nicolson
+
+    ny = nx = 16
+    mask, edges, bcs = _geometry(ny, nx)
+    init = np.zeros(mask.shape)
+    init[mask] = 0.01
+    kw = dict(
+        mask=mask, edges=edges, edge_conditions=bcs, initial_field=init,
+        diffusion_coefficient=6.0, dt=0.05, total_time=0.325,  # + remainder seg
+        dx=1.0, store_every=2,
+        energy_gap=GAP, energy_max_factor=3.0, num_energy_bins=4,
+        enable_recombination=True, enable_scattering=True,
+        tau_s=TAU, tau_r=TAU, T_c=TC, bath_temperature=TBATH,
+    )
+    t_ref, f_ref, m_ref, c_ref, ef_ref, eb_ref = run_2d_crank_nicolson(
+        **kw, diffusion_backend="adi", collision_backend="xla"
+    )
+    mesh = make_mesh(n_space=len(jax.devices()))
+    t_m, f_m, m_m, c_m, ef_m, eb_m = run_2d_crank_nicolson(**kw, mesh=mesh)
+    assert t_m == t_ref
+    for a, b in zip(f_m, f_ref):
+        np.testing.assert_allclose(np.nan_to_num(a), np.nan_to_num(b), atol=1e-12)
+    np.testing.assert_allclose(m_m, m_ref, rtol=1e-12)
+    for ea, eb_ in zip(ef_m, ef_ref):
+        for a, b in zip(ea, eb_):
+            np.testing.assert_allclose(np.nan_to_num(a), np.nan_to_num(b), atol=1e-12)
+
+
+def test_engine_mesh_rejects_unsupported_modes():
+    from qpsim_tpu.solver.engine import run_2d_crank_nicolson
+
+    ny = nx = 16
+    mask, edges, bcs = _geometry(ny, nx)
+    init = np.zeros(mask.shape)
+    init[mask] = 0.01
+    mesh = make_mesh(n_space=len(jax.devices()))
+    base = dict(
+        mask=mask, edges=edges, edge_conditions=bcs, initial_field=init,
+        diffusion_coefficient=6.0, dt=0.05, total_time=0.1, dx=1.0, mesh=mesh,
+    )
+    with pytest.raises(ValueError, match="energy-resolved"):
+        run_2d_crank_nicolson(**base)  # scalar mode
+    with pytest.raises(ValueError, match="enable_diffusion"):
+        run_2d_crank_nicolson(**base, energy_gap=GAP, num_energy_bins=4,
+                              energy_max_factor=3.0, enable_diffusion=False)
+    with pytest.raises(ValueError, match="strang_mode"):
+        run_2d_crank_nicolson(**base, energy_gap=GAP, num_energy_bins=4,
+                              energy_max_factor=3.0, strang_mode="merged")
+
+
+def test_engine_mesh_gap_map_and_generation_match_single_chip():
+    """mesh= with a non-uniform gap map and pulsed generation ≡ single-chip."""
+    from qpsim_tpu.models.params import ExternalGenerationSpec
+    from qpsim_tpu.solver.engine import run_2d_crank_nicolson
+
+    ny = nx = 16
+    mask, edges, bcs = _geometry(ny, nx)
+    init = np.zeros(mask.shape)
+    init[mask] = 0.01
+    gen = ExternalGenerationSpec(mode="pulse", pulse_start=0.05, pulse_duration=0.1,
+                                 pulse_rate=2e-4)
+    kw = dict(
+        mask=mask, edges=edges, edge_conditions=bcs, initial_field=init,
+        diffusion_coefficient=6.0, dt=0.05, total_time=0.25, dx=1.0,
+        energy_gap=GAP, energy_max_factor=3.0, num_energy_bins=4,
+        enable_recombination=True, enable_scattering=True,
+        tau_s=TAU, tau_r=TAU, T_c=TC, bath_temperature=TBATH,
+        gap_expression="return 160.0 + 30.0 * (x > 8)",
+        external_generation=gen,
+    )
+    t_ref, f_ref, m_ref, *_ = run_2d_crank_nicolson(
+        **kw, diffusion_backend="adi", collision_backend="xla"
+    )
+    mesh = make_mesh(n_space=len(jax.devices()))
+    t_m, f_m, m_m, *_ = run_2d_crank_nicolson(**kw, mesh=mesh)
+    assert t_m == t_ref
+    for a, b in zip(f_m, f_ref):
+        np.testing.assert_allclose(np.nan_to_num(a), np.nan_to_num(b), atol=1e-12)
+    np.testing.assert_allclose(m_m, m_ref, rtol=1e-11)

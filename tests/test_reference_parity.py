@@ -143,7 +143,7 @@ def test_end_to_end_coupled_parity():
 def test_randomized_differential_sweep_vs_reference():
     """Fuzz the full solver against the reference on random configurations.
 
-    Eight seeded configs rotating through: random connected masks, all five
+    Ten seeded configs rotating through: random connected masks, all five
     BC kinds with random coefficients, remainder steps, store_every,
     scattering/recombination subsets, Dynes broadening, frozen phonons,
     generation modes (constant/pulse/custom), bath temperatures, and
@@ -172,7 +172,7 @@ def test_randomized_differential_sweep_vs_reference():
             if mask.sum() >= 4 and connected_component_count(mask) == 1:
                 return mask
 
-    for seed in range(8):
+    for seed in range(10):
         rng = np.random.default_rng(1000 + seed)
         mask = random_mask(rng)
         edges = extract_edge_segments(mask)
@@ -294,3 +294,130 @@ def test_collision_step_parity_vs_reference_pixel_loop():
     # parity limited by the reference's exp(x)−1 cancellation (we use expm1)
     assert np.max(np.abs(np.asarray(qn)[:, 0, :] - st_ref)) / np.max(np.abs(st_ref)) < 1e-10
     assert np.max(np.abs(np.asarray(pn)[:, 0, :] - ph_ref)) / np.max(np.abs(ph_ref)) < 1e-10
+
+
+@pytest.mark.slow
+def test_extended_differential_fuzz_vs_reference():
+    """30-seed wide-range differential fuzz (checked-in from round 1's .dev run).
+
+    Wider than the 10-seed sweep above: near-Pauli occupations (up to ~40%
+    of the DOS floor), bath temperatures to 0.5 K, dt from 0.01 to 0.2 ns,
+    dx in {0.5, 1, 2} µm, gaps in {90, 180, 300} µeV, all generation modes,
+    sinusoidal non-uniform gap maps, and Pauli enforcement disabled so both
+    sides integrate hot states.  Configs the reference rejects must be
+    rejected by us too.
+    """
+    from qpsim.models import BoundaryCondition as RefBC  # type: ignore
+    from qpsim.models import ExternalGenerationSpec as RefGen  # type: ignore
+    from qpsim.solver import run_2d_crank_nicolson as ref_run  # type: ignore
+
+    from qpsim_tpu.geometry.mask import connected_component_count, extract_edge_segments
+    from qpsim_tpu.models.params import BoundaryCondition, ExternalGenerationSpec
+    from qpsim_tpu.solver.engine import run_2d_crank_nicolson as my_run
+
+    kinds = ["reflective", "neumann", "dirichlet", "absorbing", "robin"]
+    gen_modes = ["none", "constant", "pulse", "custom"]
+
+    def random_mask(rng):
+        while True:
+            ny, nx = int(rng.integers(2, 6)), int(rng.integers(4, 12))
+            mask = np.ones((ny, nx), dtype=bool)
+            for _ in range(int(rng.integers(0, 1 + (ny * nx) // 5))):
+                mask[rng.integers(0, ny), rng.integers(0, nx)] = False
+            if mask.sum() >= 4 and connected_component_count(mask) == 1:
+                return mask
+
+    worst = {}
+    for seed in range(30):
+        rng = np.random.default_rng(7000 + seed)
+        mask = random_mask(rng)
+        edges = extract_edge_segments(mask)
+        ref_bcs, my_bcs = {}, {}
+        for e in edges:
+            kind = kinds[rng.integers(0, len(kinds))]
+            val = aux = None
+            if kind == "robin":
+                val = float(rng.uniform(0.05, 3.0))
+                aux = float(rng.uniform(0.0, 2e-4))
+            elif kind != "reflective":
+                val = float(rng.uniform(0, 5e-4))
+            ref_bcs[e.edge_id] = RefBC(kind=kind, value=val, aux_value=aux)
+            my_bcs[e.edge_id] = BoundaryCondition(kind=kind, value=val, aux_value=aux)
+        init = np.zeros(mask.shape)
+        # up to ~40% of the DOS floor: exercises Pauli blocking hard
+        init[mask] = rng.uniform(0.05, 0.4, int(mask.sum()))
+        dt = float(rng.choice([0.01, 0.05, 0.2]))
+        n_steps = int(rng.integers(2, 8))
+        remainder = float(rng.choice([0.0, 0.3, 0.9])) * dt
+        gm = gen_modes[rng.integers(0, len(gen_modes))]
+        gen_kw = dict(mode=gm)
+        if gm == "constant":
+            gen_kw["rate"] = float(rng.uniform(0, 1e-4))
+        elif gm == "pulse":
+            gen_kw.update(pulse_start=float(rng.uniform(0, 2 * dt)),
+                          pulse_duration=float(rng.uniform(0, 3 * dt)),
+                          pulse_rate=float(rng.uniform(0, 2e-4)))
+        elif gm == "custom":
+            gen_kw["custom_body"] = "return 2e-5 * (1.0 + np.sin(6.0*x)) * np.exp(-0.5*t)"
+        scatter = bool(rng.integers(0, 2))
+        recomb = scatter or bool(rng.integers(0, 2))
+        kw = dict(
+            diffusion_coefficient=float(rng.uniform(0.5, 20.0)),
+            dt=dt,
+            total_time=n_steps * dt + remainder,
+            dx=float(rng.choice([0.5, 1.0, 2.0])),
+            store_every=int(rng.integers(1, 5)),
+            energy_gap=float(rng.choice([90.0, 180.0, 300.0])),
+            energy_min_factor=1.0,
+            energy_max_factor=float(rng.choice([2.0, 4.0, 8.0])),
+            num_energy_bins=int(rng.integers(2, 9)),
+            dynes_gamma=float(rng.choice([0.0, 0.05, 0.3])),
+            enable_recombination=recomb,
+            enable_scattering=scatter,
+            tau_s=float(rng.uniform(100.0, 1000.0)),
+            tau_r=float(rng.uniform(100.0, 1000.0)),
+            T_c=float(rng.choice([0.9, 1.2, 2.0])),
+            bath_temperature=float(rng.choice([0.0, 0.1, 0.5])),
+            freeze_phonon_dynamics=bool(rng.integers(0, 2)),
+            gap_expression=(
+                "return {:.1f} + {:.1f}*x + {:.1f}*np.sin(3.0*y)".format(
+                    kw_gap * 0.8, kw_gap * 0.3, kw_gap * 0.05
+                )
+                if (seed % 3 == 2) and (kw_gap := float(rng.choice([90.0, 180.0, 300.0])))
+                else ""
+            ),
+            pauli_error_threshold=None,  # tolerate f>1 from hot ICs on both sides
+            pauli_warn_threshold=None,
+        )
+        if kw["gap_expression"]:
+            kw["energy_gap"] = kw_gap
+        ctx = (
+            f"seed={seed} mask={mask.shape} gen={gm} dt={dt} "
+            f"bins={kw['num_energy_bins']} gapx={bool(kw['gap_expression'])}"
+        )
+        try:
+            t_r, f_r, m_r, c_r, ef_r, eb_r = ref_run(
+                mask=mask, edges=edges, edge_conditions=ref_bcs, initial_field=init,
+                external_generation=RefGen(**gen_kw), **kw)
+        except Exception as exc:
+            # reference rejected the config; ours must reject it too
+            with pytest.raises(Exception):
+                my_run(mask=mask, edges=edges, edge_conditions=my_bcs, initial_field=init,
+                       external_generation=ExternalGenerationSpec(**gen_kw),
+                       diffusion_backend="dense", collision_backend="xla", **kw)
+            continue
+        t_m, f_m, m_m, c_m, ef_m, eb_m = my_run(
+            mask=mask, edges=edges, edge_conditions=my_bcs, initial_field=init,
+            external_generation=ExternalGenerationSpec(**gen_kw),
+            diffusion_backend="dense", collision_backend="xla", **kw)
+        scale = max(1e-30, max(np.nanmax(np.abs(f)) for f in f_r))
+        d_f = max(
+            np.nanmax(np.abs(np.nan_to_num(a) - np.nan_to_num(b)))
+            for a, b in zip(f_r, f_m)
+        ) / scale
+        d_m = float(np.max(
+            np.abs(np.asarray(m_m) - np.asarray(m_r)) / np.maximum(np.abs(m_r), 1e-30)
+        ))
+        worst[ctx] = (d_f, d_m)
+    bad = {k: v for k, v in worst.items() if v[0] >= 1e-8 or v[1] >= 1e-8}
+    assert not bad, f"{len(bad)} of {len(worst)} configs above 1e-8: {bad}"
