@@ -64,6 +64,8 @@ class SetupEditor(tk.Toplevel):
         self._setup_path: Path | None = None
         self._precomputed: dict | None = None
         self._worker: SimulationWorker | None = None
+        self._launch_dialog = None
+        self._live_view = True
 
         toolbar = tk.Frame(self, bg=PALETTE["face"])
         toolbar.pack(fill="x", padx=6, pady=6)
@@ -331,17 +333,63 @@ class SetupEditor(tk.Toplevel):
 
     # -- run -------------------------------------------------------------------------
 
+    def _initial_phonon_frame(self, setup) -> np.ndarray:
+        """Integrated thermal phonon occupation at T_bath for the launch preview."""
+        p = setup.parameters
+        if p.energy_gap > 0:
+            from ..ops.dos import thermal_phonon_occupation
+            from ..ops.energy_grid import (
+                build_energy_grid,
+                integration_widths_from_centers,
+            )
+            from ..ops.phonon_map import build_phonon_frequency_map
+
+            E, dE = build_energy_grid(
+                p.energy_gap, p.energy_min_factor, p.energy_max_factor, p.num_energy_bins
+            )
+            pm = build_phonon_frequency_map(E)
+            occ = thermal_phonon_occupation(pm.omega_bins, p.bath_temperature)
+            widths = integration_widths_from_centers(pm.omega_bins, fallback_width=dE)
+            total = float(np.sum(occ * widths))
+        else:  # scalar mode carries no phonon field: show the bath temperature
+            total = float(p.bath_temperature)
+        return np.where(self.mask, total, np.nan)
+
     def run_simulation(self):
+        """Open the launch dialog: review initial fields, then start.
+
+        Reference flow: ``qpsim/ui/main_app.py:353-479`` (dedicated
+        ``SimulationLaunchDialog`` with pre-run preview + live toggle).
+        """
         if self._worker is not None and self._worker.is_running():
             messagebox.showinfo("Busy", "A simulation is already running.", parent=self)
             return
         try:
             setup = self.build_setup()
+            from ..fields import build_initial_field
+
+            qp0 = build_initial_field(self.mask, self.initial_condition)
         except Exception as exc:
             messagebox.showerror("Cannot run", str(exc), parent=self)
             return
+        qp_frame = np.where(self.mask, qp0, np.nan)
+        ph_frame = self._initial_phonon_frame(setup)
+        from .launch_dialog import SimulationLaunchDialog
+
+        self._launch_dialog = SimulationLaunchDialog(
+            self, setup.name, qp_frame, ph_frame, live_default=True,
+            on_start=lambda live: self._start_run(setup, live),
+        )
+
+    def _start_run(self, setup, live: bool):
+        if self._worker is not None and self._worker.is_running():
+            return
+        self._live_view = bool(live)
         self._worker = SimulationWorker(setup=setup, setup_path=self._setup_path)
         self._worker.start()
+        dialog = getattr(self, "_launch_dialog", None)
+        if dialog is not None and not dialog.closed:
+            dialog.set_running(True)
         self.status.configure(text="Simulation running…")
         self.after(_POLL_MS, self._poll_worker)
 
@@ -349,27 +397,42 @@ class SetupEditor(tk.Toplevel):
         worker = self._worker
         if worker is None:
             return
+        dialog = getattr(self, "_launch_dialog", None)
+        if dialog is not None and dialog.closed:
+            dialog = None
         for live in worker.drain_live():
-            self.ax.clear()
-            self.ax.imshow(live.frame, origin="lower", cmap="inferno", interpolation="nearest")
-            self.ax.set_title(f"live — t = {live.time_ns:.6g} ns")
-            self.ax.set_xticks([])
-            self.ax.set_yticks([])
-            self.canvas.draw_idle()
+            if not getattr(self, "_live_view", True):
+                continue
+            if dialog is not None:
+                dialog.update_preview(live.time_ns, live.frame)
+            else:  # dialog closed mid-run: fall back to the editor canvas
+                self.ax.clear()
+                self.ax.imshow(
+                    live.frame, origin="lower", cmap="inferno", interpolation="nearest"
+                )
+                self.ax.set_title(f"live — t = {live.time_ns:.6g} ns")
+                self.ax.set_xticks([])
+                self.ax.set_yticks([])
+                self.canvas.draw_idle()
         outcome = worker.poll_result()
         if outcome is None:
             self.after(_POLL_MS, self._poll_worker)
             return
         kind, payload = outcome
         if kind == "error":
+            if dialog is not None:
+                dialog.set_status("Simulation failed.")
+                dialog.set_running(False)
             messagebox.showerror("Simulation failed", str(payload), parent=self)
             self.status.configure(text="Simulation failed.")
             self._redraw()
             return
         result, path = payload
-        self.status.configure(
-            text=f"Done: {len(result.times)} frames" + (f", saved {path}" if path else "")
-        )
+        done = f"Done: {len(result.times)} frames" + (f", saved {path}" if path else "")
+        if dialog is not None:
+            dialog.set_status("Simulation complete.")
+            dialog.set_running(False)
+        self.status.configure(text=done)
         SimulationViewer(self, result)
         if result.phonon_frames:
             PhononViewer(self, result)
