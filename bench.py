@@ -32,6 +32,43 @@ import numpy as np
 REFERENCE_SCALAR_1024_CELL_STEPS_PER_S = 3.404e6
 REFERENCE_COLLISION_PIXELS_PER_S = 7.497e3
 
+# --- roofline constants (TPU v5e datasheet-level) ---------------------------
+# VPU: 8 sublanes × 128 lanes × 4 ALU slots at the ~940 MHz core clock.
+# HBM: 16 GB @ ~819 GB/s.  These anchor the machine-checked peak fractions
+# below; if the part changes, update here and every fraction follows.
+V5E_VPU_F32_OPS_PER_S = 8 * 128 * 4 * 0.94e9  # ≈ 3.85e12
+V5E_HBM_BYTES_PER_S = 8.19e11
+
+
+def collision_vpu_op_model(ne: int) -> float:
+    """Modeled VPU ops per pixel per substep for the unrolled collision
+    kernel (G=1, scattering+recombination+phonon updates).
+
+    Counted from the kernel body (ops/pallas_collisions.py):
+      partner assembly          4·NE
+      off-diagonal pairs        31·NE(NE−1)/2   (15 scattering + 16 recomb)
+      diagonal pairs            12·NE
+      QP exponential update     24·NE           (expm1 Taylor/exp hybrid)
+      phonon-row updates        26·(3NE−2)
+    → 15.5·NE² + 102.5·NE − 52.  The achieved fraction of
+    ``V5E_VPU_F32_OPS_PER_S`` is the scoreboard for the kernel's
+    "percent of VPU issue peak" claims (ROADMAP.md).
+    """
+    return 15.5 * ne * ne + 102.5 * ne - 52.0
+
+
+def adi_traffic_bytes_model(nb: int, ny: int, nx: int) -> float:
+    """Modeled HBM bytes per fused-ADI step (uniform-gap production config).
+
+    Each half-step moves the state once each way (read + write, nb planes)
+    plus the shared geometry planes (3 stencil coefficients + source per
+    direction, single-plane, revisited across bins but DMA'd once):
+    4·nb + 8 plane crossings of 4-byte elements.  The achieved fraction of
+    ``V5E_HBM_BYTES_PER_S`` is the scoreboard for the diffusion-floor
+    claims (ROADMAP.md "Fused-ADI diffusion floor").
+    """
+    return 4.0 * (4 * nb + 8) * ny * nx
+
 
 def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
@@ -279,6 +316,45 @@ def bench_coupled_full_scale(length: int = 200) -> dict:
     }
 
 
+def bench_rooflines(n=1024, ne=16, length=400) -> dict:
+    """Standalone collision-substep and fused-ADI timings at 1024²×16 with
+    machine-checked roofline fractions (VERDICT r1 item 6: the peak-fraction
+    claims must be reproducible from bench output, not prose)."""
+    import jax
+    import jax.numpy as jnp
+
+    diff, col_half, q0, ph0 = _coupled_pieces(n, n, ne, 0.05, jnp.float32)
+
+    @jax.jit
+    def col_chunk(state):
+        return jax.lax.scan(
+            lambda c, _: (col_half(*c), None), state, None, length=length, unroll=8
+        )[0]
+
+    per_sub, _ = _timed_chunk(col_chunk, (q0, ph0), length, f"collision substep {n}^2x{ne}")
+    ops = collision_vpu_op_model(ne) * n * n / per_sub
+
+    @jax.jit
+    def adi_chunk(u):
+        return jax.lax.scan(lambda c, _: (diff(c), None), u, None, length=length, unroll=8)[0]
+
+    per_adi, _ = _timed_chunk(adi_chunk, q0, length, f"fused ADI {n}^2x{ne}")
+    bps = adi_traffic_bytes_model(ne, n, n) / per_adi
+    out = {
+        "collision_substep_1024_ms": per_sub * 1e3,
+        "collision_model_ops_per_s": ops,
+        "collision_vpu_peak_fraction": ops / V5E_VPU_F32_OPS_PER_S,
+        "adi_1024_ms_per_step": per_adi * 1e3,
+        "adi_model_bytes_per_s": bps,
+        "adi_hbm_peak_fraction": bps / V5E_HBM_BYTES_PER_S,
+    }
+    log(
+        f"rooflines: collision {out['collision_vpu_peak_fraction']:.2f} of VPU peak, "
+        f"ADI {out['adi_hbm_peak_fraction']:.2f} of HBM peak"
+    )
+    return out
+
+
 def bench_collisions_50bin(ny=256, nx=256, ne=50, length=200) -> dict:
     """Reference-default energy resolution (50 bins, solver.py:999 defaults):
     collision substeps via the fori_loop Pallas kernel."""
@@ -466,6 +542,7 @@ def main() -> None:
     extras = bench_masked_512()
     extras.update(bench_coupled_2d())
     extras.update(bench_coupled_full_scale())
+    extras.update(bench_rooflines())
     extras.update(bench_collisions_50bin())
     extras.update(bench_analytic_gap())
     extras.update(bench_1d_64bin())
