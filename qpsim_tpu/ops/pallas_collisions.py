@@ -75,14 +75,39 @@ def _expm1(x):
 
 
 def _uniform_pair_rows(E_bins: np.ndarray, pmap: PhononFrequencyMap):
-    """Static ω-row tables for a uniform grid: diff_row[k]=ω(k·dE), sum_row[m]."""
+    """Static ω-row tables for a uniform grid: diff_row[k]=ω(k·dE), sum_row[m].
+
+    Returns ``None`` when the grid is non-uniform — or when the ω-bin
+    assignment is NOT constant along the Toeplitz/Hankel diagonals.  The
+    latter genuinely happens: the ω grid deduplicates pair energies with the
+    reference's round-at-1e-12 (phonon_map.py), which fails to merge
+    floating-point near-duplicates at magnitudes ≳ 1, so one physical
+    diagonal can straddle two ω bins (e.g. NE=11 at Δ=180, E_max/Δ=4).  A
+    kernel that collapses such a diagonal to one row silently deviates from
+    the reference's binning; callers that rely on these collapsed rows (the
+    fori_loop kernel) must fall back instead.  The pair-unrolled kernels
+    read the exact per-pair ``idx_diff``/``idx_sum`` maps and don't care.
+    """
     ne = E_bins.size
     diffs = np.diff(E_bins)
     if ne > 1 and not np.allclose(diffs, diffs[0], rtol=1e-9):
         return None
+    for k in range(1, ne):
+        i = np.arange(k, ne)
+        if not np.all(pmap.idx_diff[i, i - k] == pmap.idx_diff[k, 0]):
+            return None
+    for m in range(2 * ne - 1):
+        i = np.arange(max(0, m - ne + 1), min(ne, m + 1))
+        if not np.all(pmap.idx_sum[i, m - i] == pmap.idx_sum[i[0], m - i[0]]):
+            return None
     diff_row = [int(pmap.idx_diff[k, 0]) for k in range(ne)]  # |E_k − E_0| = k·dE
     sum_row = [int(pmap.idx_sum[min(m, ne - 1), m - min(m, ne - 1)]) for m in range(2 * ne - 1)]
     return diff_row, sum_row
+
+
+def _grid_uniform(E_bins: np.ndarray) -> bool:
+    diffs = np.diff(E_bins)
+    return E_bins.size < 2 or bool(np.allclose(diffs, diffs[0], rtol=1e-9))
 
 
 #: beyond this the looped kernel's VMEM working set (state + reversed copy
@@ -120,8 +145,8 @@ class _Physics:
     Ks: tuple | None  # (G, NE, NE) nested tuples of python floats
     Kr: tuple | None
     rho: tuple  # (G, NE)
-    diff_row: tuple
-    sum_row: tuple
+    idx_diff: tuple  # (NE, NE) nested ints: exact per-pair ω rows
+    idx_sum: tuple
     update_phonons: bool
 
 
@@ -130,7 +155,7 @@ def _make_kernel(phys: _Physics, dt: float):
     dE = phys.dE
     G = phys.n_gaps
     Ks, Kr, rho = phys.Ks, phys.Kr, phys.rho
-    diff_row, sum_row = phys.diff_row, phys.sum_row
+    idx_diff, idx_sum = phys.idx_diff, phys.idx_sum
     dt = float(dt)
 
     def kernel(*refs):
@@ -171,9 +196,15 @@ def _make_kernel(phys: _Physics, dt: float):
                 p = p * blend([1.0 if r_ > _EPS_RHO else 0.0 for r_ in rg])
             partner.append(p)
 
-        # static phonon-occupation rows: D[k] = n_ph(k·dE), S[m] = n_ph(E_i+E_j)|i+j=m
-        D = [None] + [ph_ref[diff_row[k]] for k in range(1, ne)]
-        S = [ph_ref[sum_row[m]] for m in range(2 * ne - 1)] if Kr is not None else None
+        # exact per-pair phonon-occupation rows, fetched once per distinct ω
+        # bin (the ω grid can split a Toeplitz diagonal into near-duplicate
+        # bins — see _uniform_pair_rows; idx maps keep the reference binning)
+        _rows: dict[int, jax.Array] = {}
+
+        def ph_row(idx):
+            if idx not in _rows:
+                _rows[idx] = ph_ref[idx]
+            return _rows[idx]
 
         zeros = jnp.zeros_like(q[0])
         gain_s = [zeros for _ in range(ne)]  # Σ_i Ks[i,j]·Np(i,j)·q_i  (pre partner_j)
@@ -203,8 +234,8 @@ def _make_kernel(phys: _Physics, dt: float):
             for j in range(i + 1):
                 if Ks is not None and i != j:
                     # scattering at offset k = i−j: emission (i→j) dressed by
-                    # 1+D[k], absorption (j→i) dressed by D[k]
-                    Dk = D[i - j]
+                    # 1+D, absorption (j→i) dressed by D at the pair's ω bin
+                    Dk = ph_row(idx_diff[i][j])
                     ce = blend([dE * Ks[g][i][j] for g in range(G)])
                     ca = blend([dE * Ks[g][j][i] for g in range(G)])
                     if not is_zero(ce):
@@ -212,17 +243,17 @@ def _make_kernel(phys: _Physics, dt: float):
                         loss[i] = loss[i] + we * partner[j]
                         gain_s[j] = gain_s[j] + we * q[i]
                         if phys.update_phonons:
-                            acc(ph_pos, diff_row[i - j], ce * (q[i] * partner[j]))
+                            acc(ph_pos, idx_diff[i][j], ce * (q[i] * partner[j]))
                     if not is_zero(ca):
                         wa = ca * Dk
                         loss[j] = loss[j] + wa * partner[i]
                         gain_s[i] = gain_s[i] + wa * q[j]
                         if phys.update_phonons:
-                            acc(ph_neg, diff_row[i - j], ca * (q[j] * partner[i]))
+                            acc(ph_neg, idx_diff[i][j], ca * (q[j] * partner[i]))
                 if Kr is not None:
                     kr_ij = [Kr[g][i][j] for g in range(G)]
                     kr_ji = [Kr[g][j][i] for g in range(G)]
-                    s_ij = S[i + j]
+                    s_ij = ph_row(idx_sum[i][j])
                     if i == j:
                         c = blend([2.0 * dE * v for v in kr_ij])
                         if not is_zero(c):
@@ -230,7 +261,7 @@ def _make_kernel(phys: _Physics, dt: float):
                             loss[i] = loss[i] + (A + c) * q[i]
                             gain_r[i] = gain_r[i] + A * partner[i]
                             if phys.update_phonons:
-                                m = sum_row[2 * i]
+                                m = idx_sum[i][i]
                                 hb = 0.5 * c
                                 acc(ph_pos, m, hb * (q[i] * q[i]))
                                 acc(ph_neg, m, hb * (partner[i] * partner[i]))
@@ -260,7 +291,7 @@ def _make_kernel(phys: _Physics, dt: float):
                                 [dE * (u + v) for u, v in zip(kr_ij, kr_ji)]
                             )
                             if not is_zero(c2):
-                                m = sum_row[i + j]
+                                m = idx_sum[i][j]
                                 acc(ph_pos, m, c2 * (q[i] * q[j]))
                                 acc(ph_neg, m, c2 * (partner[i] * partner[j]))
 
@@ -310,8 +341,8 @@ class _AnalyticPhysics:
     dEb_s: tuple | None
     dEa2_r: tuple | None  # 2·dE·a_r, 2·dE·b_r (NE, NE)
     dEb2_r: tuple | None
-    diff_row: tuple
-    sum_row: tuple
+    idx_diff: tuple  # (NE, NE) nested ints: exact per-pair ω rows
+    idx_sum: tuple
     update_phonons: bool
 
 
@@ -320,7 +351,7 @@ def _make_analytic_kernel(phys: _AnalyticPhysics, dt: float):
     gamma = phys.gamma
     scattering = phys.dEa_s is not None
     recombination = phys.dEa2_r is not None
-    diff_row, sum_row = phys.diff_row, phys.sum_row
+    idx_diff, idx_sum = phys.idx_diff, phys.idx_sum
     dt = float(dt)
 
     def kernel(q_ref, ph_ref, g2_ref, q_out, ph_out):
@@ -350,8 +381,12 @@ def _make_analytic_kernel(phys: _AnalyticPhysics, dt: float):
                 inv_i = jnp.where(rho_i > _EPS_RHO, 1.0 / jnp.maximum(rho_i, _EPS_RHO), 0.0)
             partner.append(rho_i * jnp.maximum(1.0 - q[i] * inv_i, 0.0))
 
-        D = [None] + [ph_ref[diff_row[k]] for k in range(1, ne)]
-        S = [ph_ref[sum_row[m]] for m in range(2 * ne - 1)] if recombination else None
+        _rows: dict[int, jax.Array] = {}
+
+        def ph_row(idx):
+            if idx not in _rows:
+                _rows[idx] = ph_ref[idx]
+            return _rows[idx]
 
         zeros = jnp.zeros_like(q[0])
         gain_s = [zeros for _ in range(ne)]
@@ -369,7 +404,7 @@ def _make_analytic_kernel(phys: _AnalyticPhysics, dt: float):
         for i in range(ne):
             for j in range(i + 1):
                 if scattering and i != j:
-                    Dk = D[i - j]
+                    Dk = ph_row(idx_diff[i][j])
                     # symmetric in (i,j): one constant serves both orders
                     cs = jnp.maximum(
                         phys.dEa_s[i][j] - phys.dEb_s[i][j] * g2, 0.0
@@ -381,10 +416,10 @@ def _make_analytic_kernel(phys: _AnalyticPhysics, dt: float):
                     loss[j] = loss[j] + wa * partner[i]
                     gain_s[i] = gain_s[i] + wa * q[j]
                     if phys.update_phonons:
-                        acc(ph_pos, diff_row[i - j], cs * (q[i] * partner[j]))
-                        acc(ph_neg, diff_row[i - j], cs * (q[j] * partner[i]))
+                        acc(ph_pos, idx_diff[i][j], cs * (q[i] * partner[j]))
+                        acc(ph_neg, idx_diff[i][j], cs * (q[j] * partner[i]))
                 if recombination:
-                    s_ij = S[i + j]
+                    s_ij = ph_row(idx_sum[i][j])
                     c = phys.dEa2_r[i][j] + phys.dEb2_r[i][j] * g2  # = 2dE·K^r₀
                     A = c * s_ij
                     B = A + c
@@ -392,7 +427,7 @@ def _make_analytic_kernel(phys: _AnalyticPhysics, dt: float):
                         loss[i] = loss[i] + B * q[i]
                         gain_r[i] = gain_r[i] + A * partner[i]
                         if phys.update_phonons:
-                            m = sum_row[2 * i]
+                            m = idx_sum[i][i]
                             hb = 0.5 * c
                             acc(ph_pos, m, hb * (q[i] * q[i]))
                             acc(ph_neg, m, hb * (partner[i] * partner[i]))
@@ -402,7 +437,7 @@ def _make_analytic_kernel(phys: _AnalyticPhysics, dt: float):
                         gain_r[i] = gain_r[i] + A * partner[j]
                         gain_r[j] = gain_r[j] + A * partner[i]
                         if phys.update_phonons:
-                            m = sum_row[i + j]
+                            m = idx_sum[i][j]
                             acc(ph_pos, m, c * (q[i] * q[j]))
                             acc(ph_neg, m, c * (partner[i] * partner[j]))
 
@@ -466,10 +501,10 @@ def build_pallas_collision_step_analytic(
     ne = int(e.size)
     if ne < 2 or ne > _MAX_UNROLLED_BINS:
         return None
-    rows = _uniform_pair_rows(e, pmap)
-    if rows is None:
+    if not _grid_uniform(e):
         return None
-    diff_row, sum_row = rows
+    idx_diff = tuple(tuple(int(v) for v in r) for r in pmap.idx_diff)
+    idx_sum = tuple(tuple(int(v) for v in r) for r in pmap.idx_sum)
     nw = pmap.num_omega
     nw_pad = ((nw + 7) // 8) * 8
     scattering = tau_s is not None
@@ -502,8 +537,8 @@ def build_pallas_collision_step_analytic(
         dEb_s=dEb_s,
         dEa2_r=dEa2_r,
         dEb2_r=dEb2_r,
-        diff_row=tuple(diff_row),
-        sum_row=tuple(sum_row),
+        idx_diff=idx_diff,
+        idx_sum=idx_sum,
         update_phonons=bool(update_phonons),
     )
     kernel = _make_analytic_kernel(phys, dt)
@@ -606,10 +641,10 @@ def build_pallas_collision_step(
             interpret=interpret,
             gap_id=gap_id,
         )
-    rows = _uniform_pair_rows(e, pmap)
-    if rows is None:
+    if not _grid_uniform(e):
         return None
-    diff_row, sum_row = rows
+    idx_diff = tuple(tuple(int(v) for v in r) for r in pmap.idx_diff)
+    idx_sum = tuple(tuple(int(v) for v in r) for r in pmap.idx_sum)
     nw = pmap.num_omega
     nw_pad = ((nw + 7) // 8) * 8
     multi_gap = n_gaps > 1
@@ -631,8 +666,8 @@ def build_pallas_collision_step(
         rho=tuple(
             tuple(float(v) for v in row) for row in rho_arr.reshape(n_gaps, ne)
         ),
-        diff_row=tuple(diff_row),
-        sum_row=tuple(sum_row),
+        idx_diff=idx_diff,
+        idx_sum=idx_sum,
         update_phonons=bool(update_phonons),
     )
     kernel = _make_kernel(phys, dt)

@@ -290,3 +290,113 @@ def test_pallas_multi_gap_matches_xla_interpret():
     q3, p3 = pal_loop(q0, ph0)
     np.testing.assert_allclose(np.asarray(q3), np.asarray(q1), rtol=1e-12, atol=1e-22)
     np.testing.assert_allclose(np.asarray(p3), np.asarray(p1), rtol=1e-9, atol=1e-22)
+
+
+def test_pallas_rows_matches_xla_interpret():
+    """Static-offset row kernel (pallas_collisions_rows) ≡ the XLA integrator.
+
+    This is the VERDICT-r1 item-7 kernel for the 65–192-bin range; parity is
+    checked at a small NE in interpret mode, all channel combinations.
+    """
+    from qpsim_tpu.ops.pallas_collisions_rows import build_pallas_collision_step_rows
+
+    E, dE = build_energy_grid(180.0, 1.0, 4.0, 11)
+    pm = build_phonon_frequency_map(E)
+    rho = dynes_density_of_states(E, 180.0, 0.0)
+    Ks = scattering_kernel_base(E, 180.0, 440.0, 1.2)
+    Kr = recombination_kernel_base(E, 180.0, 520.0, 1.2)
+    ny, nx = 2, 6
+    rng = np.random.default_rng(9)
+    q0 = jnp.asarray(rng.uniform(0, 1e-4, (11, ny, nx)) * rho[:, None, None])
+    ph0 = jnp.asarray(
+        np.broadcast_to(
+            thermal_phonon_occupation(pm.omega_bins, 0.25)[:, None, None],
+            (pm.num_omega, ny, nx),
+        ).copy()
+    )
+    for use_s, use_r, phon in (
+        (True, True, True), (True, False, True), (False, True, True),
+        (True, True, False),
+    ):
+        plan = build_collision_plan_arrays(
+            dE=dE, rho_by_gap=rho[None],
+            K_r0_by_gap=Kr[None] if use_r else None,
+            K_s0_by_gap=Ks[None] if use_s else None,
+            gap_id=np.zeros((ny, nx), np.int32), pmap=pm,
+            enable_recombination=use_r, enable_scattering=use_s,
+            update_phonons=phon)
+        xla = make_collision_step(plan, 0.02)
+        pal = build_pallas_collision_step_rows(
+            E_bins=E, dE=dE, rho=rho,
+            K_s0=Ks if use_s else None, K_r0=Kr if use_r else None,
+            pmap=pm, dt=0.02, update_phonons=phon, tile=128, interpret=True)
+        assert pal is not None
+        q1, p1 = xla(q0, ph0)
+        q2, p2 = pal(q0, ph0)
+        ctx = f"s={use_s} r={use_r} ph={phon}"
+        np.testing.assert_allclose(
+            np.asarray(q2), np.asarray(q1), rtol=1e-12, atol=1e-22, err_msg=ctx)
+        np.testing.assert_allclose(
+            np.asarray(p2), np.asarray(p1), rtol=1e-9, atol=1e-22, err_msg=ctx)
+
+
+def test_split_omega_diagonal_binning_exact():
+    """ω bins that split a Toeplitz diagonal keep the reference binning.
+
+    The ω grid dedupes pair energies with the reference's round-at-1e-12,
+    which fails to merge fp near-duplicates at magnitudes ≳ 1 — at NE=11
+    (Δ=180, E_max/Δ=4) one diagonal straddles two ω bins.  The pair kernels
+    must read the exact per-pair idx maps (not collapsed per-offset rows),
+    and the fori_loop kernel — which structurally needs collapsed rows —
+    must refuse and fall back.
+    """
+    from qpsim_tpu.ops.pallas_collisions import (
+        _uniform_pair_rows,
+        build_pallas_collision_step,
+        build_pallas_collision_step_analytic,
+    )
+    from qpsim_tpu.ops.pallas_collisions_loop import build_pallas_collision_step_loop
+
+    ne = 11
+    E, dE = build_energy_grid(180.0, 1.0, 4.0, ne)
+    pm = build_phonon_frequency_map(E)
+    # this configuration genuinely splits (the regression's precondition)
+    assert _uniform_pair_rows(np.asarray(E), pm) is None
+    rho = dynes_density_of_states(E, 180.0, 0.0)
+    Ks = scattering_kernel_base(E, 180.0, 440.0, 1.2)
+    Kr = recombination_kernel_base(E, 180.0, 520.0, 1.2)
+    ny, nx = 2, 6
+    rng = np.random.default_rng(5)
+    q0 = jnp.asarray(rng.uniform(0, 1e-4, (ne, ny, nx)) * rho[:, None, None])
+    ph0 = jnp.asarray(
+        np.broadcast_to(
+            thermal_phonon_occupation(pm.omega_bins, 0.25)[:, None, None],
+            (pm.num_omega, ny, nx),
+        ).copy()
+    )
+    plan = build_collision_plan_arrays(
+        dE=dE, rho_by_gap=rho[None], K_r0_by_gap=Kr[None], K_s0_by_gap=Ks[None],
+        gap_id=np.zeros((ny, nx), np.int32), pmap=pm,
+        enable_recombination=True, enable_scattering=True, update_phonons=True)
+    q1, p1 = make_collision_step(plan, 0.02)(q0, ph0)
+
+    unrolled = build_pallas_collision_step(
+        E_bins=E, dE=dE, rho=rho, K_s0=Ks, K_r0=Kr, pmap=pm, dt=0.02,
+        update_phonons=True, tile=128, interpret=True)
+    q2, p2 = unrolled(q0, ph0)
+    np.testing.assert_allclose(np.asarray(q2), np.asarray(q1), rtol=1e-12, atol=1e-22)
+    np.testing.assert_allclose(np.asarray(p2), np.asarray(p1), rtol=1e-9, atol=1e-22)
+
+    # analytic kernel at a uniform gap plane reduces to the same physics
+    ana = build_pallas_collision_step_analytic(
+        E_bins=E, dE=dE, gap_plane=np.full((ny, nx), 180.0), pmap=pm, dt=0.02,
+        tau_s=440.0, tau_r=520.0, T_c=1.2, update_phonons=True,
+        tile=128, interpret=True)
+    q3, p3 = ana(q0, ph0)
+    np.testing.assert_allclose(np.asarray(q3), np.asarray(q1), rtol=1e-7, atol=1e-20)
+    np.testing.assert_allclose(np.asarray(p3), np.asarray(p1), rtol=1e-6, atol=1e-18)
+
+    # the fori_loop kernel cannot represent split diagonals: must refuse
+    assert build_pallas_collision_step_loop(
+        E_bins=E, dE=dE, rho=rho, K_s0=Ks, K_r0=Kr, pmap=pm, dt=0.02,
+        update_phonons=True, tile=128, interpret=True) is None
