@@ -222,7 +222,7 @@ def _make_kernel(alpha: float, n: int):
     return kernel
 
 
-def _make_fused_x_kernel(alpha: float, n: int, ly: int, k: int):
+def _make_fused_x_kernel(alpha: float, n: int, ly: int, k: int, store_dtype=None):
     """x-implicit ADI half fused into one pass: rhs stencil + solve.
 
     Reads a (ly, n) tile of the natural-layout state plus 8-row halo groups
@@ -243,9 +243,9 @@ def _make_fused_x_kernel(alpha: float, n: int, ly: int, k: int):
         a_s = alpha * s
         neg_as = -a_s
 
-        u = u_ref[0]  # (ly, n)
-        prev = jnp.concatenate([up_ref[0, 7:8, :], u[:-1]], axis=0)
-        nxt = jnp.concatenate([u[1:], dn_ref[0, 0:1, :]], axis=0)
+        u = u_ref[0].astype(d_c.dtype)  # (ly, n); upcast bf16 state for compute
+        prev = jnp.concatenate([up_ref[0, 7:8, :].astype(d_c.dtype), u[:-1]], axis=0)
+        nxt = jnp.concatenate([u[1:], dn_ref[0, 0:1, :].astype(d_c.dtype)], axis=0)
         rhs = u + a_s * (yl_ref[0] * prev + yh_ref[0] * nxt + yd_ref[0] * u + s_ref[0])
         rhsT = rhs.T  # (n, ly): lines on sublanes
 
@@ -266,12 +266,13 @@ def _make_fused_x_kernel(alpha: float, n: int, ly: int, k: int):
             XL = Rs[c - 1] if c > 0 else zero
             XR = Ls[c + 1] if c < k - 1 else zero
             pieces.append(d_c[:, col(c)] - a_c[:, col(c)] * XL - c_c[:, col(c)] * XR)
-        outT_ref[0] = jnp.concatenate(pieces, axis=0)  # (n, ly), swapped layout
+        outT = jnp.concatenate(pieces, axis=0)  # (n, ly), swapped layout
+        outT_ref[0] = outT if store_dtype is None else outT.astype(store_dtype)
 
     return kernel
 
 
-def _make_fused_y_kernel(alpha: float, ny: int, lx: int, k: int):
+def _make_fused_y_kernel(alpha: float, ny: int, lx: int, k: int, store_dtype=None):
     """y-implicit ADI half fused into one pass, mirror of the x kernel.
 
     Consumes the swapped-layout (NB, Nx, Ny) intermediate: reads an
@@ -288,9 +289,9 @@ def _make_fused_y_kernel(alpha: float, ny: int, lx: int, k: int):
         a_s = alpha * s
         neg_as = -a_s
 
-        v = vT_ref[0]  # (lx, ny)
-        prev = jnp.concatenate([up_ref[0, 7:8, :], v[:-1]], axis=0)
-        nxt = jnp.concatenate([v[1:], dn_ref[0, 0:1, :]], axis=0)
+        v = vT_ref[0].astype(d_c.dtype)  # (lx, ny); upcast bf16 state for compute
+        prev = jnp.concatenate([up_ref[0, 7:8, :].astype(d_c.dtype), v[:-1]], axis=0)
+        nxt = jnp.concatenate([v[1:], dn_ref[0, 0:1, :].astype(d_c.dtype)], axis=0)
         rhsT = v + a_s * (
             xlT_ref[0] * prev + xhT_ref[0] * nxt + xdT_ref[0] * v + sT_ref[0]
         )
@@ -312,9 +313,8 @@ def _make_fused_y_kernel(alpha: float, ny: int, lx: int, k: int):
             rows = slice(c * m, (c + 1) * m)
             XL = Rs[c - 1] if c > 0 else zero
             XR = Ls[c + 1] if c < k - 1 else zero
-            out_ref[0, rows, :] = (
-                d_c[:, col(c)] - a_c[:, col(c)] * XL - c_c[:, col(c)] * XR
-            )
+            piece = d_c[:, col(c)] - a_c[:, col(c)] * XL - c_c[:, col(c)] * XR
+            out_ref[0, rows, :] = piece if store_dtype is None else piece.astype(store_dtype)
 
     return kernel
 
@@ -484,7 +484,7 @@ def build_pallas_adi_step(op, dt: float, dtype=jnp.float32, *, lanes: int = _LAN
 
 def build_pallas_adi_fused_step(op, dt: float, dtype=jnp.float32, *,
                                 tile: int = 128, chunks: int | None = None,
-                                interpret: bool = False):
+                                state_dtype=None, interpret: bool = False):
     """Return ``step(state) -> state`` — PR-ADI in TWO fused Pallas passes.
 
     Each half-step is a single kernel: the explicit-direction stencil (halo
@@ -497,6 +497,14 @@ def build_pallas_adi_fused_step(op, dt: float, dtype=jnp.float32, *,
     Raises ``ValueError`` when the grid shape doesn't tile (callers fall
     back to :func:`build_pallas_adi_step` or the XLA path).  Numerics match
     ``ADIDiffusion`` (same splitting; Wang-ordered eliminations).
+
+    ``state_dtype`` (e.g. ``jnp.bfloat16``) stores the state — and the
+    intermediate u* — in a narrower dtype in HBM while all stencil/solve
+    arithmetic stays in ``dtype`` in VMEM: the returned step takes and
+    returns ``state_dtype`` arrays, halving the dominant state traffic.
+    Accuracy: one rounding of the state per half-step (~1e-3 relative per
+    step worst-case for bf16); see the f32 fidelity tiers before enabling
+    on gate-checked paths.
     """
     mask = np.asarray(op.mask, dtype=bool)
     ny, nx = mask.shape
@@ -548,7 +556,9 @@ def build_pallas_adi_fused_step(op, dt: float, dtype=jnp.float32, *,
     natx_spec = pl.BlockSpec((1, ly, nx), lambda j, b: (bp(b), j, 0), memory_space=vmem)
     solx_spec = pl.BlockSpec((1, nx, ly), lambda j, b: (bp(b), 0, j), memory_space=vmem)
     outT_spec = pl.BlockSpec((1, nx, ly), lambda j, b: (b, 0, j), memory_space=vmem)
-    kern_x = _make_fused_x_kernel(alpha, nx, ly, kx)
+    sdtype = dtype if state_dtype is None else jnp.dtype(state_dtype)
+    kern_x = _make_fused_x_kernel(alpha, nx, ly, kx,
+                                  store_dtype=None if state_dtype is None else sdtype)
     scratch_x = [pltpu.VMEM((nx // kx, kx * ly), dtype) for _ in range(4)]
 
     # ---- y half: swapped-layout input tiles, natural-layout output.
@@ -567,11 +577,12 @@ def build_pallas_adi_fused_step(op, dt: float, dtype=jnp.float32, *,
     natyT_spec = pl.BlockSpec((1, lx, ny), lambda j, b: (bp(b), j, 0), memory_space=vmem)
     soly_spec = pl.BlockSpec((1, ny, lx), lambda j, b: (bp(b), 0, j), memory_space=vmem)
     out_spec = pl.BlockSpec((1, ny, lx), lambda j, b: (b, 0, j), memory_space=vmem)
-    kern_y = _make_fused_y_kernel(alpha, ny, lx, ky)
+    kern_y = _make_fused_y_kernel(alpha, ny, lx, ky,
+                                  store_dtype=None if state_dtype is None else sdtype)
     scratch_y = [pltpu.VMEM((ny // ky, ky * lx), dtype) for _ in range(4)]
 
     def step(state: jax.Array) -> jax.Array:
-        u = state.astype(dtype)
+        u = state.astype(sdtype)
         u_starT = pl.pallas_call(
             kern_x,
             grid=grid_x,
@@ -579,7 +590,7 @@ def build_pallas_adi_fused_step(op, dt: float, dtype=jnp.float32, *,
                       natx_spec, natx_spec, natx_spec, natx_spec,
                       solx_spec, solx_spec, solx_spec],
             out_specs=outT_spec,
-            out_shape=jax.ShapeDtypeStruct((u.shape[0], nx, ny), dtype),
+            out_shape=jax.ShapeDtypeStruct((u.shape[0], nx, ny), sdtype),
             scratch_shapes=scratch_x,
             interpret=interpret,
         )(scale2, u, u, u, ay_lo, ay_hi, ay_diag, src, axT_lo, axT_diag, axT_hi)
@@ -590,11 +601,11 @@ def build_pallas_adi_fused_step(op, dt: float, dtype=jnp.float32, *,
                       natyT_spec, natyT_spec, natyT_spec, natyT_spec,
                       soly_spec, soly_spec, soly_spec],
             out_specs=out_spec,
-            out_shape=jax.ShapeDtypeStruct(u.shape, dtype),
+            out_shape=jax.ShapeDtypeStruct(u.shape, sdtype),
             scratch_shapes=scratch_y,
             interpret=interpret,
         )(scale2, u_starT, u_starT, u_starT, axT_lo, axT_hi, axT_diag, srcT,
           ay_lo, ay_diag, ay_hi)
-        return out.astype(state.dtype)
+        return out if state_dtype is not None else out.astype(state.dtype)
 
     return step

@@ -139,3 +139,27 @@ def test_choose_backend_pallas_contract():
         choose_backend(op, jnp.float32, "pallas")
     # and 'auto' must not select it off-TPU
     assert not isinstance(choose_backend(op, jnp.float32, "auto"), PallasADI)
+
+
+def test_fused_step_bf16_state_tracks_f32():
+    """state_dtype=bfloat16: bf16 in HBM, f32 compute — result within bf16
+    rounding of the full-f32 step, and the step's I/O contract is bf16."""
+    op, u0 = _random_operator(32, 64, 3, masked=True, variable_d=False, seed=4)
+    dt = 0.05
+    f32 = build_pallas_adi_fused_step(op, dt, jnp.float32, interpret=True)
+    bf16 = build_pallas_adi_fused_step(
+        op, dt, jnp.float32, state_dtype=jnp.bfloat16, interpret=True
+    )
+    ref = np.asarray(f32(u0.astype(jnp.float32)), dtype=np.float64)
+    got_b = bf16(u0.astype(jnp.bfloat16))
+    assert got_b.dtype == jnp.bfloat16
+    got = np.asarray(got_b.astype(jnp.float32), dtype=np.float64)
+    scale = np.max(np.abs(ref)) + 1e-30
+    # one bf16 rounding of the input + one of the output ≈ 2^-8 relative
+    assert np.max(np.abs(got - ref)) / scale < 2e-2
+    # multi-step stability: repeated bf16 steps stay near the f32 orbit
+    uf, ub = u0.astype(jnp.float32), u0.astype(jnp.bfloat16)
+    for _ in range(5):
+        uf, ub = f32(uf), bf16(ub)
+    d = np.max(np.abs(np.asarray(ub.astype(jnp.float32)) - np.asarray(uf)))
+    assert d / (np.max(np.abs(np.asarray(uf))) + 1e-30) < 5e-2
