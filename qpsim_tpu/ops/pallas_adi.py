@@ -483,7 +483,7 @@ def build_pallas_adi_step(op, dt: float, dtype=jnp.float32, *, lanes: int = _LAN
 
 
 def build_pallas_adi_fused_step(op, dt: float, dtype=jnp.float32, *,
-                                tile: int = 128, chunks: int | None = None,
+                                tile: int | None = None, chunks: int | None = None,
                                 state_dtype=None, interpret: bool = False):
     """Return ``step(state) -> state`` — PR-ADI in TWO fused Pallas passes.
 
@@ -508,10 +508,27 @@ def build_pallas_adi_fused_step(op, dt: float, dtype=jnp.float32, *,
     """
     mask = np.asarray(op.mask, dtype=bool)
     ny, nx = mask.shape
-    ly = _pick_tile(ny, tile)
-    lx = _pick_tile(nx, tile)
-    kx = _pick_chunks(nx) if chunks is None else int(chunks)
-    ky = _pick_chunks(ny) if chunks is None else int(chunks)
+    # Lane-tile width: 256 measures 14% faster than 128 at 1024²×16
+    # (0.86 vs 1.00 ms/step — fewer halo refetches and wider sweeps), but
+    # the per-block working set is ~13 tile-sized buffers, so wide tiles
+    # only fit while 13·tile·extent·4B stays under ~14 MB of VMEM
+    # (tile=512 at 1024 rows fails to compile).
+    def auto_tile(other_extent: int) -> int:
+        return 256 if 13 * 256 * other_extent * 4 <= 14_000_000 else 128
+
+    ly = _pick_tile(ny, auto_tile(nx) if tile is None else tile)
+    lx = _pick_tile(nx, auto_tile(ny) if tile is None else tile)
+
+    # Wang chunk count: at 256-wide tiles the sweeps are already 2× wider,
+    # so shallower partitioning wins (measured 0.86 ms at K=16 vs 0.91 at
+    # K=32); at 128-wide tiles the deeper K=32 partition wins (1.00 vs 1.13).
+    def auto_chunks(n: int, lane_tile: int | None) -> int:
+        if lane_tile == 256 and n % 16 == 0 and n // 16 >= 8:
+            return 16
+        return _pick_chunks(n)
+
+    kx = auto_chunks(nx, ly) if chunks is None else int(chunks)
+    ky = auto_chunks(ny, lx) if chunks is None else int(chunks)
     if ly is None or lx is None or kx < 2 or ky < 2 or ny % 8 or nx % 8:
         raise ValueError(
             f"fused ADI kernels need tileable extents, got {ny}x{nx}"

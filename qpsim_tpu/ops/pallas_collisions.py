@@ -624,8 +624,28 @@ def build_pallas_collision_step(
     if n_gaps > 1 and gap_id is None:
         return None
     if ne > (_MAX_UNROLLED_BINS if n_gaps == 1 else _MAX_UNROLLED_BINS_MULTIGAP):
-        # beyond the static-unroll envelope (compile time grows as NE²),
-        # dispatch to the fori_loop kernel — same contract and physics
+        # beyond the pair-unroll envelope (compile time grows as NE²):
+        # single-gap configs ride the static-offset rows kernel (exact
+        # per-(offset, ω-bin) groups, no loop carries); piecewise gap maps
+        # stay on the fori_loop kernel, which self-gates to None (→ XLA
+        # fallback) when fp near-duplicates split a pair diagonal.
+        if n_gaps == 1:
+            from .pallas_collisions_rows import build_pallas_collision_step_rows
+
+            step = build_pallas_collision_step_rows(
+                E_bins=e,
+                dE=dE,
+                rho=np.asarray(rho).reshape(-1),
+                K_s0=None if K_s0 is None else np.asarray(K_s0).reshape(ne, ne),
+                K_r0=None if K_r0 is None else np.asarray(K_r0).reshape(ne, ne),
+                pmap=pmap,
+                dt=dt,
+                update_phonons=update_phonons,
+                tile=min(int(tile), 512),
+                interpret=interpret,
+            )
+            if step is not None:
+                return step
         from .pallas_collisions_loop import build_pallas_collision_step_loop
 
         return build_pallas_collision_step_loop(

@@ -76,6 +76,7 @@ class SetupEditor(tk.Toplevel):
             ("Initial conditions…", self.edit_initial_conditions),
             ("Preview IC", self.preview_initial_condition),
             ("Generation…", self.edit_generation),
+            ("Gap map…", self.edit_gap_map),
             ("Materials…", lambda: show_material_reference(self)),
             ("Precompute", self.run_precompute),
             ("Save setup", self.save_setup_file),
@@ -281,6 +282,89 @@ class SetupEditor(tk.Toplevel):
         spec = ask_external_generation(self, self.parameters.external_generation)
         if spec is not None:
             self.parameters.external_generation = spec
+
+    def edit_gap_map(self):
+        """Multi-line Δ(x,y) editor with validate-on-apply and a preview.
+
+        Reference counterpart: ``qpsim/ui/main_app.py:1429-1485`` (the
+        dedicated gap-map dialog; expressions are evaluated against the
+        current mask before being accepted).
+        """
+        win = tk.Toplevel(self)
+        win.title("Custom Gap Map Δ(x,y)")
+        win.configure(bg=PALETTE["face"])
+        win.grab_set()
+        tk.Label(
+            win, text="Custom Python body for Δ(x,y) in µeV", bg=PALETTE["face"],
+        ).pack(anchor="w", padx=10, pady=(10, 2))
+        tk.Label(
+            win,
+            text=(
+                "Variables: x, y in [0,1], params dict, numpy as np.\n"
+                "Return a scalar or vectorized array over interior pixels.\n"
+                "Leave empty to use the constant (uniform) Δ parameter."
+            ),
+            bg=PALETTE["face"], justify="left",
+        ).pack(anchor="w", padx=10, pady=(0, 6))
+        text = tk.Text(win, width=80, height=14)
+        text.pack(fill="both", expand=True, padx=10, pady=(0, 8))
+        current = (self.parameters.gap_expression or "").strip()
+        text.insert("1.0", current or "return 180.0 + 20.0 * x")
+
+        def _evaluate():
+            from ..fields import evaluate_gap_expression
+
+            expression = text.get("1.0", "end").strip()
+            if not expression:
+                return None, np.full(int(self.mask.sum()), self.parameters.energy_gap)
+            values = evaluate_gap_expression(
+                expression, self.mask.copy(), self.parameters.energy_gap
+            )
+            return expression, values
+
+        def _apply():
+            try:
+                expression, _ = _evaluate() if self.mask is not None else (
+                    text.get("1.0", "end").strip() or None, None
+                )
+            except Exception as exc:
+                messagebox.showerror("Invalid gap map", str(exc), parent=win)
+                return
+            self.parameters.gap_expression = expression or ""
+            self.status.configure(
+                text="Gap map: " + (expression or "uniform Δ")
+            )
+            win.destroy()
+
+        def _preview():
+            if self.mask is None:
+                messagebox.showinfo("No geometry", "Load a geometry first.", parent=win)
+                return
+            try:
+                _, values = _evaluate()
+            except Exception as exc:
+                messagebox.showerror("Invalid gap map", str(exc), parent=win)
+                return
+            shown = np.full(self.mask.shape, np.nan)
+            shown[self.mask] = values
+            self.ax.clear()
+            self.ax.imshow(shown, origin="lower", cmap="viridis", interpolation="nearest")
+            self.ax.set_title("gap map Δ(x,y) preview [µeV]")
+            self.ax.set_xticks([])
+            self.ax.set_yticks([])
+            self.canvas.draw_idle()
+
+        def _clear_constant():
+            self.parameters.gap_expression = ""
+            self.status.configure(text="Gap map: uniform Δ")
+            win.destroy()
+
+        bar = tk.Frame(win, bg=PALETTE["face"])
+        bar.pack(fill="x", padx=10, pady=(0, 10))
+        tk.Button(bar, text="Use constant only", width=16, command=_clear_constant).pack(side="left")
+        tk.Button(bar, text="Preview", width=10, command=_preview).pack(side="left", padx=6)
+        tk.Button(bar, text="Cancel", width=10, command=win.destroy).pack(side="right", padx=(6, 0))
+        tk.Button(bar, text="Apply", width=10, command=_apply).pack(side="right")
 
     # -- setup assembly -------------------------------------------------------------
 

@@ -400,3 +400,37 @@ def test_split_omega_diagonal_binning_exact():
     assert build_pallas_collision_step_loop(
         E_bins=E, dE=dE, rho=rho, K_s0=Ks, K_r0=Kr, pmap=pm, dt=0.02,
         update_phonons=True, tile=128, interpret=True) is None
+
+
+def test_dispatch_above_unroll_cap_uses_rows_kernel():
+    """NE>64 single-gap dispatch rides the static-offset rows kernel and
+    keeps XLA parity (exact ω binning) in interpret mode."""
+    ne = 66
+    E, dE = build_energy_grid(180.0, 1.0, 4.0, ne)
+    pm = build_phonon_frequency_map(E)
+    rho = dynes_density_of_states(E, 180.0, 0.0)
+    Ks = scattering_kernel_base(E, 180.0, 440.0, 1.2)
+    Kr = recombination_kernel_base(E, 180.0, 520.0, 1.2)
+    ny, nx = 1, 4
+    from qpsim_tpu.ops.pallas_collisions import build_pallas_collision_step
+
+    pal = build_pallas_collision_step(
+        E_bins=E, dE=dE, rho=rho, K_s0=Ks, K_r0=Kr, pmap=pm, dt=0.02,
+        update_phonons=True, tile=128, interpret=True)
+    assert pal is not None
+    plan = build_collision_plan_arrays(
+        dE=dE, rho_by_gap=rho[None], K_r0_by_gap=Kr[None], K_s0_by_gap=Ks[None],
+        gap_id=np.zeros((ny, nx), np.int32), pmap=pm,
+        enable_recombination=True, enable_scattering=True, update_phonons=True)
+    rng = np.random.default_rng(13)
+    q0 = jnp.asarray(rng.uniform(0, 1e-4, (ne, ny, nx)) * rho[:, None, None])
+    ph0 = jnp.asarray(
+        np.broadcast_to(
+            thermal_phonon_occupation(pm.omega_bins, 0.25)[:, None, None],
+            (pm.num_omega, ny, nx),
+        ).copy()
+    )
+    q1, p1 = make_collision_step(plan, 0.02)(q0, ph0)
+    q2, p2 = pal(q0, ph0)
+    np.testing.assert_allclose(np.asarray(q2), np.asarray(q1), rtol=1e-12, atol=1e-22)
+    np.testing.assert_allclose(np.asarray(p2), np.asarray(p1), rtol=1e-9, atol=1e-22)

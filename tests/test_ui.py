@@ -389,3 +389,38 @@ def test_headless_test_suite_landing_and_case_viewer():
         landing._open_case()
         cases = [w for w in tkstub.walk(landing) if type(w).__name__ == "_CaseViewer"]
         assert cases, "case viewer not opened"
+
+
+def test_headless_gap_map_editor():
+    import tkstub
+
+    with tkstub.installed() as stub:
+        ui = tkstub.fresh_ui_modules()
+        root, editor = _editor_with_geometry(ui, stub)
+        editor.edit_gap_map()
+        wins = [w for w in tkstub.walk(editor) if isinstance(w, stub.tk.Toplevel)]
+        win = wins[-1]
+        texts = tkstub.find_widgets(win, stub.tk.Text)
+        assert texts, "gap-map editor has no text widget"
+        text = texts[0]
+        # preview draws the evaluated map onto the editor canvas
+        tkstub.find_button(win, "Preview").invoke()
+        assert "gap map" in editor.ax.get_title()
+        # invalid expression -> error box, dialog stays open
+        text.delete("1.0", "end")
+        text.insert("1.0", "return __import__('os')")
+        n_err = len(stub.messagebox.showerror.calls)
+        tkstub.find_button(win, "Apply").invoke()
+        assert len(stub.messagebox.showerror.calls) == n_err + 1
+        assert win.winfo_exists()
+        # valid expression applies to the parameters
+        text.delete("1.0", "end")
+        text.insert("1.0", "return 160.0 + 30.0 * x")
+        tkstub.find_button(win, "Apply").invoke()
+        assert editor.parameters.gap_expression == "return 160.0 + 30.0 * x"
+        assert not win.winfo_exists()
+        # use-constant clears it
+        editor.edit_gap_map()
+        win2 = [w for w in tkstub.walk(editor) if isinstance(w, stub.tk.Toplevel)][-1]
+        tkstub.find_button(win2, "Use constant only").invoke()
+        assert editor.parameters.gap_expression == ""
