@@ -127,12 +127,15 @@ def bench_scalar_cn_1024() -> float:
     bcs = {e.edge_id: BoundaryCondition(kind="reflective") for e in edges}
     x_st, y_st = build_directional_stencils(mask, edges, bcs, 1.0)
     op = fold_diffusion(x_st, y_st, mask, 1.0, 6.0)
-    one = _best_diffusion(op, jnp.float32).make_step(0.1)
+    # aux form: geometry planes cross the jit boundary as arguments — baked
+    # closure constants cost a tunnel round-trip per array at compile time
+    one, daux = _best_diffusion(op, jnp.float32).make_step_aux(0.1)
 
     @jax.jit
-    def chunk(u):
-        return jax.lax.scan(lambda c, _: (one(c), None), u, None, length=length, unroll=8)[0]
+    def chunk_a(u, a):
+        return jax.lax.scan(lambda c, _: (one(c, a), None), u, None, length=length, unroll=8)[0]
 
+    chunk = lambda u: chunk_a(u, daux)
     u = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (1, n, n)), dtype=jnp.float32)
     per_step, _ = _timed_chunk(chunk, u, length, f"scalar CN {n}^2")
     return n * n / per_step
@@ -163,7 +166,7 @@ def _coupled_pieces(ny, nx, ne, dt, dtype):
     rho = dynes_density_of_states(E, gap, 0.0)
     x_st, y_st = build_directional_stencils(mask, edges, bcs, 1.0)
     op = fold_diffusion(x_st, y_st, mask, 1.0, diffusion_coefficient_of_energy(d0, E, gap))
-    diff = _best_diffusion(op, dtype).make_step(dt)
+    diff_step, diff_aux = _best_diffusion(op, dtype).make_step_aux(dt)
     col_half = build_pallas_collision_step(
         E_bins=E,
         dE=dE,
@@ -183,7 +186,7 @@ def _coupled_pieces(ny, nx, ne, dt, dtype):
         ).copy(),
         dtype=dtype,
     )
-    return diff, col_half, q0, ph0
+    return diff_step, diff_aux, col_half, q0, ph0
 
 
 def bench_coupled_2d(ny=256, nx=256, ne=16, length=1000) -> dict:
@@ -191,20 +194,21 @@ def bench_coupled_2d(ny=256, nx=256, ne=16, length=1000) -> dict:
     import jax
     import jax.numpy as jnp
 
-    diff, col_half, q0, ph0 = _coupled_pieces(ny, nx, ne, 0.05, jnp.float32)
-
-    def step(state, _):
-        q, ph = state
-        q, ph = col_half(q, ph)
-        q = diff(q)
-        q, ph = col_half(q, ph)
-        return (q, ph), None
+    diff_step, diff_aux, col_half, q0, ph0 = _coupled_pieces(ny, nx, ne, 0.05, jnp.float32)
 
     @jax.jit
-    def chunk(state):
+    def chunk_a(state, daux):
+        def step(state, _):
+            q, ph = state
+            q, ph = col_half(q, ph)
+            q = diff_step(q, daux)
+            q, ph = col_half(q, ph)
+            return (q, ph), None
+
         # unroll=4 is the measured optimum at this carry size (8 regresses)
         return jax.lax.scan(step, state, None, length=length, unroll=4)[0]
 
+    chunk = lambda state: chunk_a(state, diff_aux)
     per_step, _ = _timed_chunk(chunk, (q0, ph0), length, f"coupled 2D {ny}x{nx}x{ne}")
     px_collisions = 2 * ny * nx / per_step
     return {
@@ -238,12 +242,13 @@ def bench_masked_512(length: int = 2000) -> dict:
         bcs[e.edge_id] = BoundaryCondition(kind="absorbing" if r > 0.32 * n else "reflective")
     x_st, y_st = build_directional_stencils(mask, edges, bcs, 1.0)
     op = fold_diffusion(x_st, y_st, mask, 1.0, 6.0)
-    one = _best_diffusion(op, jnp.float32).make_step(0.1)
+    one, daux = _best_diffusion(op, jnp.float32).make_step_aux(0.1)
 
     @jax.jit
-    def chunk(u):
-        return jax.lax.scan(lambda c, _: (one(c), None), u, None, length=length, unroll=8)[0]
+    def chunk_a(u, a):
+        return jax.lax.scan(lambda c, _: (one(c, a), None), u, None, length=length, unroll=8)[0]
 
+    chunk = lambda u: chunk_a(u, daux)
     u0 = np.zeros((1, n, n), np.float32)
     u0[0][mask] = 1.0
     per_step, _ = _timed_chunk(chunk, jnp.asarray(u0), length, "masked 512^2 donut")
@@ -260,19 +265,20 @@ def bench_coupled_full_scale(length: int = 200) -> dict:
     import jax
     import jax.numpy as jnp
 
-    diff, col_half, q0, ph0 = _coupled_pieces(1024, 1024, 16, 0.05, jnp.float32)
-
-    def step(state, _):
-        q, ph = state
-        q, ph = col_half(q, ph)
-        q = diff(q)
-        q, ph = col_half(q, ph)
-        return (q, ph), None
+    diff_step, diff_aux, col_half, q0, ph0 = _coupled_pieces(1024, 1024, 16, 0.05, jnp.float32)
 
     @jax.jit
-    def chunk(state):
+    def chunk_a(state, daux):
+        def step(state, _):
+            q, ph = state
+            q, ph = col_half(q, ph)
+            q = diff_step(q, daux)
+            q, ph = col_half(q, ph)
+            return (q, ph), None
+
         return jax.lax.scan(step, state, None, length=length, unroll=32)[0]
 
+    chunk = lambda state: chunk_a(state, diff_aux)
     per_step, _ = _timed_chunk(chunk, (q0, ph0), length, "coupled 1024^2 x 16")
 
     from qpsim_tpu.ops.dos import dynes_density_of_states
@@ -294,21 +300,22 @@ def bench_coupled_full_scale(length: int = 200) -> dict:
         update_phonons=True,
     )
 
-    def step_m(state, _):
-        q, ph = state
-        q = diff(q)
-        q, ph = col_full(q, ph)
-        return (q, ph), None
-
     @jax.jit
-    def chunk_m(state):
+    def chunk_m_a(state, daux):
+        def step_m(state, _):
+            q, ph = state
+            q = diff_step(q, daux)
+            q, ph = col_full(q, ph)
+            return (q, ph), None
+
         q, ph = state
         q, ph = col_half(q, ph)
         (q, ph), _ = jax.lax.scan(step_m, (q, ph), None, length=length - 1, unroll=32)
-        q = diff(q)
+        q = diff_step(q, daux)
         q, ph = col_half(q, ph)
         return q, ph
 
+    chunk_m = lambda state: chunk_m_a(state, diff_aux)
     per_step_m, _ = _timed_chunk(chunk_m, (q0, ph0), length, "coupled 1024^2 x 16 merged")
     return {
         "coupled_1024_ms_per_step": per_step * 1e3,
@@ -323,7 +330,7 @@ def bench_rooflines(n=1024, ne=16, length=400) -> dict:
     import jax
     import jax.numpy as jnp
 
-    diff, col_half, q0, ph0 = _coupled_pieces(n, n, ne, 0.05, jnp.float32)
+    diff_step, diff_aux, col_half, q0, ph0 = _coupled_pieces(n, n, ne, 0.05, jnp.float32)
 
     @jax.jit
     def col_chunk(state):
@@ -335,9 +342,12 @@ def bench_rooflines(n=1024, ne=16, length=400) -> dict:
     ops = collision_vpu_op_model(ne) * n * n / per_sub
 
     @jax.jit
-    def adi_chunk(u):
-        return jax.lax.scan(lambda c, _: (diff(c), None), u, None, length=length, unroll=8)[0]
+    def adi_chunk_a(u, daux):
+        return jax.lax.scan(
+            lambda c, _: (diff_step(c, daux), None), u, None, length=length, unroll=8
+        )[0]
 
+    adi_chunk = lambda u: adi_chunk_a(u, diff_aux)
     per_adi, _ = _timed_chunk(adi_chunk, q0, length, f"fused ADI {n}^2x{ne}")
     bps = adi_traffic_bytes_model(ne, n, n) / per_adi
     out = {
@@ -445,19 +455,20 @@ def bench_1d_64bin(nx=4096, ne=64, length=200) -> dict:
     import jax
     import jax.numpy as jnp
 
-    diff, col_half, q0, ph0 = _coupled_pieces(1, nx, ne, 0.05, jnp.float32)
-
-    def step(state, _):
-        q, ph = state
-        q, ph = col_half(q, ph)
-        q = diff(q)
-        q, ph = col_half(q, ph)
-        return (q, ph), None
+    diff_step, diff_aux, col_half, q0, ph0 = _coupled_pieces(1, nx, ne, 0.05, jnp.float32)
 
     @jax.jit
-    def chunk(state):
+    def chunk_a(state, daux):
+        def step(state, _):
+            q, ph = state
+            q, ph = col_half(q, ph)
+            q = diff_step(q, daux)
+            q, ph = col_half(q, ph)
+            return (q, ph), None
+
         return jax.lax.scan(step, state, None, length=length, unroll=8)[0]
 
+    chunk = lambda state: chunk_a(state, diff_aux)
     per_step, _ = _timed_chunk(chunk, (q0, ph0), length, f"1D {nx}x{ne}bins")
     return {
         "coupled_1d_64bin_ms_per_step": per_step * 1e3,
@@ -503,22 +514,24 @@ def bench_mkid_pulse(total_steps=10_000, nx=1024, ne=16) -> dict:
     import jax.numpy as jnp
 
     dt = 0.01
-    diff, col_half, q0, ph0 = _coupled_pieces(1, nx, ne, dt, jnp.float32)
+    diff_step, diff_aux, col_half, q0, ph0 = _coupled_pieces(1, nx, ne, dt, jnp.float32)
     pulse_rate, pulse_end = 1e-5, 2.0
     chunk_len = 2000
 
-    def step(state, i):
-        q, ph = state
-        t = i.astype(jnp.float32) * dt
-        q = q + jnp.where(t < pulse_end, dt * pulse_rate, 0.0)
-        q, ph = col_half(q, ph)
-        q = diff(q)
-        q, ph = col_half(q, ph)
-        return (q, ph), None
-
     @jax.jit
-    def run_chunk(state, i0):
+    def run_chunk_a(state, i0, daux):
+        def step(state, i):
+            q, ph = state
+            t = i.astype(jnp.float32) * dt
+            q = q + jnp.where(t < pulse_end, dt * pulse_rate, 0.0)
+            q, ph = col_half(q, ph)
+            q = diff_step(q, daux)
+            q, ph = col_half(q, ph)
+            return (q, ph), None
+
         return jax.lax.scan(step, state, i0 + jnp.arange(chunk_len), unroll=8)[0]
+
+    run_chunk = lambda state, i0: run_chunk_a(state, i0, diff_aux)
 
     state = (q0, ph0)
     state = run_chunk(state, jnp.asarray(0))

@@ -484,7 +484,8 @@ def build_pallas_adi_step(op, dt: float, dtype=jnp.float32, *, lanes: int = _LAN
 
 def build_pallas_adi_fused_step(op, dt: float, dtype=jnp.float32, *,
                                 tile: int | None = None, chunks: int | None = None,
-                                state_dtype=None, interpret: bool = False):
+                                state_dtype=None, as_aux: bool = False,
+                                interpret: bool = False):
     """Return ``step(state) -> state`` — PR-ADI in TWO fused Pallas passes.
 
     Each half-step is a single kernel: the explicit-direction stencil (halo
@@ -598,7 +599,18 @@ def build_pallas_adi_fused_step(op, dt: float, dtype=jnp.float32, *,
                                   store_dtype=None if state_dtype is None else sdtype)
     scratch_y = [pltpu.VMEM((ny // ky, ky * lx), dtype) for _ in range(4)]
 
-    def step(state: jax.Array) -> jax.Array:
+    # Aux protocol: the geometry planes ride the jit boundary as ARGUMENTS.
+    # Baked-closure constants would be materialised into the lowered module,
+    # and over this environment's remote-TPU tunnel every closed-over device
+    # array costs a host round-trip fetch at .lower() time (minutes per
+    # compile for 1024²-class planes — the engine's make_step_aux contract
+    # exists precisely for this).
+    aux = (scale2, ay_lo, ay_hi, ay_diag, src, axT_lo, axT_diag, axT_hi,
+           srcT, ay_diag, ay_hi)  # trailing entries kept positional below
+
+    def step_aux(state: jax.Array, aux_arrays) -> jax.Array:
+        (scale2_, ay_lo_, ay_hi_, ay_diag_, src_, axT_lo_, axT_diag_,
+         axT_hi_, srcT_, _, _) = aux_arrays
         u = state.astype(sdtype)
         u_starT = pl.pallas_call(
             kern_x,
@@ -610,7 +622,7 @@ def build_pallas_adi_fused_step(op, dt: float, dtype=jnp.float32, *,
             out_shape=jax.ShapeDtypeStruct((u.shape[0], nx, ny), sdtype),
             scratch_shapes=scratch_x,
             interpret=interpret,
-        )(scale2, u, u, u, ay_lo, ay_hi, ay_diag, src, axT_lo, axT_diag, axT_hi)
+        )(scale2_, u, u, u, ay_lo_, ay_hi_, ay_diag_, src_, axT_lo_, axT_diag_, axT_hi_)
         out = pl.pallas_call(
             kern_y,
             grid=grid_y,
@@ -621,8 +633,14 @@ def build_pallas_adi_fused_step(op, dt: float, dtype=jnp.float32, *,
             out_shape=jax.ShapeDtypeStruct(u.shape, sdtype),
             scratch_shapes=scratch_y,
             interpret=interpret,
-        )(scale2, u_starT, u_starT, u_starT, axT_lo, axT_hi, axT_diag, srcT,
-          ay_lo, ay_diag, ay_hi)
+        )(scale2_, u_starT, u_starT, u_starT, axT_lo_, axT_hi_, axT_diag_, srcT_,
+          ay_lo_, ay_diag_, ay_hi_)
         return out if state_dtype is not None else out.astype(state.dtype)
+
+    if as_aux:
+        return step_aux, aux
+
+    def step(state: jax.Array) -> jax.Array:
+        return step_aux(state, aux)
 
     return step

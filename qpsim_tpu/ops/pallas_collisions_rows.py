@@ -47,6 +47,15 @@ __all__ = ["build_pallas_collision_step_rows"]
 _DEFAULT_TILE = 512
 
 
+def _flip_rows(x: jax.Array, n_live: int) -> jax.Array:
+    """Reverse the first ``n_live`` rows (static concat — ``jnp.flip``/``rev``
+    has no Mosaic TPU lowering; padding rows keep their place)."""
+    parts = [x[i : i + 1] for i in range(n_live - 1, -1, -1)]
+    if x.shape[0] > n_live:
+        parts.append(x[n_live:])
+    return jnp.concatenate(parts, axis=0)
+
+
 def _roll_up(x: jax.Array, k: int) -> jax.Array:
     """rows r ← r+k (circular; wrap rows are gated by zero coefficients)."""
     k = k % x.shape[0]
@@ -172,8 +181,8 @@ def build_pallas_collision_step_rows(
         if recombination:
             # reversed over the LIVE rows only (padding rows stay zero):
             # qrev[i] = q[ne−1−i], the source of the anti-diagonal walk
-            qrev = jnp.concatenate([q[ne - 1 :: -1], q[ne:]], axis=0)
-            prev_rev = jnp.concatenate([partner[ne - 1 :: -1], partner[ne:]], axis=0)
+            qrev = _flip_rows(q, ne)
+            prev_rev = _flip_rows(partner, ne)
 
         loss_ref[:] = jnp.zeros_like(q)
         gain_ref[:] = jnp.zeros_like(q)

@@ -413,6 +413,22 @@ class PallasADI(_AuxStepMixin):
                 self._op, dt, self.dtype, interpret=self._interpret
             )
 
+    def make_step_aux(self, dt: float):
+        """Geometry planes as jit-boundary ARGUMENTS, not closure constants.
+
+        Over the remote-TPU tunnel every closed-over device array costs a
+        host round-trip fetch at ``.lower()`` time (minutes per compile at
+        1024²-class planes); the aux form compiles in seconds.
+        """
+        from ..ops.pallas_adi import build_pallas_adi_fused_step
+
+        try:
+            return build_pallas_adi_fused_step(
+                self._op, dt, self.dtype, as_aux=True, interpret=self._interpret
+            )
+        except ValueError:
+            return super().make_step_aux(dt)
+
 
 def _pallas_adi_ok(dtype) -> str | None:
     """None when the Pallas ADI backend can run here, else the reason."""
