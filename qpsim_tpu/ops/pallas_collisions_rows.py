@@ -196,8 +196,13 @@ def build_pallas_collision_step_rows(
             table[idx] = val if cur is None else cur + val
 
         if scattering:
-            cur_k = -1
-            q_up = p_up = q_dn = p_dn = None
+            cur_k = 0
+            # shifted states advance by INCREMENTAL ±1 rolls between offsets:
+            # fresh roll-by-k values per offset are all live simultaneously
+            # for Mosaic's stack allocator (measured 67 MB of scoped VMEM at
+            # NE=100×tile 512 — a compile failure); the carried form needs
+            # only the previous offset's buffers.
+            q_up, p_up, q_dn, p_dn = q, partner, q, partner
             lo8 = hi8 = 0
             for c, (k, dk) in enumerate(scat_cols):
                 if k != cur_k:
@@ -207,10 +212,11 @@ def build_pallas_collision_step_rows(
                     # skipping the all-zero row blocks of the padded tables.
                     lo8 = (k // 8) * 8
                     hi8 = _round_up(ne - k, 8)
-                    q_up = _roll_up(q, k)  # q_up[i] = q[i+k]
-                    p_up = _roll_up(partner, k)
-                    q_dn = _roll_dn(q, k)  # q_dn[i] = q[i−k]
-                    p_dn = _roll_dn(partner, k)
+                    for _ in range(k - cur_k):  # offsets are ascending
+                        q_up = _roll_up(q_up, 1)  # q_up[i] = q[i+k]
+                        p_up = _roll_up(p_up, 1)
+                        q_dn = _roll_dn(q_dn, 1)  # q_dn[i] = q[i−k]
+                        p_dn = _roll_dn(p_dn, 1)
                     cur_k = k
                 Dk = ph_ref[dk : dk + 1, :]  # (1, T) static row
                 em = dE * (1.0 + Dk)
@@ -237,8 +243,12 @@ def build_pallas_collision_step_rows(
                     acc(ph_b_neg, dk, p_ab)
 
         if recombination:
-            cur_s = -1
-            q_s = p_s = None
+            cur_s = 0
+            # q_s(s)[i] = q[s−i]: start from the reversed state aligned to
+            # s = 0, then advance by one incremental roll per anti-diagonal
+            # (same stack-reuse argument as the scattering walk above)
+            q_s = _roll_dn(qrev, (0 - (ne - 1)) % ne_pad)
+            p_s = _roll_dn(prev_rev, (0 - (ne - 1)) % ne_pad)
             lo8 = hi8 = 0
             for c, (srow, ms) in enumerate(rec_cols):
                 if srow != cur_s:
@@ -247,11 +257,15 @@ def build_pallas_collision_step_rows(
                     i_hi = min(ne, srow + 1)
                     lo8 = (i_lo // 8) * 8
                     hi8 = _round_up(i_hi, 8)
-                    # partner index s−i: rows of the reversed-and-rolled state;
-                    # q_s[i] = q[s−i] — a static roll of the reversed state
-                    q_s = _roll_dn(qrev, (srow - (ne - 1)) % ne_pad)
-                    p_s = _roll_dn(prev_rev, (srow - (ne - 1)) % ne_pad)
+                    for _ in range(srow - cur_s):
+                        q_s = _roll_dn(q_s, 1)
+                        p_s = _roll_dn(p_s, 1)
                     cur_s = srow
+                elif c == 0:
+                    i_lo = max(0, srow - ne + 1)
+                    i_hi = min(ne, srow + 1)
+                    lo8 = (i_lo // 8) * 8
+                    hi8 = _round_up(i_hi, 8)
                 Ss = ph_ref[ms : ms + 1, :]
                 r = r_ref[:, c : c + 1]
                 w_loss = (2.0 * dE) * r[lo8:hi8] * q_s[lo8:hi8]

@@ -73,6 +73,13 @@ class ShardedStep:
     :meth:`make_chunk` over calling ``step`` in a Python loop or scanning
     it yourself: TPU while-loops pay a per-iteration back-edge cost that
     scales with the carry size, which the chunk amortizes by unrolling.
+
+    ``apply``/``aux`` expose the un-jitted step with its operator arrays as
+    explicit ARGUMENTS: callers embedding the step in their own jit (the
+    engine's mesh path, custom scan loops) must thread ``aux`` through
+    their jit boundary instead of letting the arrays become closure
+    constants — over a remote-TPU tunnel every closed-over device array
+    costs a host round-trip fetch at ``.lower()`` time.
     """
 
     mesh: Mesh
@@ -80,6 +87,8 @@ class ShardedStep:
     q_sharding: NamedSharding
     ph_sharding: NamedSharding
     grid_shape: tuple[int, int]
+    apply: Callable = None  # (q, ph, raw_arrays, src) -> (q, ph, mass)
+    aux: tuple = ()  # (raw_arrays, src)
 
     def make_chunk(self, n_steps: int, *, unroll: int = 8) -> Callable:
         """Return jitted ``(q, ph) -> (q, ph, mass)`` advancing n_steps.
@@ -90,13 +99,13 @@ class ShardedStep:
         """
         import jax
 
-        step = self.step  # jitted callables inline when traced inside jit
+        apply = self.apply
 
         @jax.jit
-        def chunk(q, ph):
+        def chunk_a(q, ph, raw, src):
             def body(carry, _):
                 q, ph = carry
-                q, ph, mass = step(q, ph)
+                q, ph, mass = apply(q, ph, raw, src)
                 return (q, ph), mass
 
             (q, ph), masses = jax.lax.scan(
@@ -104,7 +113,8 @@ class ShardedStep:
             )
             return q, ph, masses[-1]
 
-        return chunk
+        aux = self.aux
+        return lambda q, ph: chunk_a(q, ph, *aux)
 
 
 def build_sharded_step(
@@ -487,7 +497,9 @@ def build_sharded_step(
         q_sh = NamedSharding(mesh, rows)
         ph_sh = NamedSharding(mesh, rows)
 
-    @jax.jit
-    def step(q, ph):
-        return sharded(q, ph, raw_arrays, src)
-    return ShardedStep(mesh=mesh, step=step, q_sharding=q_sh, ph_sharding=ph_sh, grid_shape=(ny, nx))
+    jit_step = jax.jit(sharded)
+    step = lambda q, ph: jit_step(q, ph, raw_arrays, src)
+    return ShardedStep(
+        mesh=mesh, step=step, q_sharding=q_sh, ph_sharding=ph_sh,
+        grid_shape=(ny, nx), apply=sharded, aux=(raw_arrays, src),
+    )

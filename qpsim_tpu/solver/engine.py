@@ -791,7 +791,7 @@ def _build_engine_program(
         )
     rho_state_np = np.zeros((num_energy_bins, ny, nx), dtype=np.float64)
     rho_state_np[:, mask] = rho_per_pixel
-    pauli_stats = make_pauli_stats_fn(
+    pauli_stats_fn, pauli_aux = make_pauli_stats_fn(
         jnp.asarray(rho_state_np, dtype=dtype), pauli_density_floor
     )
     # --- generation --------------------------------------------------------------
@@ -920,7 +920,7 @@ def _build_engine_program(
                 return seg_cache[key]
             sh = get_sharded(seg_dt)
 
-            def run(qq, pp, t_start):
+            def run(qq, pp, t_start, paux, shaux):
                 global _TRACE_EVENTS
                 _TRACE_EVENTS += 1
 
@@ -934,8 +934,8 @@ def _build_engine_program(
                         gen_nonfinite = ~jnp.all(jnp.isfinite(jnp.where(mask_dev, g, 0.0)))
                         gen_negative = jnp.any(jnp.where(mask_dev, g, 0.0) < 0)
                         qq = qq + seg_dt * g
-                    qq, pp, _mass = sh.step(qq, pp)
-                    stats = pauli_stats(qq)
+                    qq, pp, _mass = sh.apply(qq, pp, *shaux)
+                    stats = pauli_stats_fn(qq, paux)
                     return (qq, pp, t0), stats + (gen_nonfinite, gen_negative)
 
                 (qq, pp, _), stats = jax.lax.scan(
@@ -944,7 +944,8 @@ def _build_engine_program(
                 )
                 return qq, pp, stats
 
-            seg_cache[key] = jax.jit(run)
+            jit_run = jax.jit(run)
+            seg_cache[key] = lambda qq, pp, t: jit_run(qq, pp, t, pauli_aux, sh.aux)
             return seg_cache[key]
 
         single_step_cache_m: dict[float, Callable] = {}
@@ -953,13 +954,16 @@ def _build_engine_program(
             if seg_dt not in single_step_cache_m:
                 sh = get_sharded(seg_dt)
 
-                def one(qq, pp):
+                def one(qq, pp, paux, shaux):
                     global _TRACE_EVENTS
                     _TRACE_EVENTS += 1
-                    qq, pp, _mass = sh.step(qq, pp)
-                    return qq, pp, pauli_stats(qq)
+                    qq, pp, _mass = sh.apply(qq, pp, *shaux)
+                    return qq, pp, pauli_stats_fn(qq, paux)
 
-                single_step_cache_m[seg_dt] = jax.jit(one)
+                jit_one = jax.jit(one)
+                single_step_cache_m[seg_dt] = (
+                    lambda qq, pp: jit_one(qq, pp, pauli_aux, sh.aux)
+                )
             return single_step_cache_m[seg_dt]
 
         from jax.sharding import NamedSharding
@@ -972,7 +976,7 @@ def _build_engine_program(
             pmap=pmap,
             segment_runner=segment_runner_mesh,
             single_step=single_step_mesh,
-            pauli_stats_jit=jax.jit(pauli_stats),
+            pauli_stats_jit=(lambda _j: (lambda q: _j(q, pauli_aux)))(jax.jit(pauli_stats_fn)),
             host_gen=gen.host_mode,
             q_sharding=rows_sharding,
             ph_sharding=rows_sharding,
@@ -1000,7 +1004,7 @@ def _build_engine_program(
             and length > 1
         )
 
-        def run(qq, pp, t_start, daux):
+        def run(qq, pp, t_start, daux, paux):
             global _TRACE_EVENTS
             _TRACE_EVENTS += 1
             def body(carry, idx):
@@ -1021,7 +1025,7 @@ def _build_engine_program(
                     qq, pp = col_full(qq, pp)
                 elif diff_step is not None:
                     qq = diff_step(qq, daux)
-                stats = pauli_stats(qq)
+                stats = pauli_stats_fn(qq, paux)
                 return (qq, pp, t0), stats + (gen_nonfinite, gen_negative)
 
             def run_merged(qq, pp):
@@ -1033,7 +1037,7 @@ def _build_engine_program(
                     qq, pp = carry
                     qq = diff_step(qq, daux)
                     qq, pp = col_full(qq, pp)
-                    stats = pauli_stats(qq)
+                    stats = pauli_stats_fn(qq, paux)
                     no = jnp.asarray(False)
                     return (qq, pp), stats + (no, no)
 
@@ -1044,7 +1048,7 @@ def _build_engine_program(
                 qq = diff_step(qq, daux)
                 qq, pp = col_half(qq, pp)
                 no = jnp.asarray(False)
-                last = pauli_stats(qq) + (no, no)
+                last = pauli_stats_fn(qq, paux) + (no, no)
                 stats = tuple(
                     jnp.concatenate([s, jnp.asarray(l)[None]])
                     for s, l in zip(stats, last)
@@ -1061,7 +1065,7 @@ def _build_engine_program(
             return qq, pp, stats
 
         jit_run = jax.jit(run)
-        seg_cache[key] = lambda qq, pp, t: jit_run(qq, pp, t, diff_aux)
+        seg_cache[key] = lambda qq, pp, t: jit_run(qq, pp, t, diff_aux, pauli_aux)
         return seg_cache[key]
 
     single_step_cache: dict[float, Callable] = {}
@@ -1075,7 +1079,7 @@ def _build_engine_program(
             else:
                 diff_step, diff_aux = None, ()
 
-            def one(qq, pp, daux):
+            def one(qq, pp, daux, paux):
                 global _TRACE_EVENTS
                 _TRACE_EVENTS += 1
                 if collisions_on and diff_step is not None:
@@ -1086,16 +1090,16 @@ def _build_engine_program(
                     qq, pp = col_full(qq, pp)
                 elif diff_step is not None:
                     qq = diff_step(qq, daux)
-                return qq, pp, pauli_stats(qq)
+                return qq, pp, pauli_stats_fn(qq, paux)
 
             jit_one = jax.jit(one)
-            single_step_cache[seg_dt] = lambda qq, pp: jit_one(qq, pp, diff_aux)
+            single_step_cache[seg_dt] = lambda qq, pp: jit_one(qq, pp, diff_aux, pauli_aux)
         return single_step_cache[seg_dt]
     return _EngineProgram(
         pmap=pmap,
         segment_runner=segment_runner,
         single_step=single_step,
-        pauli_stats_jit=jax.jit(pauli_stats),
+        pauli_stats_jit=(lambda _j: (lambda q: _j(q, pauli_aux)))(jax.jit(pauli_stats_fn)),
         host_gen=gen.host_mode,
     )
 

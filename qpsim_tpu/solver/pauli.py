@@ -24,15 +24,19 @@ _RHO_PRESENT = 1e-30
 
 
 def make_pauli_stats_fn(rho_state, density_floor: float):
-    """Build ``stats(q) -> (max_occ, argmax_flat, forbidden_any, forbidden_flat)``.
+    """Build ``(stats, aux)`` with ``stats(q, aux) -> (max_occ, argmax_flat,
+    forbidden_any, forbidden_flat)``.
 
-    ``rho_state``: (NE, Ny, Nx) device array; zero outside the mask and in
-    gapped-out bins.  Returned indices are flat over (NE, Ny·Nx).
+    ``rho_state``: (NE, Ny, Nx) array; zero outside the mask and in
+    gapped-out bins.  Returned indices are flat over (NE, Ny·Nx).  The ρ
+    tables ride the caller's jit boundary as ARGUMENTS (``aux``), not
+    closure constants: over the remote-TPU tunnel every closed-over device
+    array costs a host round-trip fetch at ``.lower()`` time.
     """
-    rho_mask = rho_state > _RHO_PRESENT
-    rho_safe = jnp.maximum(rho_state, _RHO_PRESENT)
+    aux = (rho_state > _RHO_PRESENT, jnp.maximum(rho_state, _RHO_PRESENT))
 
-    def stats(q: jax.Array):
+    def stats(q: jax.Array, aux):
+        rho_mask, rho_safe = aux
         f = jnp.where(rho_mask, q / rho_safe, 0.0)
         f_flat = f.reshape(-1)
         argmax = jnp.argmax(f_flat)
@@ -45,7 +49,7 @@ def make_pauli_stats_fn(rho_state, density_floor: float):
             jnp.argmax(fb_flat).astype(jnp.int32),
         )
 
-    return stats
+    return stats, aux
 
 
 @dataclass
