@@ -624,28 +624,16 @@ def build_pallas_collision_step(
     if n_gaps > 1 and gap_id is None:
         return None
     if ne > (_MAX_UNROLLED_BINS if n_gaps == 1 else _MAX_UNROLLED_BINS_MULTIGAP):
-        # beyond the pair-unroll envelope (compile time grows as NE²):
-        # single-gap configs ride the static-offset rows kernel (exact
-        # per-(offset, ω-bin) groups, no loop carries); piecewise gap maps
-        # stay on the fori_loop kernel, which self-gates to None (→ XLA
-        # fallback) when fp near-duplicates split a pair diagonal.
-        if n_gaps == 1:
-            from .pallas_collisions_rows import build_pallas_collision_step_rows
-
-            step = build_pallas_collision_step_rows(
-                E_bins=e,
-                dE=dE,
-                rho=np.asarray(rho).reshape(-1),
-                K_s0=None if K_s0 is None else np.asarray(K_s0).reshape(ne, ne),
-                K_r0=None if K_r0 is None else np.asarray(K_r0).reshape(ne, ne),
-                pmap=pmap,
-                dt=dt,
-                update_phonons=update_phonons,
-                tile=min(int(tile), 512),
-                interpret=interpret,
-            )
-            if step is not None:
-                return step
+        # beyond the pair-unroll envelope (compile time grows as NE²) the
+        # fori_loop kernel takes over; it self-gates to None (→ the exact
+        # XLA integrator) when fp near-duplicates split a pair diagonal.
+        # The static-offset rows kernel (pallas_collisions_rows) is NOT
+        # auto-dispatched: its Mosaic scoped-VMEM stack need scales with
+        # the CALLER's scan unroll (the unrolled bodies' stacks sum), so
+        # whether a given NE compiles depends on context — e.g. NE=50
+        # compiles inside an unroll=8 scan while NE=70 needs 56 MB there
+        # yet compiles standalone.  It remains available explicitly for
+        # callers that control their unroll.
         from .pallas_collisions_loop import build_pallas_collision_step_loop
 
         return build_pallas_collision_step_loop(

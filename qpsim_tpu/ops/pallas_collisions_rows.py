@@ -19,9 +19,19 @@ column a *static* lane slice of a VMEM table, and the shifted states are
 static rolls — no loop carries, no dynamic indices, so Mosaic schedules the
 whole walk freely.  The emitted op count is ~NE × ~20 full-array ops
 (8-block triangle slicing trims the invalid rows), i.e. ~NE fewer, ~NE×
-larger ops than the pair-unrolled kernel — compile time stays flat in the
-tens of seconds up to the 192-bin VMEM bound while closing the fori_loop
-kernel's throughput gap (the VERDICT-r1 65–192-bin performance cliff).
+larger ops than the pair-unrolled kernel.
+
+**Status: EXPERIMENTAL — not auto-dispatched.**  Measured on v5e: Mosaic's
+scoped-VMEM stack allocator gives the walk's temporaries (rolled states,
+band products) their own stack slots instead of reusing dead buffers, and
+a caller's scan-unroll MULTIPLIES the need (the unrolled bodies' stacks
+sum): NE=50 compiles inside an unroll=8 scan (1.97 ms/substep at 256²),
+NE=70 needs 56 MB there (16 MB limit) yet compiles standalone, NE=88+
+fails even standalone (~46-58 MB, any lane tile).  Runtime where it
+compiles is ~2.5× the pair-unrolled kernel's per-op-count extrapolation —
+so the pair kernel stays the production path ≤64 bins and the fori_loop
+kernel/XLA integrator serve NE>64 until the allocator improves.  The
+builder caps at ``_MAX_ROWS_BINS`` and callers control their own unroll.
 
 Physics and update formulas are identical to ``ops.collisions``
 (positivity-preserving exponential relaxation, frozen-coefficient affine
@@ -45,6 +55,13 @@ from .phonon_map import PhononFrequencyMap
 __all__ = ["build_pallas_collision_step_rows"]
 
 _DEFAULT_TILE = 512
+#: empirical Mosaic envelope: the recombination walk's ~2NE per-column
+#: band temporaries each get their own scoped-VMEM stack slot (no reuse
+#: across the unrolled straight-line code), measured 46 MB at NE=80 /
+#: 58 MB at NE=88 against the 16 MB limit regardless of lane tile;
+#: NE=72 compiles (and runs) cleanly.  Beyond this the fori_loop kernel
+#: (consistent ω grids) or the XLA integrator takes over.
+_MAX_ROWS_BINS = 72
 
 
 def _flip_rows(x: jax.Array, n_live: int) -> jax.Array:
@@ -93,7 +110,7 @@ def build_pallas_collision_step_rows(
     """
     e = np.asarray(E_bins, dtype=np.float64)
     ne = int(e.size)
-    if ne < 2 or np.asarray(rho, dtype=np.float64).ndim != 1:
+    if ne < 2 or ne > _MAX_ROWS_BINS or np.asarray(rho, dtype=np.float64).ndim != 1:
         return None
     if not _grid_uniform(e):
         return None

@@ -402,19 +402,31 @@ def test_split_omega_diagonal_binning_exact():
         update_phonons=True, tile=128, interpret=True) is None
 
 
-def test_dispatch_above_unroll_cap_uses_rows_kernel():
-    """NE>64 single-gap dispatch rides the static-offset rows kernel and
-    keeps XLA parity (exact ω binning) in interpret mode."""
-    ne = 66
+def test_dispatch_above_unroll_cap():
+    """NE>64 with a split ω diagonal: the dispatcher must REFUSE (the
+    fori_loop kernel cannot represent split diagonals and the rows kernel
+    is not auto-dispatched — Mosaic stack limits make its compileability
+    caller-dependent), so the engine falls back to the exact XLA
+    integrator.  The explicitly-built rows kernel stays exact."""
+    ne = 66  # splits at gap=180, E_max/gap=4 (see the consistency survey)
     E, dE = build_energy_grid(180.0, 1.0, 4.0, ne)
     pm = build_phonon_frequency_map(E)
     rho = dynes_density_of_states(E, 180.0, 0.0)
     Ks = scattering_kernel_base(E, 180.0, 440.0, 1.2)
     Kr = recombination_kernel_base(E, 180.0, 520.0, 1.2)
     ny, nx = 1, 4
-    from qpsim_tpu.ops.pallas_collisions import build_pallas_collision_step
+    from qpsim_tpu.ops.pallas_collisions import (
+        _uniform_pair_rows,
+        build_pallas_collision_step,
+    )
+    from qpsim_tpu.ops.pallas_collisions_rows import build_pallas_collision_step_rows
 
-    pal = build_pallas_collision_step(
+    assert _uniform_pair_rows(np.asarray(E), pm) is None  # precondition
+    assert build_pallas_collision_step(
+        E_bins=E, dE=dE, rho=rho, K_s0=Ks, K_r0=Kr, pmap=pm, dt=0.02,
+        update_phonons=True, tile=128, interpret=True) is None
+
+    pal = build_pallas_collision_step_rows(
         E_bins=E, dE=dE, rho=rho, K_s0=Ks, K_r0=Kr, pmap=pm, dt=0.02,
         update_phonons=True, tile=128, interpret=True)
     assert pal is not None
