@@ -513,9 +513,13 @@ def build_pallas_adi_fused_step(op, dt: float, dtype=jnp.float32, *,
     # (0.86 vs 1.00 ms/step — fewer halo refetches and wider sweeps), but
     # the per-block working set is ~13 tile-sized buffers, so wide tiles
     # only fit while 13·tile·extent·4B stays under ~14 MB of VMEM
-    # (tile=512 at 1024 rows fails to compile).
+    # (tile=512 at 1024 rows fails to compile).  Single-bin operators are
+    # excluded: the bin-innermost grid order that lets Mosaic skip the
+    # plane-block refetch (and its double buffering) needs nb > 1 — at
+    # nb=1 the same shape measured 18 MB of scoped VMEM and failed.
     def auto_tile(other_extent: int) -> int:
-        return 256 if 13 * 256 * other_extent * 4 <= 14_000_000 else 128
+        wide_ok = op.num_bins > 1 and 13 * 256 * other_extent * 4 <= 14_000_000
+        return 256 if wide_ok else 128
 
     ly = _pick_tile(ny, auto_tile(nx) if tile is None else tile)
     lx = _pick_tile(nx, auto_tile(ny) if tile is None else tile)
