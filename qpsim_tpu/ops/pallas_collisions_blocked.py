@@ -1,0 +1,420 @@
+"""Pallas TPU kernel: block-gridded Fischer–Catelani collision substep.
+
+Large-NE successor to the ``fori_loop`` kernel (``pallas_collisions_loop``).
+The pair structure of a uniform energy grid is walked per offset k = i−j
+(scattering, Toeplitz) and anti-diagonal s = i+j (recombination, Hankel)
+exactly as there, but the offset walk rides the **Pallas grid** instead of a
+``fori_loop``:
+
+* grid = (pixel tiles, offset blocks); TPU grids are sequential with the
+  last axis innermost, so VMEM scratch accumulators persist across the
+  offset blocks of one pixel tile (init at block 0, QP/phonon update and
+  output write at the last block);
+* each block statically unrolls ``block`` consecutive offsets — Mosaic
+  compiles the short straight-line body ONCE for all blocks, so compile
+  time is independent of NE (the fori_loop kernel measured 204 s at
+  50×256²; the unrolled pair kernel grows ~NE² and is capped at 64 bins);
+* shifted states q[j±k] / q[s−i] are **dynamic sublane slices of doubled
+  buffers** ([x; x] rows) instead of the loop kernel's roll-by-1 carried
+  copies — no sequential carry chain, so the per-offset row work
+  software-pipelines across the unrolled block.  Mosaic only compiles
+  multi-row dynamic sublane loads whose start is 8-aligned (unaligned
+  starts fail instruction selection; dynamic ``pltpu.roll`` mis-compiles
+  — both probed on v5e), so each slice is an aligned dynamic load of
+  ``ne_pad + 8`` rows (base from an SMEM table) followed by a static
+  remainder sub-slice; the remainders are compile-time constants because
+  ``block`` is rounded up to a multiple of 8;
+* per-offset coefficient columns come from zero-padded (NE_pad, k) tables
+  by masked lane reduction, with dE baked in host-side; zero columns gate
+  both the triangle boundaries and the doubled-buffer wrap-around, so the
+  kernel needs no validity masking;
+* phonon ω-row accumulation uses dynamic-sublane read-modify-writes into
+  persistent scratch (exact: the grid is sequential).
+
+Physics and update formulas are identical to ``ops.collisions`` /
+``pallas_collisions`` (positivity-preserving exponential relaxation, affine
+phonon growth); parity is tested in interpret mode against the XLA path.
+Supported envelope: uniform energy grid with diagonal-constant ω binning
+(``_uniform_pair_rows``; fp near-duplicate splits fall back), any NE ≥ 2,
+piecewise gap maps with G ≤ 8.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_collisions import (
+    _AFFINE_CLIP,
+    _EPS_RHO,
+    _MU_FLOOR,
+    _expm1,
+    _uniform_pair_rows,
+)
+from .pallas_collisions_loop import _antidiag_table, _offset_tables, _round_up
+from .phonon_map import PhononFrequencyMap
+
+__all__ = ["build_pallas_collision_step_blocked"]
+
+_DEFAULT_TILE = 256
+_DEFAULT_BLOCK = 8
+
+
+def build_pallas_collision_step_blocked(
+    *,
+    E_bins: np.ndarray,
+    dE: float,
+    rho: np.ndarray,
+    K_s0: np.ndarray | None,
+    K_r0: np.ndarray | None,
+    pmap: PhononFrequencyMap,
+    dt: float,
+    update_phonons: bool = True,
+    tile: int = _DEFAULT_TILE,
+    block: int = _DEFAULT_BLOCK,
+    interpret: bool = False,
+    gap_id: np.ndarray | None = None,
+):
+    """Build ``(n_qp, n_ph) -> (n_qp, n_ph)`` for one collision substep.
+
+    Same contract as ``pallas_collisions.build_pallas_collision_step``;
+    returns None outside the envelope (non-uniform grid or ω binning that
+    is not diagonal-constant).  ``block`` is the number of pair offsets
+    statically unrolled per grid step (rounded up to a multiple of 8 so
+    the sublane-shift remainders are compile-time constants); each block
+    also retires two recombination anti-diagonals per offset, so the
+    whole walk takes ``ceil(NE / block)`` sequential grid steps per pixel
+    tile.
+    """
+    e = np.asarray(E_bins, dtype=np.float64)
+    ne = int(e.size)
+    if ne < 2:
+        return None
+    rows = _uniform_pair_rows(e, pmap)
+    if rows is None:
+        return None
+    diff_row, sum_row = rows
+    nw = pmap.num_omega
+    ne_pad = _round_up(ne, 8)
+    nw_pad = _round_up(nw, 8)
+    ns = 2 * ne - 1
+    dt = float(dt)
+    dE = float(dE)
+    scattering = K_s0 is not None
+    recombination = K_r0 is not None
+    if not (scattering or recombination):
+        return lambda n_qp, n_ph: (n_qp, n_ph)
+
+    B = _round_up(max(1, int(block)), 8)
+    nkb = -(-ne // B)  # offsets [0, nkb·B) ⊇ [1, ne); k = 0 has zero tables
+    kmax = nkb * B
+    smax = 2 * kmax  # anti-diags [0, 2·kmax) ⊇ [0, ns)
+    kp = _round_up(kmax, 128)
+    sp = _round_up(smax, 128)
+
+    rho_g = np.asarray(rho, dtype=np.float64)
+    if rho_g.ndim == 1:
+        rho_g = rho_g[None]
+    n_gaps = rho_g.shape[0]
+    multi_gap = gap_id is not None and n_gaps > 1
+    stack = lambda K: np.asarray(K, dtype=np.float64).reshape(n_gaps, ne, ne)
+
+    rho_pad = np.zeros((n_gaps, ne_pad, 128))
+    rho_pad[:, :ne] = rho_g[:, :, None]
+    rho_rev_pad = np.zeros((n_gaps, ne_pad, 128))
+    rho_rev_pad[:, :ne] = rho_g[:, ::-1, None]
+
+    # SMEM index tables: ω rows and doubled-buffer start offsets, per k / s.
+    # Zero-padded entries pair with zero coefficient columns, so the reads
+    # they trigger only ever add zeros.  Start tables hold the 8-ALIGNED
+    # base of each shift (Mosaic requires aligned multi-row dynamic
+    # loads); the ≤7-row remainder is static per unrolled offset because
+    # B ≡ 0 (mod 8): k = kb·B + d ⇒ rem_up = d mod 8, rem_dn = (−d) mod 8,
+    # rem_rev = (ne−1−j) mod 8 for anti-diag j ∈ {2d, 2d+1}.
+    drow_tab = np.zeros(_round_up(kmax, 8), np.int32)
+    drow_tab[1:ne] = np.asarray(diff_row[1:], np.int32)
+    srow_tab = np.zeros(_round_up(smax, 8), np.int32)
+    srow_tab[:ns] = np.asarray(sum_row, np.int32)
+    # Tables store base // 8; the kernel rebuilds base as ``8 * value`` so
+    # Mosaic's alignment analysis can PROVE the load start is a sublane
+    # multiple (a raw SMEM value, even if always aligned, cannot be proven
+    # aligned and fails instruction selection).
+    up_tab = ((np.arange(_round_up(kmax, 8), dtype=np.int64) % ne_pad) & ~7) // 8
+    dn_tab = (((-np.arange(_round_up(kmax, 8), dtype=np.int64)) % ne_pad) & ~7) // 8
+    rev_tab = (((ne - 1 - np.arange(_round_up(smax, 8), dtype=np.int64)) % ne_pad) & ~7) // 8
+
+    if scattering:
+        # dE baked in: the dressing factors in-kernel are (1 + Dk) and Dk
+        tabs = [_offset_tables(dE * K, ne, ne_pad, kp) for K in stack(K_s0)]
+        e_up, e_dn, a_up, a_dn = (np.stack([t[i] for t in tabs]) for i in range(4))
+    if recombination:
+        # 2·dE baked in (loss/gain use it directly); the phonon-row sums
+        # need dE·K, recovered by one 0.5 scale per anti-diagonal
+        r_tab = np.stack(
+            [_antidiag_table(2.0 * dE * K, ne, ne_pad, sp) for K in stack(K_r0)]
+        )
+
+    def kernel(*refs):
+        it = iter(refs)
+        q_ref = next(it)
+        qrev_ref = next(it)
+        ph_ref = next(it)
+        rho_ref = next(it)
+        rhorev_ref = next(it)
+        gid_ref = next(it) if multi_gap else None
+        if scattering:
+            eup_ref, edn_ref, aup_ref, adn_ref = next(it), next(it), next(it), next(it)
+        if recombination:
+            r_ref = next(it)
+        drow_ref = next(it)
+        srow_ref = next(it)
+        up_ref = next(it)
+        dn_ref = next(it)
+        rev_ref = next(it)
+        q_out = next(it)
+        ph_out = next(it)
+        qq_ref = next(it)       # (2·ne_pad, T) doubled q
+        pp_ref = next(it)       # (2·ne_pad, T) doubled partner
+        qqr_ref = next(it)      # (2·ne_pad, T) doubled reversed q
+        ppr_ref = next(it)      # (2·ne_pad, T) doubled reversed partner
+        loss_ref = next(it)
+        gain_ref = next(it)
+        a_ref = next(it)
+        b_ref = next(it)
+
+        kb = pl.program_id(1)
+        gid = gid_ref[:1, :] if multi_gap else None  # (1, T) int32
+
+        def by_gap(vals):
+            if not multi_gap:
+                return vals[0]
+            out = jnp.where(gid == 0, vals[0], 0.0)
+            for g in range(1, n_gaps):
+                out = jnp.where(gid == g, vals[g], out)
+            return out
+
+        @pl.when(kb == 0)
+        def _init():
+            q = q_ref[:]
+            qrev = qrev_ref[:]
+            rho_c = by_gap([rho_ref[g, :, :1] for g in range(n_gaps)])
+            rhorev_c = by_gap([rhorev_ref[g, :, :1] for g in range(n_gaps)])
+            safe = jnp.maximum(rho_c, _EPS_RHO)
+            partner = jnp.where(
+                rho_c > _EPS_RHO, rho_c * jnp.maximum(1.0 - q / safe, 0.0), 0.0
+            )
+            safe_r = jnp.maximum(rhorev_c, _EPS_RHO)
+            partner_rev = jnp.where(
+                rhorev_c > _EPS_RHO,
+                rhorev_c * jnp.maximum(1.0 - qrev / safe_r, 0.0),
+                0.0,
+            )
+            qq_ref[:ne_pad] = q
+            qq_ref[ne_pad:] = q
+            pp_ref[:ne_pad] = partner
+            pp_ref[ne_pad:] = partner
+            qqr_ref[:ne_pad] = qrev
+            qqr_ref[ne_pad:] = qrev
+            ppr_ref[:ne_pad] = partner_rev
+            ppr_ref[ne_pad:] = partner_rev
+            zero = jnp.zeros_like(q)
+            loss_ref[:] = zero
+            gain_ref[:] = zero
+            if update_phonons:
+                zph = jnp.zeros((nw_pad, q.shape[1]), dtype=q.dtype)
+                a_ref[:] = zph
+                b_ref[:] = zph
+
+        partner = pp_ref[:ne_pad]
+        q = qq_ref[:ne_pad]
+
+        lanes_k = jax.lax.broadcasted_iota(jnp.int32, (ne_pad, kp), 1)
+        lanes_s = jax.lax.broadcasted_iota(jnp.int32, (ne_pad, sp), 1)
+
+        def col(ref, lanes, idx):
+            return by_gap(
+                [
+                    jnp.sum(jnp.where(lanes == idx, ref[g], 0.0), axis=1, keepdims=True)
+                    for g in range(n_gaps)
+                ]
+            )
+
+        loss = loss_ref[:]
+        gain = gain_ref[:]
+
+        def shifted(ref, base, rem):
+            # rows [base+rem, base+rem+ne_pad) via an aligned dynamic load
+            # + static sub-slice (see module docstring).  base ≤ ne_pad−8,
+            # so the 8-row over-read stays inside the doubled buffer.
+            if rem == 0:
+                return ref[pl.ds(base, ne_pad)]
+            return ref[pl.ds(base, ne_pad + 8)][rem : rem + ne_pad]
+
+        for d in range(B):
+            k = kb * B + d
+            if scattering:
+                r_up = d % 8
+                r_dn = (-d) % 8
+                base_up = 8 * up_ref[k]
+                base_dn = 8 * dn_ref[k]
+                q_up = shifted(qq_ref, base_up, r_up)
+                p_up = shifted(pp_ref, base_up, r_up)
+                q_dn = shifted(qq_ref, base_dn, r_dn)
+                p_dn = shifted(pp_ref, base_dn, r_dn)
+                dk = drow_ref[k]
+                Dk = ph_ref[pl.ds(dk, 1), :]  # (1, T)
+                eu = col(eup_ref, lanes_k, k)
+                ed = col(edn_ref, lanes_k, k)
+                au = col(aup_ref, lanes_k, k)
+                ad = col(adn_ref, lanes_k, k)
+                em = 1.0 + Dk
+                loss = loss + em * (ed * p_dn) + Dk * (au * p_up)
+                gain = gain + em * (eu * q_up) + Dk * (ad * q_dn)
+                if update_phonons:
+                    p_em = jnp.sum(eu * q_up * partner, axis=0, keepdims=True)
+                    p_ab = jnp.sum(au * q * p_up, axis=0, keepdims=True)
+                    a_ref[pl.ds(dk, 1), :] += p_em
+                    b_ref[pl.ds(dk, 1), :] += p_em - p_ab
+            if recombination:
+                for j in (2 * d, 2 * d + 1):
+                    s = 2 * kb * B + j
+                    r_s = (ne - 1 - j) % 8
+                    base_s = 8 * rev_ref[s]
+                    q_s = shifted(qqr_ref, base_s, r_s)
+                    p_s = shifted(ppr_ref, base_s, r_s)
+                    ms = srow_ref[s]
+                    Ss = ph_ref[pl.ds(ms, 1), :]
+                    r = col(r_ref, lanes_s, s)
+                    loss = loss + (1.0 + Ss) * (r * q_s)
+                    gain = gain + Ss * (r * p_s)
+                    if update_phonons:
+                        p_rec = jnp.sum(r * q * q_s, axis=0, keepdims=True)
+                        p_pb = jnp.sum(r * partner * p_s, axis=0, keepdims=True)
+                        a_ref[pl.ds(ms, 1), :] += 0.5 * p_rec
+                        b_ref[pl.ds(ms, 1), :] += 0.5 * (p_rec - p_pb)
+
+        loss_ref[:] = loss
+        gain_ref[:] = gain
+
+        @pl.when(kb == nkb - 1)
+        def _finish():
+            # QP update: positivity-preserving exponential relaxation
+            mu = jnp.maximum(loss_ref[:], 0.0)
+            gain_t = jnp.maximum(partner * gain_ref[:], 0.0)
+            decay = jnp.exp(-mu * dt)
+            coeff = jnp.where(
+                mu < _MU_FLOOR, dt, -_expm1(-mu * dt) / jnp.maximum(mu, _MU_FLOOR)
+            )
+            q_out[:] = jnp.maximum(decay * q + coeff * gain_t, 0.0)
+            # phonon update: frozen-coefficient affine growth (untouched
+            # rows have a = b = 0 and stay exactly fixed)
+            if update_phonons:
+                y = ph_ref[:]
+                a_term = a_ref[:]
+                b_term = b_ref[:]
+                x = jnp.clip(b_term * dt, -_AFFINE_CLIP, _AFFINE_CLIP)
+                safe_b = jnp.where(jnp.abs(b_term) < _MU_FLOOR, 1.0, b_term)
+                cph = jnp.where(jnp.abs(b_term) < _MU_FLOOR, dt, _expm1(x) / safe_b)
+                ph_out[:] = jnp.maximum(jnp.exp(x) * y + cph * a_term, 0.0)
+            else:
+                ph_out[:] = ph_ref[:]
+
+    if multi_gap:
+        gid_flat = np.zeros((8, int(np.asarray(gap_id).size)), np.int32)
+        gid_flat[:] = np.asarray(gap_id, np.int32).reshape(1, -1)
+
+    def step(n_qp: jax.Array, n_ph: jax.Array):
+        ne_, ny, nx = n_qp.shape
+        dtype = n_qp.dtype
+        p_live = ny * nx
+        q = n_qp.reshape(ne_, p_live)
+        ph = n_ph.reshape(nw, p_live)
+        if ne_pad - ne_:
+            q = jnp.pad(q, ((0, ne_pad - ne_), (0, 0)))
+        qrev = jnp.concatenate([q[ne_ - 1 :: -1], q[ne_:]], axis=0)
+        if nw_pad - nw:
+            ph = jnp.pad(ph, ((0, nw_pad - nw), (0, 0)))
+        pad_cols = (-p_live) % tile
+        if pad_cols:
+            q = jnp.pad(q, ((0, 0), (0, pad_cols)))
+            qrev = jnp.pad(qrev, ((0, 0), (0, pad_cols)))
+            ph = jnp.pad(ph, ((0, 0), (0, pad_cols)))
+        p_pad = q.shape[1]
+        grid = (p_pad // tile, nkb)
+        tiled = lambda r: pl.BlockSpec(
+            (r, tile), lambda t, kb: (0, t), memory_space=pltpu.VMEM
+        )
+        rep3 = lambda shape: pl.BlockSpec(
+            shape, lambda t, kb: (0,) * len(shape), memory_space=pltpu.VMEM
+        )
+        smem = lambda shape: pl.BlockSpec(
+            shape, lambda t, kb: (0,), memory_space=pltpu.SMEM
+        )
+        as_dev = lambda arr: jnp.asarray(arr, dtype=dtype)
+
+        args = [q, qrev, ph, as_dev(rho_pad), as_dev(rho_rev_pad)]
+        specs = [
+            tiled(ne_pad),
+            tiled(ne_pad),
+            tiled(nw_pad),
+            rep3((n_gaps, ne_pad, 128)),
+            rep3((n_gaps, ne_pad, 128)),
+        ]
+        if multi_gap:
+            gid = jnp.asarray(gid_flat)
+            if pad_cols:
+                gid = jnp.pad(gid, ((0, 0), (0, pad_cols)))
+            args.append(gid)
+            specs.append(
+                pl.BlockSpec((8, tile), lambda t, kb: (0, t), memory_space=pltpu.VMEM)
+            )
+        if scattering:
+            args += [as_dev(e_up), as_dev(e_dn), as_dev(a_up), as_dev(a_dn)]
+            specs += [rep3((n_gaps, ne_pad, kp))] * 4
+        if recombination:
+            args.append(as_dev(r_tab))
+            specs.append(rep3((n_gaps, ne_pad, sp)))
+        args += [
+            jnp.asarray(drow_tab),
+            jnp.asarray(srow_tab),
+            jnp.asarray(up_tab, dtype=jnp.int32),
+            jnp.asarray(dn_tab, dtype=jnp.int32),
+            jnp.asarray(rev_tab, dtype=jnp.int32),
+        ]
+        specs += [
+            smem(drow_tab.shape),
+            smem(srow_tab.shape),
+            smem(up_tab.shape),
+            smem(dn_tab.shape),
+            smem(rev_tab.shape),
+        ]
+
+        q_new, ph_new = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=specs,
+            out_specs=(tiled(ne_pad), tiled(nw_pad)),
+            out_shape=(
+                jax.ShapeDtypeStruct((ne_pad, p_pad), dtype),
+                jax.ShapeDtypeStruct((nw_pad, p_pad), dtype),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2 * ne_pad, tile), dtype),
+                pltpu.VMEM((2 * ne_pad, tile), dtype),
+                pltpu.VMEM((2 * ne_pad, tile), dtype),
+                pltpu.VMEM((2 * ne_pad, tile), dtype),
+                pltpu.VMEM((ne_pad, tile), dtype),
+                pltpu.VMEM((ne_pad, tile), dtype),
+                pltpu.VMEM((nw_pad, tile), dtype),
+                pltpu.VMEM((nw_pad, tile), dtype),
+            ],
+            interpret=interpret,
+        )(*args)
+        q_out = q_new[:ne_, :p_live].reshape(ne_, ny, nx)
+        ph_out = ph_new[:nw, :p_live].reshape(nw, ny, nx)
+        return q_out, ph_out
+
+    return step

@@ -446,3 +446,94 @@ def test_dispatch_above_unroll_cap():
     q2, p2 = pal(q0, ph0)
     np.testing.assert_allclose(np.asarray(q2), np.asarray(q1), rtol=1e-12, atol=1e-22)
     np.testing.assert_allclose(np.asarray(p2), np.asarray(p1), rtol=1e-9, atol=1e-22)
+
+
+def test_pallas_blocked_matches_xla_interpret():
+    """Block-gridded kernel (pallas_collisions_blocked) ≡ the XLA integrator.
+
+    The NE > 64 production kernel: offset blocks on the sequential Pallas
+    grid with persistent scratch accumulators.  Parity at small NE in
+    interpret mode over all channel combinations and block sizes that do /
+    don't divide the offset range.
+    """
+    from qpsim_tpu.ops.pallas_collisions_blocked import (
+        build_pallas_collision_step_blocked,
+    )
+
+    # NE=9: uniform grid whose ω binning is diagonal-constant (NE=11 splits
+    # a pair diagonal at Δ=180 and the builder correctly declines — see
+    # test_split_omega_diagonal_binning_exact)
+    E, dE = build_energy_grid(180.0, 1.0, 4.0, 9)
+    pm = build_phonon_frequency_map(E)
+    rho = dynes_density_of_states(E, 180.0, 0.0)
+    Ks = scattering_kernel_base(E, 180.0, 440.0, 1.2)
+    Kr = recombination_kernel_base(E, 180.0, 520.0, 1.2)
+    ny, nx = 2, 6
+    rng = np.random.default_rng(9)
+    q0 = jnp.asarray(rng.uniform(0, 1e-4, (9, ny, nx)) * rho[:, None, None])
+    ph0 = jnp.asarray(
+        np.broadcast_to(
+            thermal_phonon_occupation(pm.omega_bins, 0.25)[:, None, None],
+            (pm.num_omega, ny, nx),
+        ).copy()
+    )
+    for use_s, use_r, phon, blk in (
+        (True, True, True, 8), (True, False, True, 8), (False, True, True, 8),
+        (True, True, False, 8), (True, True, True, 4), (True, True, True, 16),
+    ):
+        plan = build_collision_plan_arrays(
+            dE=dE, rho_by_gap=rho[None],
+            K_r0_by_gap=Kr[None] if use_r else None,
+            K_s0_by_gap=Ks[None] if use_s else None,
+            gap_id=np.zeros((ny, nx), np.int32), pmap=pm,
+            enable_recombination=use_r, enable_scattering=use_s,
+            update_phonons=phon)
+        xla = make_collision_step(plan, 0.02)
+        pal = build_pallas_collision_step_blocked(
+            E_bins=E, dE=dE, rho=rho,
+            K_s0=Ks if use_s else None, K_r0=Kr if use_r else None,
+            pmap=pm, dt=0.02, update_phonons=phon, tile=128, block=blk,
+            interpret=True)
+        assert pal is not None
+        q1, p1 = xla(q0, ph0)
+        q2, p2 = pal(q0, ph0)
+        ctx = f"s={use_s} r={use_r} ph={phon} blk={blk}"
+        np.testing.assert_allclose(
+            np.asarray(q2), np.asarray(q1), rtol=1e-12, atol=1e-22, err_msg=ctx)
+        np.testing.assert_allclose(
+            np.asarray(p2), np.asarray(p1), rtol=1e-9, atol=1e-22, err_msg=ctx)
+
+
+def test_pallas_blocked_multi_gap_matches_xla_interpret():
+    from qpsim_tpu.ops.pallas_collisions_blocked import (
+        build_pallas_collision_step_blocked,
+    )
+
+    E, dE = build_energy_grid(180.0, 1.0, 4.0, 10)
+    pm = build_phonon_frequency_map(E)
+    gaps = [120.0, 150.0, 170.0]
+    rho = np.stack([dynes_density_of_states(E, g, 0.0) for g in gaps])
+    Ks = np.stack([scattering_kernel_base(E, g, 440.0, 1.2) for g in gaps])
+    Kr = np.stack([recombination_kernel_base(E, g, 440.0, 1.2) for g in gaps])
+    ny, nx = 3, 5
+    rng = np.random.default_rng(1)
+    gid = rng.integers(0, 3, (ny, nx)).astype(np.int32)
+    plan = build_collision_plan_arrays(
+        dE=dE, rho_by_gap=rho, K_r0_by_gap=Kr, K_s0_by_gap=Ks, gap_id=gid, pmap=pm,
+        enable_recombination=True, enable_scattering=True, update_phonons=True)
+    xla = make_collision_step(plan, 0.01)
+    pal = build_pallas_collision_step_blocked(
+        E_bins=E, dE=dE, rho=rho, K_s0=Ks, K_r0=Kr, pmap=pm, dt=0.01,
+        update_phonons=True, tile=128, interpret=True, gap_id=gid)
+    assert pal is not None
+    q0 = jnp.asarray(rng.uniform(0, 1e-4, (10, ny, nx)) * rho[gid].transpose(2, 0, 1))
+    ph0 = jnp.asarray(
+        np.broadcast_to(
+            thermal_phonon_occupation(pm.omega_bins, 0.25)[:, None, None],
+            (pm.num_omega, ny, nx),
+        ).copy()
+    )
+    q1, p1 = xla(q0, ph0)
+    q2, p2 = pal(q0, ph0)
+    np.testing.assert_allclose(np.asarray(q2), np.asarray(q1), rtol=1e-12, atol=1e-22)
+    np.testing.assert_allclose(np.asarray(p2), np.asarray(p1), rtol=1e-9, atol=1e-22)
