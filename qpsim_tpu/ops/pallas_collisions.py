@@ -625,18 +625,20 @@ def build_pallas_collision_step(
         return None
     if ne > (_MAX_UNROLLED_BINS if n_gaps == 1 else _MAX_UNROLLED_BINS_MULTIGAP):
         # beyond the pair-unroll envelope (compile time grows as NE²) the
-        # fori_loop kernel takes over; it self-gates to None (→ the exact
-        # XLA integrator) when fp near-duplicates split a pair diagonal.
-        # The static-offset rows kernel (pallas_collisions_rows) is NOT
-        # auto-dispatched: its Mosaic scoped-VMEM stack need scales with
-        # the CALLER's scan unroll (the unrolled bodies' stacks sum), so
-        # whether a given NE compiles depends on context — e.g. NE=50
+        # block-gridded kernel takes over (offset blocks ride the Pallas
+        # grid: compile time is NE-independent, measured 1.5x the fori_loop
+        # kernel's throughput at 100x256²); it self-gates to None (→ the
+        # exact XLA integrator) when fp near-duplicates split a pair
+        # diagonal.  The static-offset rows kernel (pallas_collisions_rows)
+        # is NOT auto-dispatched: its Mosaic scoped-VMEM stack need scales
+        # with the CALLER's scan unroll (the unrolled bodies' stacks sum),
+        # so whether a given NE compiles depends on context — e.g. NE=50
         # compiles inside an unroll=8 scan while NE=70 needs 56 MB there
         # yet compiles standalone.  It remains available explicitly for
-        # callers that control their unroll.
-        from .pallas_collisions_loop import build_pallas_collision_step_loop
+        # callers that control their unroll, as does the fori_loop kernel.
+        from .pallas_collisions_blocked import build_pallas_collision_step_blocked
 
-        return build_pallas_collision_step_loop(
+        return build_pallas_collision_step_blocked(
             E_bins=e,
             dE=dE,
             rho=rho,

@@ -271,11 +271,13 @@ def build_pallas_collision_step_blocked(
                 au = col(aup_ref, lanes_k, k)
                 ad = col(adn_ref, lanes_k, k)
                 em = 1.0 + Dk
-                loss = loss + em * (ed * p_dn) + Dk * (au * p_up)
-                gain = gain + em * (eu * q_up) + Dk * (ad * q_dn)
+                t_em = eu * q_up  # shared: QP gain + phonon emission
+                t_ab = au * p_up  # shared: QP loss + phonon absorption
+                loss = loss + em * (ed * p_dn) + Dk * t_ab
+                gain = gain + em * t_em + Dk * (ad * q_dn)
                 if update_phonons:
-                    p_em = jnp.sum(eu * q_up * partner, axis=0, keepdims=True)
-                    p_ab = jnp.sum(au * q * p_up, axis=0, keepdims=True)
+                    p_em = jnp.sum(t_em * partner, axis=0, keepdims=True)
+                    p_ab = jnp.sum(t_ab * q, axis=0, keepdims=True)
                     a_ref[pl.ds(dk, 1), :] += p_em
                     b_ref[pl.ds(dk, 1), :] += p_em - p_ab
             if recombination:
@@ -288,11 +290,13 @@ def build_pallas_collision_step_blocked(
                     ms = srow_ref[s]
                     Ss = ph_ref[pl.ds(ms, 1), :]
                     r = col(r_ref, lanes_s, s)
-                    loss = loss + (1.0 + Ss) * (r * q_s)
-                    gain = gain + Ss * (r * p_s)
+                    t_rec = r * q_s  # shared: QP loss + phonon recombination
+                    t_pb = r * p_s   # shared: QP gain + pair-breaking
+                    loss = loss + t_rec + Ss * t_rec
+                    gain = gain + Ss * t_pb
                     if update_phonons:
-                        p_rec = jnp.sum(r * q * q_s, axis=0, keepdims=True)
-                        p_pb = jnp.sum(r * partner * p_s, axis=0, keepdims=True)
+                        p_rec = jnp.sum(t_rec * q, axis=0, keepdims=True)
+                        p_pb = jnp.sum(t_pb * partner, axis=0, keepdims=True)
                         a_ref[pl.ds(ms, 1), :] += 0.5 * p_rec
                         b_ref[pl.ds(ms, 1), :] += 0.5 * (p_rec - p_pb)
 
