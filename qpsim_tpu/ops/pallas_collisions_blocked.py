@@ -147,15 +147,29 @@ def build_pallas_collision_step_blocked(
     rev_tab = (((ne - 1 - np.arange(_round_up(smax, 8), dtype=np.int64)) % ne_pad) & ~7) // 8
 
     if scattering:
-        # dE baked in: the dressing factors in-kernel are (1 + Dk) and Dk
-        tabs = [_offset_tables(dE * K, ne, ne_pad, kp) for K in stack(K_s0)]
+        # dE baked in: the dressing factors in-kernel are (1 + Dk) and Dk.
+        # K^s is symmetric for the Fischer–Catelani form ((E_i−E_j)² and
+        # 1−Δ²/E_iE_j are both symmetric, reference solver.py:477-490), so
+        # a_up ≡ e_up and a_dn ≡ e_dn — the absorption columns reuse the
+        # emission reductions (2 masked lane reductions per offset, not 4).
+        ks_stack = stack(K_s0)
+        sym_ks = all(np.array_equal(K, K.T) for K in ks_stack)
+        tabs = [_offset_tables(dE * K, ne, ne_pad, kp) for K in ks_stack]
         e_up, e_dn, a_up, a_dn = (np.stack([t[i] for t in tabs]) for i in range(4))
     if recombination:
         # 2·dE baked in (loss/gain use it directly); the phonon-row sums
-        # need dE·K, recovered by one 0.5 scale per anti-diagonal
-        r_tab = np.stack(
+        # need dE·K, recovered by one 0.5 scale per anti-diagonal.  The
+        # table is split into even/odd anti-diagonal halves so each lane
+        # reduction runs at kp width instead of sp = 2·kp.
+        r_full = np.stack(
             [_antidiag_table(2.0 * dE * K, ne, ne_pad, sp) for K in stack(K_r0)]
         )
+        r_ev = np.zeros((n_gaps, ne_pad, kp))
+        r_od = np.zeros((n_gaps, ne_pad, kp))
+        half = r_full[:, :, 0::2]
+        r_ev[:, :, : half.shape[2]] = half
+        half = r_full[:, :, 1::2]
+        r_od[:, :, : half.shape[2]] = half
 
     def kernel(*refs):
         it = iter(refs)
@@ -166,9 +180,10 @@ def build_pallas_collision_step_blocked(
         rhorev_ref = next(it)
         gid_ref = next(it) if multi_gap else None
         if scattering:
-            eup_ref, edn_ref, aup_ref, adn_ref = next(it), next(it), next(it), next(it)
+            eup_ref, edn_ref = next(it), next(it)
+            aup_ref, adn_ref = (None, None) if sym_ks else (next(it), next(it))
         if recombination:
-            r_ref = next(it)
+            rev_ref_t, rod_ref_t = next(it), next(it)
         drow_ref = next(it)
         srow_ref = next(it)
         up_ref = next(it)
@@ -232,7 +247,6 @@ def build_pallas_collision_step_blocked(
         q = qq_ref[:ne_pad]
 
         lanes_k = jax.lax.broadcasted_iota(jnp.int32, (ne_pad, kp), 1)
-        lanes_s = jax.lax.broadcasted_iota(jnp.int32, (ne_pad, sp), 1)
 
         def col(ref, lanes, idx):
             return by_gap(
@@ -268,8 +282,8 @@ def build_pallas_collision_step_blocked(
                 Dk = ph_ref[pl.ds(dk, 1), :]  # (1, T)
                 eu = col(eup_ref, lanes_k, k)
                 ed = col(edn_ref, lanes_k, k)
-                au = col(aup_ref, lanes_k, k)
-                ad = col(adn_ref, lanes_k, k)
+                au = eu if sym_ks else col(aup_ref, lanes_k, k)
+                ad = ed if sym_ks else col(adn_ref, lanes_k, k)
                 em = 1.0 + Dk
                 t_em = eu * q_up  # shared: QP gain + phonon emission
                 t_ab = au * p_up  # shared: QP loss + phonon absorption
@@ -289,7 +303,7 @@ def build_pallas_collision_step_blocked(
                     p_s = shifted(ppr_ref, base_s, r_s)
                     ms = srow_ref[s]
                     Ss = ph_ref[pl.ds(ms, 1), :]
-                    r = col(r_ref, lanes_s, s)
+                    r = col(rev_ref_t if j == 2 * d else rod_ref_t, lanes_k, k)
                     t_rec = r * q_s  # shared: QP loss + phonon recombination
                     t_pb = r * p_s   # shared: QP gain + pair-breaking
                     loss = loss + t_rec + Ss * t_rec
@@ -376,11 +390,13 @@ def build_pallas_collision_step_blocked(
                 pl.BlockSpec((8, tile), lambda t, kb: (0, t), memory_space=pltpu.VMEM)
             )
         if scattering:
-            args += [as_dev(e_up), as_dev(e_dn), as_dev(a_up), as_dev(a_dn)]
-            specs += [rep3((n_gaps, ne_pad, kp))] * 4
+            args += [as_dev(e_up), as_dev(e_dn)]
+            if not sym_ks:
+                args += [as_dev(a_up), as_dev(a_dn)]
+            specs += [rep3((n_gaps, ne_pad, kp))] * (2 if sym_ks else 4)
         if recombination:
-            args.append(as_dev(r_tab))
-            specs.append(rep3((n_gaps, ne_pad, sp)))
+            args += [as_dev(r_ev), as_dev(r_od)]
+            specs += [rep3((n_gaps, ne_pad, kp))] * 2
         args += [
             jnp.asarray(drow_tab),
             jnp.asarray(srow_tab),
