@@ -537,3 +537,42 @@ def test_pallas_blocked_multi_gap_matches_xla_interpret():
     q2, p2 = pal(q0, ph0)
     np.testing.assert_allclose(np.asarray(q2), np.asarray(q1), rtol=1e-12, atol=1e-22)
     np.testing.assert_allclose(np.asarray(p2), np.asarray(p1), rtol=1e-9, atol=1e-22)
+
+
+def test_pallas_blocked_asymmetric_ks_interpret():
+    """The symmetric-K^s column-reuse fast path must not be load-bearing:
+    a deliberately asymmetric scattering table exercises the 4-table
+    fallback and still matches the XLA integrator."""
+    from qpsim_tpu.ops.pallas_collisions_blocked import (
+        build_pallas_collision_step_blocked,
+    )
+
+    E, dE = build_energy_grid(180.0, 1.0, 4.0, 9)
+    pm = build_phonon_frequency_map(E)
+    rho = dynes_density_of_states(E, 180.0, 0.0)
+    rng = np.random.default_rng(3)
+    Ks = scattering_kernel_base(E, 180.0, 440.0, 1.2)
+    Ks = Ks * rng.uniform(0.5, 1.5, Ks.shape)  # breaks i<->j symmetry
+    np.fill_diagonal(Ks, 0.0)
+    Kr = recombination_kernel_base(E, 180.0, 520.0, 1.2)
+    ny, nx = 2, 6
+    q0 = jnp.asarray(rng.uniform(0, 1e-4, (9, ny, nx)) * rho[:, None, None])
+    ph0 = jnp.asarray(
+        np.broadcast_to(
+            thermal_phonon_occupation(pm.omega_bins, 0.25)[:, None, None],
+            (pm.num_omega, ny, nx),
+        ).copy()
+    )
+    plan = build_collision_plan_arrays(
+        dE=dE, rho_by_gap=rho[None], K_r0_by_gap=Kr[None], K_s0_by_gap=Ks[None],
+        gap_id=np.zeros((ny, nx), np.int32), pmap=pm,
+        enable_recombination=True, enable_scattering=True, update_phonons=True)
+    xla = make_collision_step(plan, 0.02)
+    pal = build_pallas_collision_step_blocked(
+        E_bins=E, dE=dE, rho=rho, K_s0=Ks, K_r0=Kr, pmap=pm, dt=0.02,
+        update_phonons=True, tile=128, block=8, interpret=True)
+    assert pal is not None
+    q1, p1 = xla(q0, ph0)
+    q2, p2 = pal(q0, ph0)
+    np.testing.assert_allclose(np.asarray(q2), np.asarray(q1), rtol=1e-12, atol=1e-22)
+    np.testing.assert_allclose(np.asarray(p2), np.asarray(p1), rtol=1e-9, atol=1e-22)
