@@ -334,8 +334,12 @@ def bench_rooflines(n=1024, ne=16, length=400) -> dict:
 
     @jax.jit
     def col_chunk(state):
+        # unroll=32 matches the engine's auto-tier at 1024²-class carries;
+        # measured sweep (2026-08-17): 2.22 (unroll 8) / 2.04 (16) / 1.96
+        # (32) / 1.94 (64) ms — the back-edge cost belongs to the scan, not
+        # the kernel, so the roofline number uses the production tier.
         return jax.lax.scan(
-            lambda c, _: (col_half(*c), None), state, None, length=length, unroll=8
+            lambda c, _: (col_half(*c), None), state, None, length=length, unroll=32
         )[0]
 
     per_sub, _ = _timed_chunk(col_chunk, (q0, ph0), length, f"collision substep {n}^2x{ne}")
@@ -344,7 +348,7 @@ def bench_rooflines(n=1024, ne=16, length=400) -> dict:
     @jax.jit
     def adi_chunk_a(u, daux):
         return jax.lax.scan(
-            lambda c, _: (diff_step(c, daux), None), u, None, length=length, unroll=8
+            lambda c, _: (diff_step(c, daux), None), u, None, length=length, unroll=32
         )[0]
 
     adi_chunk = lambda u: adi_chunk_a(u, diff_aux)

@@ -110,6 +110,15 @@ def build_pallas_collision_step_blocked(
 
     B = _round_up(max(1, int(block)), 8)
     nkb = -(-ne // B)  # offsets [0, nkb·B) ⊇ [1, ne); k = 0 has zero tables
+
+    # VMEM-aware lane-tile clamp: scratch (4 doubled buffers + loss/gain +
+    # a/b) plus pipelined in/out blocks ≈ (16·ne_pad + 6·nw_pad) rows per
+    # lane tile in f32.  Measured envelope: NE=100 compiles at tile 512
+    # (~7 MB est), NE=192 at 512 exceeds the 16 MB budget (est ~13 MB) but
+    # compiles at 256 — clamp the estimate to 10 MB.
+    tile = max(128, int(tile))
+    while tile > 128 and (16 * ne_pad + 6 * nw_pad) * tile * 4 > 10 * 2**20:
+        tile //= 2
     kmax = nkb * B
     smax = 2 * kmax  # anti-diags [0, 2·kmax) ⊇ [0, ns)
     kp = _round_up(kmax, 128)
