@@ -110,9 +110,11 @@ def _grid_uniform(E_bins: np.ndarray) -> bool:
     return E_bins.size < 2 or bool(np.allclose(diffs, diffs[0], rtol=1e-9))
 
 
-#: beyond this the looped kernel's VMEM working set (state + reversed copy
-#: + phonon rows ≈ 3NE rows per tile) stops fitting comfortably
-_MAX_LOOP_BINS = 192
+#: block-gridded kernel envelope: its VMEM-aware lane-tile clamp keeps the
+#: working set (state + reversed copies + ~3NE phonon rows per tile)
+#: inside the 16 MB budget — measured on v5e up to 256 bins (56 ms at
+#: 256×256² f32, tile 256, clean NE² scaling from the 100-bin point)
+_MAX_LOOP_BINS = 256
 #: non-uniform gap maps blend per-gap tables with selects in the loop
 #: kernel — linear cost in G, practical for piecewise-constant maps only
 _MAX_LOOP_GAPS = 8

@@ -24,7 +24,8 @@ Physics and update formulas are identical to ``ops.collisions`` /
 ``pallas_collisions`` (positivity-preserving exponential relaxation, affine
 phonon growth); parity is tested in interpret mode against the XLA path.
 Supported envelope: uniform gap, uniform energy grid, any NE ≥ 2 (VMEM
-bounds the practical range around NE ≲ 192 at the default tile).
+bounds the practical range around NE ≲ 192 at the default tile; the
+block-gridded kernel supersedes it on the dispatch path).
 """
 
 from __future__ import annotations

@@ -729,7 +729,7 @@ def _build_engine_program(
                 "float64 on TPU is not supported by the kernel"
                 if supported or analytic_ok
                 else "the configuration is outside the kernel's envelope "
-                "(needs a uniform energy grid, 2-192 bins; >8 unique gaps "
+                "(needs a uniform energy grid, 2-256 bins; >8 unique gaps "
                 "additionally needs <=64 bins)"
             )
             raise ValueError(f"collision_backend='pallas' requested but {reason}")
