@@ -418,7 +418,7 @@ def bench_collisions_50bin(ny=256, nx=256, ne=50, length=200) -> dict:
 def bench_collisions_100bin(ny=256, nx=256, ne=100, length=200) -> dict:
     """Beyond the pair-unroll envelope (VERDICT r1 item 7): 100 bins rides
     the block-gridded kernel — NE-independent Mosaic compile (~6 s warm vs
-    204 s fori_loop) at 1.7x the fori_loop kernel's throughput."""
+    61 s fori_loop) at 1.7x the fori_loop kernel's throughput."""
     import jax
     import jax.numpy as jnp
 

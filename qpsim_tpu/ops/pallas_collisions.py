@@ -628,7 +628,7 @@ def build_pallas_collision_step(
     if ne > (_MAX_UNROLLED_BINS if n_gaps == 1 else _MAX_UNROLLED_BINS_MULTIGAP):
         # beyond the pair-unroll envelope (compile time grows as NE²) the
         # block-gridded kernel takes over (offset blocks ride the Pallas
-        # grid: compile time is NE-independent, measured 1.5x the fori_loop
+        # grid: compile time is NE-independent, measured 1.7x the fori_loop
         # kernel's throughput at 100x256²); it self-gates to None (→ the
         # exact XLA integrator) when fp near-duplicates split a pair
         # diagonal.  The static-offset rows kernel (pallas_collisions_rows)

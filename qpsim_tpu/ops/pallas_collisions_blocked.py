@@ -110,15 +110,6 @@ def build_pallas_collision_step_blocked(
 
     B = _round_up(max(1, int(block)), 8)
     nkb = -(-ne // B)  # offsets [0, nkb·B) ⊇ [1, ne); k = 0 has zero tables
-
-    # VMEM-aware lane-tile clamp: scratch (4 doubled buffers + loss/gain +
-    # a/b) plus pipelined in/out blocks ≈ (16·ne_pad + 6·nw_pad) rows per
-    # lane tile in f32.  Measured envelope: NE=100 compiles at tile 512
-    # (~7 MB est), NE=192 at 512 exceeds the 16 MB budget (est ~13 MB) but
-    # compiles at 256 — clamp the estimate to 10 MB.
-    tile = max(128, int(tile))
-    while tile > 128 and (16 * ne_pad + 6 * nw_pad) * tile * 4 > 10 * 2**20:
-        tile //= 2
     kmax = nkb * B
     smax = 2 * kmax  # anti-diags [0, 2·kmax) ⊇ [0, ns)
     kp = _round_up(kmax, 128)
@@ -128,8 +119,36 @@ def build_pallas_collision_step_blocked(
     if rho_g.ndim == 1:
         rho_g = rho_g[None]
     n_gaps = rho_g.shape[0]
+    if n_gaps > 1 and gap_id is None:
+        # stacked per-gap tables with no gap-id plane: blending is
+        # undefined — refuse rather than silently apply gap-0 physics
+        return None
     multi_gap = gap_id is not None and n_gaps > 1
     stack = lambda K: np.asarray(K, dtype=np.float64).reshape(n_gaps, ne, ne)
+    sym_ks = scattering and all(
+        np.array_equal(K, K.T) for K in stack(K_s0)
+    )
+
+    # VMEM-aware lane-tile clamp: scratch (4 doubled buffers + loss/gain +
+    # a/b) plus pipelined in/out blocks ≈ (16·ne_pad + 6·nw_pad) rows per
+    # lane tile in f32, PLUS the tile-independent resident coefficient
+    # tables (per-gap offset/anti-diagonal tables + rho columns).
+    # Measured envelope (single gap): NE=100 compiles at tile 512 (~7 MB
+    # est), NE=192 at 512 exceeds the 16 MB budget (est ~13 MB) but
+    # compiles at 256, NE=256 runs at 256 — clamp the estimate to 10 MB.
+    # When even tile 128 does not fit (large G × large NE), return None
+    # so the caller falls back to the XLA integrator.
+    n_scatter_tabs = (2 if sym_ks else 4) if scattering else 0
+    table_bytes = (
+        (n_scatter_tabs + (2 if recombination else 0)) * n_gaps * ne_pad * kp
+        + 2 * n_gaps * ne_pad * 128
+    ) * 4
+    tile = max(128, (int(tile) // 128) * 128)
+    row_bytes_per_lane = (16 * ne_pad + 6 * nw_pad) * 4
+    while tile > 128 and row_bytes_per_lane * tile + table_bytes > 10 * 2**20:
+        tile = max(128, (tile // 2 // 128) * 128)
+    if row_bytes_per_lane * 128 + table_bytes > 10 * 2**20:
+        return None
 
     rho_pad = np.zeros((n_gaps, ne_pad, 128))
     rho_pad[:, :ne] = rho_g[:, :, None]
@@ -161,9 +180,7 @@ def build_pallas_collision_step_blocked(
         # 1−Δ²/E_iE_j are both symmetric, reference solver.py:477-490), so
         # a_up ≡ e_up and a_dn ≡ e_dn — the absorption columns reuse the
         # emission reductions (2 masked lane reductions per offset, not 4).
-        ks_stack = stack(K_s0)
-        sym_ks = all(np.array_equal(K, K.T) for K in ks_stack)
-        tabs = [_offset_tables(dE * K, ne, ne_pad, kp) for K in ks_stack]
+        tabs = [_offset_tables(dE * K, ne, ne_pad, kp) for K in stack(K_s0)]
         e_up, e_dn, a_up, a_dn = (np.stack([t[i] for t in tabs]) for i in range(4))
     if recombination:
         # 2·dE baked in (loss/gain use it directly); the phonon-row sums
