@@ -576,3 +576,55 @@ def test_pallas_blocked_asymmetric_ks_interpret():
     q2, p2 = pal(q0, ph0)
     np.testing.assert_allclose(np.asarray(q2), np.asarray(q1), rtol=1e-12, atol=1e-22)
     np.testing.assert_allclose(np.asarray(p2), np.asarray(p1), rtol=1e-9, atol=1e-22)
+
+
+def test_pallas_blocked_envelope_refusals():
+    """The blocked builder refuses configs it cannot run correctly/safely:
+    stacked multi-gap tables without a gap-id plane (silent gap-0 physics
+    otherwise), and table footprints that cannot fit VMEM at any lane tile
+    (the engine then falls through to the XLA integrator)."""
+    from qpsim_tpu.ops.pallas_collisions_blocked import (
+        build_pallas_collision_step_blocked,
+    )
+
+    E, dE = build_energy_grid(180.0, 1.0, 4.0, 10)
+    pm = build_phonon_frequency_map(E)
+    gaps = [120.0, 150.0]
+    rho = np.stack([dynes_density_of_states(E, g, 0.0) for g in gaps])
+    Ks = np.stack([scattering_kernel_base(E, g, 440.0, 1.2) for g in gaps])
+    Kr = np.stack([recombination_kernel_base(E, g, 440.0, 1.2) for g in gaps])
+    assert (
+        build_pallas_collision_step_blocked(
+            E_bins=E, dE=dE, rho=rho, K_s0=Ks, K_r0=Kr, pmap=pm, dt=0.01,
+            gap_id=None)
+        is None
+    )
+
+    # 8 gaps x 256 bins: per-gap tables alone exceed the VMEM budget
+    E2, dE2 = build_energy_grid(180.0, 1.0, 4.0, 256)
+    pm2 = build_phonon_frequency_map(E2)
+    g8 = list(np.linspace(100.0, 170.0, 8))
+    rho8 = np.stack([dynes_density_of_states(E2, g, 0.0) for g in g8])
+    Ks8 = np.stack([scattering_kernel_base(E2, g, 440.0, 1.2) for g in g8])
+    Kr8 = np.stack([recombination_kernel_base(E2, g, 440.0, 1.2) for g in g8])
+    gid = np.zeros((4, 4), np.int32)
+    assert (
+        build_pallas_collision_step_blocked(
+            E_bins=E2, dE=dE2, rho=rho8, K_s0=Ks8, K_r0=Kr8, pmap=pm2,
+            dt=0.01, gap_id=gid)
+        is None
+    )
+    # ... but the single-gap config at the same NE still builds, and a
+    # non-128-multiple tile request floors instead of halving below 128
+    assert (
+        build_pallas_collision_step_blocked(
+            E_bins=E2, dE=dE2, rho=rho8[0], K_s0=Ks8[0], K_r0=Kr8[0],
+            pmap=pm2, dt=0.01)
+        is not None
+    )
+    assert (
+        build_pallas_collision_step_blocked(
+            E_bins=E, dE=dE, rho=rho[0], K_s0=Ks[0], K_r0=Kr[0], pmap=pm,
+            dt=0.01, tile=192)
+        is not None
+    )
