@@ -35,8 +35,14 @@ Physics and update formulas are identical to ``ops.collisions`` /
 ``pallas_collisions`` (positivity-preserving exponential relaxation, affine
 phonon growth); parity is tested in interpret mode against the XLA path.
 Supported envelope: uniform energy grid with diagonal-constant ω binning
-(``_uniform_pair_rows``; fp near-duplicate splits fall back), any NE ≥ 2,
-piecewise gap maps with G ≤ 8.
+(``_uniform_pair_rows``; fp near-duplicate splits fall back), NE from 2 to
+256 (VMEM-aware lane-tile clamp), piecewise gap maps with G ≤ 8 — and
+CONTINUOUS gap maps of any G through the analytic-gap variant
+(``build_pallas_collision_step_blocked_analytic``): the Kaplan kernels are
+affine in Δ² and the Dynes DOS a closed form of it, so a per-pixel Δ² row
+replaces every per-gap table (measured 12.4 ms/substep at 100×256² f32 —
+the only fast path for NE > 64 continuous maps, where per-unique-gap
+stacks are (G≈Npix, NE, NE) and unbuildable).
 """
 
 from __future__ import annotations
@@ -57,10 +63,32 @@ from .pallas_collisions import (
 from .pallas_collisions_loop import _antidiag_table, _offset_tables, _round_up
 from .phonon_map import PhononFrequencyMap
 
-__all__ = ["build_pallas_collision_step_blocked"]
+__all__ = [
+    "build_pallas_collision_step_blocked",
+    "build_pallas_collision_step_blocked_analytic",
+    "pallas_blocked_analytic_supported",
+]
 
 _DEFAULT_TILE = 256
 _DEFAULT_BLOCK = 8
+
+
+def pallas_blocked_analytic_supported(
+    E_bins: np.ndarray, pmap: PhononFrequencyMap
+) -> bool:
+    """Exact envelope of the blocked analytic-gap kernel.
+
+    True iff ``build_pallas_collision_step_blocked_analytic`` will return a
+    step (uniform grid, 2-256 bins, diagonal-constant ω binning; the VMEM
+    clamp always fits the single-channel analytic tables at tile 128 in
+    this range).  Callers use this to decide the dispatch BEFORE building
+    any per-unique-gap stacks — for continuous gap maps the stacks are
+    (G≈Npix, NE, NE) and must never be materialised.
+    """
+    e = np.asarray(E_bins)
+    if e.size < 2 or e.size > 256:
+        return False
+    return _uniform_pair_rows(np.asarray(e, np.float64), pmap) is not None
 
 
 def build_pallas_collision_step_blocked(
@@ -77,6 +105,7 @@ def build_pallas_collision_step_blocked(
     block: int = _DEFAULT_BLOCK,
     interpret: bool = False,
     gap_id: np.ndarray | None = None,
+    _analytic: dict | None = None,
 ):
     """Build ``(n_qp, n_ph) -> (n_qp, n_ph)`` for one collision substep.
 
@@ -103,9 +132,24 @@ def build_pallas_collision_step_blocked(
     ns = 2 * ne - 1
     dt = float(dt)
     dE = float(dE)
-    scattering = K_s0 is not None
-    recombination = K_r0 is not None
+    analytic = _analytic is not None
+    if analytic:
+        # continuous gap maps: coefficients are evaluated per pixel from a
+        # Δ² row (the Kaplan kernels are exactly affine in Δ², the Dynes
+        # DOS a closed form of it — see build_pallas_collision_step_analytic)
+        scattering = _analytic["tau_s"] is not None
+        recombination = _analytic["tau_r"] is not None
+        n_gaps = 1
+        multi_gap = False
+        sym_ks = True  # the analytic K^s form is symmetric by construction
+        rho_g = None
+    else:
+        scattering = K_s0 is not None
+        recombination = K_r0 is not None
+    arg_mode = analytic and _analytic["gap_plane"] is None
     if not (scattering or recombination):
+        if arg_mode:
+            return lambda n_qp, n_ph, gp: (n_qp, n_ph)
         return lambda n_qp, n_ph: (n_qp, n_ph)
 
     B = _round_up(max(1, int(block)), 8)
@@ -115,19 +159,20 @@ def build_pallas_collision_step_blocked(
     kp = _round_up(kmax, 128)
     sp = _round_up(smax, 128)
 
-    rho_g = np.asarray(rho, dtype=np.float64)
-    if rho_g.ndim == 1:
-        rho_g = rho_g[None]
-    n_gaps = rho_g.shape[0]
-    if n_gaps > 1 and gap_id is None:
-        # stacked per-gap tables with no gap-id plane: blending is
-        # undefined — refuse rather than silently apply gap-0 physics
-        return None
-    multi_gap = gap_id is not None and n_gaps > 1
-    stack = lambda K: np.asarray(K, dtype=np.float64).reshape(n_gaps, ne, ne)
-    sym_ks = scattering and all(
-        np.array_equal(K, K.T) for K in stack(K_s0)
-    )
+    if not analytic:
+        rho_g = np.asarray(rho, dtype=np.float64)
+        if rho_g.ndim == 1:
+            rho_g = rho_g[None]
+        n_gaps = rho_g.shape[0]
+        if n_gaps > 1 and gap_id is None:
+            # stacked per-gap tables with no gap-id plane: blending is
+            # undefined — refuse rather than silently apply gap-0 physics
+            return None
+        multi_gap = gap_id is not None and n_gaps > 1
+        stack = lambda K: np.asarray(K, dtype=np.float64).reshape(n_gaps, ne, ne)
+        sym_ks = scattering and all(
+            np.array_equal(K, K.T) for K in stack(K_s0)
+        )
 
     # VMEM-aware lane-tile clamp: scratch (4 doubled buffers + loss/gain +
     # a/b) plus pipelined in/out blocks ≈ (16·ne_pad + 6·nw_pad) rows per
@@ -138,22 +183,34 @@ def build_pallas_collision_step_blocked(
     # compiles at 256, NE=256 runs at 256 — clamp the estimate to 10 MB.
     # When even tile 128 does not fit (large G × large NE), return None
     # so the caller falls back to the XLA integrator.
-    n_scatter_tabs = (2 if sym_ks else 4) if scattering else 0
+    if analytic:
+        # A + B tables per enabled channel; no per-gap rho tables
+        n_scatter_tabs = 4 if scattering else 0
+        n_recomb_tabs = 4 if recombination else 0
+    else:
+        n_scatter_tabs = (2 if sym_ks else 4) if scattering else 0
+        n_recomb_tabs = 2 if recombination else 0
     table_bytes = (
-        (n_scatter_tabs + (2 if recombination else 0)) * n_gaps * ne_pad * kp
-        + 2 * n_gaps * ne_pad * 128
+        (n_scatter_tabs + n_recomb_tabs) * n_gaps * ne_pad * kp
+        + (0 if analytic else 2 * n_gaps * ne_pad * 128)
     ) * 4
     tile = max(128, (int(tile) // 128) * 128)
+    if analytic:
+        # the per-pixel coefficient evaluation materialises (ne_pad, tile)
+        # temporaries per offset — tile 512 at NE=100 fails Mosaic's
+        # scoped-VMEM allocation (measured); 256 runs
+        tile = min(tile, 256)
     row_bytes_per_lane = (16 * ne_pad + 6 * nw_pad) * 4
     while tile > 128 and row_bytes_per_lane * tile + table_bytes > 10 * 2**20:
         tile = max(128, (tile // 2 // 128) * 128)
     if row_bytes_per_lane * 128 + table_bytes > 10 * 2**20:
         return None
 
-    rho_pad = np.zeros((n_gaps, ne_pad, 128))
-    rho_pad[:, :ne] = rho_g[:, :, None]
-    rho_rev_pad = np.zeros((n_gaps, ne_pad, 128))
-    rho_rev_pad[:, :ne] = rho_g[:, ::-1, None]
+    if not analytic:
+        rho_pad = np.zeros((n_gaps, ne_pad, 128))
+        rho_pad[:, :ne] = rho_g[:, :, None]
+        rho_rev_pad = np.zeros((n_gaps, ne_pad, 128))
+        rho_rev_pad[:, :ne] = rho_g[:, ::-1, None]
 
     # SMEM index tables: ω rows and doubled-buffer start offsets, per k / s.
     # Zero-padded entries pair with zero coefficient columns, so the reads
@@ -174,42 +231,101 @@ def build_pallas_collision_step_blocked(
     dn_tab = (((-np.arange(_round_up(kmax, 8), dtype=np.int64)) % ne_pad) & ~7) // 8
     rev_tab = (((ne - 1 - np.arange(_round_up(smax, 8), dtype=np.int64)) % ne_pad) & ~7) // 8
 
-    if scattering:
-        # dE baked in: the dressing factors in-kernel are (1 + Dk) and Dk.
-        # K^s is symmetric for the Fischer–Catelani form ((E_i−E_j)² and
-        # 1−Δ²/E_iE_j are both symmetric, reference solver.py:477-490), so
-        # a_up ≡ e_up and a_dn ≡ e_dn — the absorption columns reuse the
-        # emission reductions (2 masked lane reductions per offset, not 4).
-        tabs = [_offset_tables(dE * K, ne, ne_pad, kp) for K in stack(K_s0)]
-        e_up, e_dn, a_up, a_dn = (np.stack([t[i] for t in tabs]) for i in range(4))
-    if recombination:
-        # 2·dE baked in (loss/gain use it directly); the phonon-row sums
-        # need dE·K, recovered by one 0.5 scale per anti-diagonal.  The
-        # table is split into even/odd anti-diagonal halves so each lane
-        # reduction runs at kp width instead of sp = 2·kp.
-        r_full = np.stack(
-            [_antidiag_table(2.0 * dE * K, ne, ne_pad, sp) for K in stack(K_r0)]
-        )
-        r_ev = np.zeros((n_gaps, ne_pad, kp))
-        r_od = np.zeros((n_gaps, ne_pad, kp))
+    def _evod_split(r_full: np.ndarray):
+        """(G, ne_pad, sp) → two (G, ne_pad, kp) even/odd anti-diag tables."""
+        ev = np.zeros((r_full.shape[0], ne_pad, kp))
+        od = np.zeros((r_full.shape[0], ne_pad, kp))
         half = r_full[:, :, 0::2]
-        r_ev[:, :, : half.shape[2]] = half
+        ev[:, :, : half.shape[2]] = half
         half = r_full[:, :, 1::2]
-        r_od[:, :, : half.shape[2]] = half
+        od[:, :, : half.shape[2]] = half
+        return ev, od
+
+    if analytic:
+        # Affine-in-Δ² tables: K^s(Δ) = max(A_s − B_s·Δ², 0) and
+        # K^r(Δ) = A_r + B_r·Δ² exactly (kernels.py formulas at Δ=0 give
+        # the A parts; B = A / (E_i·E_j)); the closed-form Dynes DOS is
+        # evaluated per pixel at init.  Same structure as
+        # build_pallas_collision_step_analytic (pallas_collisions.py).
+        from .kernels import recombination_kernel_base, scattering_kernel_base
+
+        a_T_c = float(_analytic["T_c"])
+        a_gamma = float(_analytic["dynes_gamma"])
+        prod = np.maximum(e[:, None] * e[None, :], 1e-30)
+        if scattering:
+            a_s = scattering_kernel_base(e, 0.0, float(_analytic["tau_s"]), a_T_c)
+            tA = _offset_tables(dE * a_s, ne, ne_pad, kp)
+            tB = _offset_tables(dE * a_s / prod, ne, ne_pad, kp)
+            e_up, e_dn = tA[0][None], tA[1][None]
+            eB_up, eB_dn = tB[0][None], tB[1][None]
+        if recombination:
+            a_r = recombination_kernel_base(e, 0.0, float(_analytic["tau_r"]), a_T_c)
+            r_ev, r_od = _evod_split(_antidiag_table(2.0 * dE * a_r, ne, ne_pad, sp)[None])
+            rB_ev, rB_od = _evod_split(
+                _antidiag_table(2.0 * dE * a_r / prod, ne, ne_pad, sp)[None]
+            )
+        # closed-form DOS inputs: energy columns (zero on pad rows so the
+        # pad DOS vanishes) for the natural and reversed row orders
+        e_col = np.zeros((ne_pad, 128))
+        e_col[:ne] = e[:, None]
+        e_rev_col = np.zeros((ne_pad, 128))
+        e_rev_col[:ne] = e[::-1, None]
+        inv_col = np.zeros((ne_pad, 128))
+        inv_col[:ne] = 1.0 / e[:, None]
+        inv_rev_col = np.zeros((ne_pad, 128))
+        inv_rev_col[:ne] = 1.0 / e[::-1, None]
+        if _analytic["gap_plane"] is not None:
+            gp_sq = np.asarray(_analytic["gap_plane"], np.float64).reshape(-1) ** 2
+            g2_row = np.zeros((8, gp_sq.size))
+            g2_row[:] = gp_sq[None, :]
+        else:
+            g2_row = None
+    else:
+        if scattering:
+            # dE baked in: the dressing factors in-kernel are (1 + Dk) and Dk.
+            # K^s is symmetric for the Fischer–Catelani form ((E_i−E_j)² and
+            # 1−Δ²/E_iE_j are both symmetric, reference solver.py:477-490), so
+            # a_up ≡ e_up and a_dn ≡ e_dn — the absorption columns reuse the
+            # emission reductions (2 masked lane reductions per offset, not 4).
+            tabs = [_offset_tables(dE * K, ne, ne_pad, kp) for K in stack(K_s0)]
+            e_up, e_dn, a_up, a_dn = (np.stack([t[i] for t in tabs]) for i in range(4))
+        if recombination:
+            # 2·dE baked in (loss/gain use it directly); the phonon-row sums
+            # need dE·K, recovered by one 0.5 scale per anti-diagonal.  The
+            # table is split into even/odd anti-diagonal halves so each lane
+            # reduction runs at kp width instead of sp = 2·kp.
+            r_ev, r_od = _evod_split(
+                np.stack(
+                    [_antidiag_table(2.0 * dE * K, ne, ne_pad, sp) for K in stack(K_r0)]
+                )
+            )
 
     def kernel(*refs):
         it = iter(refs)
         q_ref = next(it)
         qrev_ref = next(it)
         ph_ref = next(it)
-        rho_ref = next(it)
-        rhorev_ref = next(it)
-        gid_ref = next(it) if multi_gap else None
-        if scattering:
-            eup_ref, edn_ref = next(it), next(it)
-            aup_ref, adn_ref = (None, None) if sym_ks else (next(it), next(it))
-        if recombination:
-            rev_ref_t, rod_ref_t = next(it), next(it)
+        if analytic:
+            g2_ref = next(it)
+            ecol_ref, ercol_ref = next(it), next(it)
+            icol_ref, ircol_ref = next(it), next(it)
+            rho_ref = rhorev_ref = gid_ref = None
+            if scattering:
+                eup_ref, edn_ref = next(it), next(it)
+                eBup_ref, eBdn_ref = next(it), next(it)
+            if recombination:
+                rev_ref_t, rod_ref_t = next(it), next(it)
+                rBev_ref, rBod_ref = next(it), next(it)
+        else:
+            g2_ref = None
+            rho_ref = next(it)
+            rhorev_ref = next(it)
+            gid_ref = next(it) if multi_gap else None
+            if scattering:
+                eup_ref, edn_ref = next(it), next(it)
+                aup_ref, adn_ref = (None, None) if sym_ks else (next(it), next(it))
+            if recombination:
+                rev_ref_t, rod_ref_t = next(it), next(it)
         drow_ref = next(it)
         srow_ref = next(it)
         up_ref = next(it)
@@ -228,6 +344,7 @@ def build_pallas_collision_step_blocked(
 
         kb = pl.program_id(1)
         gid = gid_ref[:1, :] if multi_gap else None  # (1, T) int32
+        g2 = g2_ref[:1, :] if analytic else None     # (1, T) Δ²(px)
 
         def by_gap(vals):
             if not multi_gap:
@@ -237,22 +354,55 @@ def build_pallas_collision_step_blocked(
                 out = jnp.where(gid == g, vals[g], out)
             return out
 
+        def analytic_rho_inv(Ec, invc):
+            """Closed-form (Dynes) DOS + reciprocal from Δ²(px), per row."""
+            if a_gamma == 0.0:
+                r2 = Ec * Ec - g2
+                t = jax.lax.rsqrt(jnp.maximum(r2, _EPS_RHO))
+                pos = r2 > 0.0
+                return (
+                    jnp.where(pos, Ec * t, 0.0),
+                    jnp.where(pos, (r2 * t) * invc, 0.0),
+                )
+            # ρ = max(Re((E−iΓ)/√((E−iΓ)²−Δ²)), 0); principal root s + i·t
+            zr = (Ec * Ec - a_gamma * a_gamma) - g2
+            zi = -2.0 * Ec * a_gamma
+            rmod = jnp.sqrt(zr * zr + zi * zi)
+            sroot = jnp.sqrt(jnp.maximum(0.5 * (rmod + zr), 0.0))
+            troot = -jnp.sqrt(jnp.maximum(0.5 * (rmod - zr), 0.0))
+            rho_v = jnp.maximum(
+                (Ec * sroot - a_gamma * troot) / jnp.maximum(rmod, _EPS_RHO), 0.0
+            )
+            rho_v = jnp.where(Ec > 0.0, rho_v, 0.0)  # pad rows stay empty
+            inv_v = jnp.where(rho_v > _EPS_RHO, 1.0 / jnp.maximum(rho_v, _EPS_RHO), 0.0)
+            return rho_v, inv_v
+
         @pl.when(kb == 0)
         def _init():
             q = q_ref[:]
             qrev = qrev_ref[:]
-            rho_c = by_gap([rho_ref[g, :, :1] for g in range(n_gaps)])
-            rhorev_c = by_gap([rhorev_ref[g, :, :1] for g in range(n_gaps)])
-            safe = jnp.maximum(rho_c, _EPS_RHO)
-            partner = jnp.where(
-                rho_c > _EPS_RHO, rho_c * jnp.maximum(1.0 - q / safe, 0.0), 0.0
-            )
-            safe_r = jnp.maximum(rhorev_c, _EPS_RHO)
-            partner_rev = jnp.where(
-                rhorev_c > _EPS_RHO,
-                rhorev_c * jnp.maximum(1.0 - qrev / safe_r, 0.0),
-                0.0,
-            )
+            if analytic:
+                rho_c, inv_c = analytic_rho_inv(
+                    ecol_ref[:, :1], icol_ref[:, :1]
+                )
+                rhorev_c, invrev_c = analytic_rho_inv(
+                    ercol_ref[:, :1], ircol_ref[:, :1]
+                )
+                partner = rho_c * jnp.maximum(1.0 - q * inv_c, 0.0)
+                partner_rev = rhorev_c * jnp.maximum(1.0 - qrev * invrev_c, 0.0)
+            else:
+                rho_c = by_gap([rho_ref[g, :, :1] for g in range(n_gaps)])
+                rhorev_c = by_gap([rhorev_ref[g, :, :1] for g in range(n_gaps)])
+                safe = jnp.maximum(rho_c, _EPS_RHO)
+                partner = jnp.where(
+                    rho_c > _EPS_RHO, rho_c * jnp.maximum(1.0 - q / safe, 0.0), 0.0
+                )
+                safe_r = jnp.maximum(rhorev_c, _EPS_RHO)
+                partner_rev = jnp.where(
+                    rhorev_c > _EPS_RHO,
+                    rhorev_c * jnp.maximum(1.0 - qrev / safe_r, 0.0),
+                    0.0,
+                )
             qq_ref[:ne_pad] = q
             qq_ref[ne_pad:] = q
             pp_ref[:ne_pad] = partner
@@ -306,10 +456,20 @@ def build_pallas_collision_step_blocked(
                 p_dn = shifted(pp_ref, base_dn, r_dn)
                 dk = drow_ref[k]
                 Dk = ph_ref[pl.ds(dk, 1), :]  # (1, T)
-                eu = col(eup_ref, lanes_k, k)
-                ed = col(edn_ref, lanes_k, k)
-                au = eu if sym_ks else col(aup_ref, lanes_k, k)
-                ad = ed if sym_ks else col(adn_ref, lanes_k, k)
+                if analytic:
+                    # K^s(Δ²) = max(A − B·Δ², 0), per pixel — (ne_pad, T)
+                    eu = jnp.maximum(
+                        col(eup_ref, lanes_k, k) - col(eBup_ref, lanes_k, k) * g2, 0.0
+                    )
+                    ed = jnp.maximum(
+                        col(edn_ref, lanes_k, k) - col(eBdn_ref, lanes_k, k) * g2, 0.0
+                    )
+                    au, ad = eu, ed
+                else:
+                    eu = col(eup_ref, lanes_k, k)
+                    ed = col(edn_ref, lanes_k, k)
+                    au = eu if sym_ks else col(aup_ref, lanes_k, k)
+                    ad = ed if sym_ks else col(adn_ref, lanes_k, k)
                 em = 1.0 + Dk
                 t_em = eu * q_up  # shared: QP gain + phonon emission
                 t_ab = au * p_up  # shared: QP loss + phonon absorption
@@ -329,7 +489,11 @@ def build_pallas_collision_step_blocked(
                     p_s = shifted(ppr_ref, base_s, r_s)
                     ms = srow_ref[s]
                     Ss = ph_ref[pl.ds(ms, 1), :]
-                    r = col(rev_ref_t if j == 2 * d else rod_ref_t, lanes_k, k)
+                    even = j == 2 * d
+                    r = col(rev_ref_t if even else rod_ref_t, lanes_k, k)
+                    if analytic:
+                        # K^r(Δ²) = A + B·Δ², per pixel
+                        r = r + col(rBev_ref if even else rBod_ref, lanes_k, k) * g2
                     t_rec = r * q_s  # shared: QP loss + phonon recombination
                     t_pb = r * p_s   # shared: QP gain + pair-breaking
                     loss = loss + t_rec + Ss * t_rec
@@ -370,7 +534,7 @@ def build_pallas_collision_step_blocked(
         gid_flat = np.zeros((8, int(np.asarray(gap_id).size)), np.int32)
         gid_flat[:] = np.asarray(gap_id, np.int32).reshape(1, -1)
 
-    def step(n_qp: jax.Array, n_ph: jax.Array):
+    def step(n_qp: jax.Array, n_ph: jax.Array, gp: jax.Array | None = None):
         ne_, ny, nx = n_qp.shape
         dtype = n_qp.dtype
         p_live = ny * nx
@@ -382,6 +546,16 @@ def build_pallas_collision_step_blocked(
         if nw_pad - nw:
             ph = jnp.pad(ph, ((0, nw_pad - nw), (0, 0)))
         pad_cols = (-p_live) % tile
+        if analytic:
+            if g2_row is not None:
+                g2p = jnp.asarray(g2_row, dtype=dtype)
+            else:
+                g2p = jnp.broadcast_to(
+                    (jnp.asarray(gp, dtype=dtype) ** 2).reshape(1, p_live),
+                    (8, p_live),
+                )
+            if pad_cols:
+                g2p = jnp.pad(g2p, ((0, 0), (0, pad_cols)))
         if pad_cols:
             q = jnp.pad(q, ((0, 0), (0, pad_cols)))
             qrev = jnp.pad(qrev, ((0, 0), (0, pad_cols)))
@@ -399,30 +573,45 @@ def build_pallas_collision_step_blocked(
         )
         as_dev = lambda arr: jnp.asarray(arr, dtype=dtype)
 
-        args = [q, qrev, ph, as_dev(rho_pad), as_dev(rho_rev_pad)]
-        specs = [
-            tiled(ne_pad),
-            tiled(ne_pad),
-            tiled(nw_pad),
-            rep3((n_gaps, ne_pad, 128)),
-            rep3((n_gaps, ne_pad, 128)),
-        ]
-        if multi_gap:
-            gid = jnp.asarray(gid_flat)
-            if pad_cols:
-                gid = jnp.pad(gid, ((0, 0), (0, pad_cols)))
-            args.append(gid)
-            specs.append(
-                pl.BlockSpec((8, tile), lambda t, kb: (0, t), memory_space=pltpu.VMEM)
-            )
-        if scattering:
-            args += [as_dev(e_up), as_dev(e_dn)]
-            if not sym_ks:
-                args += [as_dev(a_up), as_dev(a_dn)]
-            specs += [rep3((n_gaps, ne_pad, kp))] * (2 if sym_ks else 4)
-        if recombination:
-            args += [as_dev(r_ev), as_dev(r_od)]
-            specs += [rep3((n_gaps, ne_pad, kp))] * 2
+        row8_spec = pl.BlockSpec(
+            (8, tile), lambda t, kb: (0, t), memory_space=pltpu.VMEM
+        )
+        args = [q, qrev, ph]
+        specs = [tiled(ne_pad), tiled(ne_pad), tiled(nw_pad)]
+        if analytic:
+            args.append(g2p)
+            specs.append(row8_spec)
+            args += [
+                as_dev(e_col), as_dev(e_rev_col),
+                as_dev(inv_col), as_dev(inv_rev_col),
+            ]
+            specs += [rep3((ne_pad, 128))] * 4
+            if scattering:
+                args += [as_dev(e_up), as_dev(e_dn), as_dev(eB_up), as_dev(eB_dn)]
+                specs += [rep3((1, ne_pad, kp))] * 4
+            if recombination:
+                args += [as_dev(r_ev), as_dev(r_od), as_dev(rB_ev), as_dev(rB_od)]
+                specs += [rep3((1, ne_pad, kp))] * 4
+        else:
+            args += [as_dev(rho_pad), as_dev(rho_rev_pad)]
+            specs += [
+                rep3((n_gaps, ne_pad, 128)),
+                rep3((n_gaps, ne_pad, 128)),
+            ]
+            if multi_gap:
+                gid = jnp.asarray(gid_flat)
+                if pad_cols:
+                    gid = jnp.pad(gid, ((0, 0), (0, pad_cols)))
+                args.append(gid)
+                specs.append(row8_spec)
+            if scattering:
+                args += [as_dev(e_up), as_dev(e_dn)]
+                if not sym_ks:
+                    args += [as_dev(a_up), as_dev(a_dn)]
+                specs += [rep3((n_gaps, ne_pad, kp))] * (2 if sym_ks else 4)
+            if recombination:
+                args += [as_dev(r_ev), as_dev(r_od)]
+                specs += [rep3((n_gaps, ne_pad, kp))] * 2
         args += [
             jnp.asarray(drow_tab),
             jnp.asarray(srow_tab),
@@ -463,4 +652,66 @@ def build_pallas_collision_step_blocked(
         ph_out = ph_new[:nw, :p_live].reshape(nw, ny, nx)
         return q_out, ph_out
 
+    if arg_mode:
+        return lambda n_qp, n_ph, gp: step(n_qp, n_ph, gp)
+    if analytic:
+        return lambda n_qp, n_ph: step(n_qp, n_ph)
     return step
+
+
+def build_pallas_collision_step_blocked_analytic(
+    *,
+    E_bins: np.ndarray,
+    dE: float,
+    gap_plane: np.ndarray | None,
+    pmap: PhononFrequencyMap,
+    dt: float,
+    tau_s: float | None,
+    tau_r: float | None,
+    T_c: float,
+    dynes_gamma: float = 0.0,
+    update_phonons: bool = True,
+    tile: int = _DEFAULT_TILE,
+    block: int = _DEFAULT_BLOCK,
+    interpret: bool = False,
+):
+    """Analytic-gap variant of the block-gridded kernel (NE > 64).
+
+    Exact per-pixel kernels from a continuous gap map Δ(x, y), with no
+    bound on the number of distinct gap values: the Kaplan kernels are
+    affine in Δ² (K^s = max(A_s − B_s·Δ², 0), K^r = A_r + B_r·Δ²) and the
+    Dynes DOS a closed form of it, so one per-pixel Δ² row replaces all
+    per-gap tables — the same identity
+    ``build_pallas_collision_step_analytic`` (pallas_collisions.py:455)
+    uses within the pair-unroll envelope, carried beyond 64 bins on the
+    blocked grid.  This is the only fast path for NE > 64 continuous gap
+    maps: the unique-gap table route materialises (G, NE, NE) stacks with
+    G ≈ Npix (reference solver.py:1203-1232 has the same blow-up).
+
+    Same contract as ``build_pallas_collision_step_analytic``: with
+    ``gap_plane=None`` the returned step takes the dense gap plane as a
+    third call-time argument (spatially sharded callers pass their own
+    slice).  Returns None outside the blocked envelope (non-uniform grid
+    or split ω diagonals).
+    """
+    ne = int(np.asarray(E_bins).size)
+    return build_pallas_collision_step_blocked(
+        E_bins=E_bins,
+        dE=dE,
+        rho=np.zeros(max(ne, 1)),
+        K_s0=None,
+        K_r0=None,
+        pmap=pmap,
+        dt=dt,
+        update_phonons=update_phonons,
+        tile=tile,
+        block=block,
+        interpret=interpret,
+        _analytic=dict(
+            gap_plane=gap_plane,
+            tau_s=tau_s,
+            tau_r=tau_r,
+            T_c=T_c,
+            dynes_gamma=dynes_gamma,
+        ),
+    )

@@ -721,8 +721,14 @@ def _build_engine_program(
         supported = pallas_collisions_supported(E_bins, int(unique_gaps.size))
         # continuous gap maps (G beyond the table-blend bound): exact
         # per-pixel kernels evaluated from Δ² in the analytic kernel
-        analytic_ok = (
-            int(unique_gaps.size) > 8 and pallas_analytic_collisions_supported(E_bins)
+        # (pair-unrolled ≤ 64 bins, block-gridded beyond — the latter's
+        # envelope is prechecked exactly so the dispatch never falls back
+        # to the (G≈Npix, NE, NE) per-unique-gap stacks)
+        from ..ops.pallas_collisions_blocked import pallas_blocked_analytic_supported
+
+        analytic_ok = int(unique_gaps.size) > 8 and (
+            pallas_analytic_collisions_supported(E_bins)
+            or pallas_blocked_analytic_supported(E_bins, pmap)
         )
         if collision_backend == "pallas" and not ((supported or analytic_ok) and dtype_ok):
             reason = (
@@ -730,7 +736,7 @@ def _build_engine_program(
                 if supported or analytic_ok
                 else "the configuration is outside the kernel's envelope "
                 "(needs a uniform energy grid, 2-256 bins; >8 unique gaps "
-                "additionally needs <=64 bins)"
+                "additionally needs unsplit ω diagonals above 64 bins)"
             )
             raise ValueError(f"collision_backend='pallas' requested but {reason}")
         use_pallas_collisions = (
@@ -833,6 +839,27 @@ def _build_engine_program(
             gap_plane = np.full((ny, nx), gap, dtype=np.float64)
             gap_plane[mask] = gap_values
             step = build_pallas_collision_step_analytic(
+                E_bins=E_bins,
+                dE=dE,
+                gap_plane=gap_plane,
+                pmap=pmap,
+                dt=dt_col,
+                tau_s=tau_s_eff if enable_scattering else None,
+                tau_r=tau_r_eff if enable_recombination else None,
+                T_c=T_c,
+                dynes_gamma=dynes_gamma,
+                update_phonons=not freeze_phonon_dynamics,
+                interpret=jax.default_backend() != "tpu",
+            )
+            if step is not None:
+                return step
+            # NE > 64: the block-gridded analytic kernel carries the same
+            # Δ²-affine identity beyond the pair-unroll envelope
+            from ..ops.pallas_collisions_blocked import (
+                build_pallas_collision_step_blocked_analytic,
+            )
+
+            step = build_pallas_collision_step_blocked_analytic(
                 E_bins=E_bins,
                 dE=dE,
                 gap_plane=gap_plane,

@@ -628,3 +628,82 @@ def test_pallas_blocked_envelope_refusals():
             dt=0.01, tile=192)
         is not None
     )
+
+
+def test_pallas_blocked_analytic_matches_analytic_and_xla_interpret():
+    """Blocked analytic-gap kernel (NE>64 continuous gap maps) ≡ the ≤64
+    analytic kernel ≡ the XLA integrator with per-unique-gap tables."""
+    from qpsim_tpu.ops.pallas_collisions import build_pallas_collision_step_analytic
+    from qpsim_tpu.ops.pallas_collisions_blocked import (
+        build_pallas_collision_step_blocked_analytic,
+    )
+
+    tau_s, tau_r, tc = 440.0, 520.0, 1.2
+    E, dE = build_energy_grid(180.0, 1.0, 4.0, 9)
+    pm = build_phonon_frequency_map(E)
+    ny, nx = 3, 4
+    rng = np.random.default_rng(11)
+    gap_vals = rng.uniform(120.0, 180.0, ny * nx)  # every pixel distinct
+    gap_plane = gap_vals.reshape(ny, nx)
+    for gamma in (0.0, 0.4):
+        # XLA oracle: one gap table per pixel
+        rho_g = np.stack([dynes_density_of_states(E, g, gamma) for g in gap_vals])
+        Ks_g = np.stack([scattering_kernel_base(E, g, tau_s, tc) for g in gap_vals])
+        Kr_g = np.stack([recombination_kernel_base(E, g, tau_r, tc) for g in gap_vals])
+        gid = np.arange(ny * nx, dtype=np.int32).reshape(ny, nx)
+        plan = build_collision_plan_arrays(
+            dE=dE, rho_by_gap=rho_g, K_r0_by_gap=Kr_g, K_s0_by_gap=Ks_g,
+            gap_id=gid, pmap=pm, enable_recombination=True,
+            enable_scattering=True, update_phonons=True)
+        xla = make_collision_step(plan, 0.015)
+        ana = build_pallas_collision_step_analytic(
+            E_bins=E, dE=dE, gap_plane=gap_plane, pmap=pm, dt=0.015,
+            tau_s=tau_s, tau_r=tau_r, T_c=tc, dynes_gamma=gamma,
+            update_phonons=True, interpret=True)
+        blk = build_pallas_collision_step_blocked_analytic(
+            E_bins=E, dE=dE, gap_plane=gap_plane, pmap=pm, dt=0.015,
+            tau_s=tau_s, tau_r=tau_r, T_c=tc, dynes_gamma=gamma,
+            update_phonons=True, tile=128, interpret=True)
+        assert ana is not None and blk is not None
+        rho_px = rho_g.T.reshape(9, ny, nx)
+        q0 = jnp.asarray(rng.uniform(0, 1e-4, (9, ny, nx)) * rho_px)
+        ph0 = jnp.asarray(
+            np.broadcast_to(
+                thermal_phonon_occupation(pm.omega_bins, 0.25)[:, None, None],
+                (pm.num_omega, ny, nx),
+            ).copy()
+        )
+        q1, p1 = xla(q0, ph0)
+        q2, p2 = ana(q0, ph0)
+        q3, p3 = blk(q0, ph0)
+        ctx = f"gamma={gamma}"
+        np.testing.assert_allclose(
+            np.asarray(q3), np.asarray(q2), rtol=1e-11, atol=1e-24, err_msg=ctx)
+        np.testing.assert_allclose(
+            np.asarray(p3), np.asarray(p2), rtol=1e-9, atol=1e-24, err_msg=ctx)
+        np.testing.assert_allclose(
+            np.asarray(q3), np.asarray(q1), rtol=1e-9, atol=1e-22, err_msg=ctx)
+        np.testing.assert_allclose(
+            np.asarray(p3), np.asarray(p1), rtol=1e-7, atol=1e-22, err_msg=ctx)
+
+    # arg-mode: the plane arrives at call time (sharded-caller contract)
+    blk_arg = build_pallas_collision_step_blocked_analytic(
+        E_bins=E, dE=dE, gap_plane=None, pmap=pm, dt=0.015,
+        tau_s=tau_s, tau_r=tau_r, T_c=tc, dynes_gamma=0.0,
+        update_phonons=True, tile=128, interpret=True)
+    blk_baked = build_pallas_collision_step_blocked_analytic(
+        E_bins=E, dE=dE, gap_plane=gap_plane, pmap=pm, dt=0.015,
+        tau_s=tau_s, tau_r=tau_r, T_c=tc, dynes_gamma=0.0,
+        update_phonons=True, tile=128, interpret=True)
+    rho_g0 = np.stack([dynes_density_of_states(E, g, 0.0) for g in gap_vals])
+    q0 = jnp.asarray(rng.uniform(0, 1e-4, (9, ny, nx)) * rho_g0.T.reshape(9, ny, nx))
+    ph0 = jnp.asarray(
+        np.broadcast_to(
+            thermal_phonon_occupation(pm.omega_bins, 0.25)[:, None, None],
+            (pm.num_omega, ny, nx),
+        ).copy()
+    )
+    qa, pa = blk_arg(q0, ph0, jnp.asarray(gap_plane))
+    qb, pb = blk_baked(q0, ph0)
+    np.testing.assert_allclose(np.asarray(qa), np.asarray(qb), rtol=0, atol=0)
+    np.testing.assert_allclose(np.asarray(pa), np.asarray(pb), rtol=0, atol=0)

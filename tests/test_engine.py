@@ -608,3 +608,37 @@ def test_engine_program_cache_distinguishes_boundary_values():
     f_b = run_with(1.0)
     # Dirichlet g=1 injects density; g=0 absorbs — results must differ.
     assert not np.allclose(np.nan_to_num(f_a), np.nan_to_num(f_b))
+
+
+def test_blocked_analytic_backend_matches_xla_above_64_bins_continuous_gap():
+    # NE=72 with a continuous gap map (12 unique gaps > the G<=8 table
+    # bound): the engine dispatches the block-gridded analytic-gap kernel
+    # (the only fast path there — per-unique-gap stacks are (G~Npix,NE,NE)
+    # and must never be materialised at production sizes).  At this tiny
+    # grid the XLA gather path CAN build its 12-gap stacks and serves as
+    # the oracle.
+    mask, edges, bcs = _strip(12)
+    kw = dict(
+        mask=mask,
+        edges=edges,
+        edge_conditions=bcs,
+        initial_field=np.full(mask.shape, 1e-5),
+        diffusion_coefficient=6.0,
+        dt=0.05,
+        total_time=0.1,
+        dx=1.0,
+        energy_gap=180.0,
+        num_energy_bins=72,
+        energy_max_factor=4.0,
+        enable_recombination=True,
+        enable_scattering=True,
+        bath_temperature=0.2,
+        gap_expression="return 140.0 + 30.0 * x",
+    )
+    _, frames_x, mass_x, _, ef_x, _ = run_2d_crank_nicolson(collision_backend="xla", **kw)
+    _, frames_p, mass_p, _, ef_p, _ = run_2d_crank_nicolson(
+        collision_backend="pallas", **kw
+    )
+    np.testing.assert_allclose(mass_p, mass_x, rtol=1e-9)
+    for a, b in zip(ef_x[-1], ef_p[-1]):
+        np.testing.assert_allclose(np.nan_to_num(a), np.nan_to_num(b), atol=1e-18, rtol=1e-8)
