@@ -262,6 +262,25 @@ def build_sharded_step(
                 dynes_gamma=collisions.get("dynes_gamma", 0.0),
                 update_phonons=collisions.get("update_phonons", True),
             )
+        if col_half is None and on_tpu_c and dtype_ok_c and e_bins_g is not None:
+            # NE > 64: the blocked analytic-gap kernel (same call-time-plane
+            # contract) carries continuous maps beyond the pair-unroll cap
+            from ..ops.pallas_collisions_blocked import (
+                build_pallas_collision_step_blocked_analytic,
+            )
+
+            col_half = build_pallas_collision_step_blocked_analytic(
+                E_bins=np.asarray(e_bins_g),
+                dE=collisions["dE"],
+                gap_plane=None,
+                pmap=pmap_g,
+                dt=0.5 * float(dt),
+                tau_s=collisions["tau_s"] if collisions.get("enable_scattering") else None,
+                tau_r=collisions["tau_r"] if collisions.get("enable_recombination") else None,
+                T_c=collisions["T_c"],
+                dynes_gamma=collisions.get("dynes_gamma", 0.0),
+                update_phonons=collisions.get("update_phonons", True),
+            )
         if col_half is not None:
             col_mode = "gap_plane"
             gap_aux = jnp.asarray(gap_plane, dtype=dtype)
