@@ -460,6 +460,48 @@ def bench_collisions_100bin(ny=256, nx=256, ne=100, length=200) -> dict:
     return {"collisions_100bin_ms_per_substep": per_step * 1e3}
 
 
+def bench_analytic_gap_100bin(ny=256, nx=256, ne=100, length=200) -> dict:
+    """Continuous gap map beyond the pair-unroll cap: the blocked analytic
+    kernel evaluates exact per-pixel kernels from Δ² on the sequential
+    Pallas grid — the only fast path there (per-unique-gap stacks are
+    (G≈Npix, NE, NE) and unbuildable at production sizes)."""
+    import jax
+    import jax.numpy as jnp
+
+    from qpsim_tpu.ops.dos import dynes_density_of_states, thermal_phonon_occupation
+    from qpsim_tpu.ops.energy_grid import build_energy_grid
+    from qpsim_tpu.ops.pallas_collisions_blocked import (
+        build_pallas_collision_step_blocked_analytic,
+    )
+    from qpsim_tpu.ops.phonon_map import build_phonon_frequency_map
+
+    gap, tau, tc = 180.0, 440.0, 1.2
+    E, dE = build_energy_grid(gap, 1.0, 4.0, ne)
+    pm = build_phonon_frequency_map(E)
+    rng = np.random.default_rng(5)
+    gp = gap + rng.uniform(-50.0, 0.0, (ny, nx))
+    col = build_pallas_collision_step_blocked_analytic(
+        E_bins=E, dE=dE, gap_plane=gp, pmap=pm, dt=0.025,
+        tau_s=tau, tau_r=tau, T_c=tc, dynes_gamma=0.0,
+    )
+    rho = dynes_density_of_states(E, gap - 25.0, 0.0)
+    q0 = jnp.asarray(rng.uniform(0, 1e-5, (ne, ny, nx)) * rho[:, None, None], jnp.float32)
+    ph0 = jnp.asarray(
+        np.broadcast_to(
+            thermal_phonon_occupation(pm.omega_bins, 0.2)[:, None, None],
+            (pm.num_omega, ny, nx),
+        ).copy(),
+        jnp.float32,
+    )
+
+    @jax.jit
+    def chunk(state):
+        return jax.lax.scan(lambda c, _: (col(*c), None), state, None, length=length, unroll=8)[0]
+
+    per_step, _ = _timed_chunk(chunk, (q0, ph0), length, f"analytic-gap {ny}x{nx}x{ne}")
+    return {"analytic_gap_100bin_ms_per_substep": per_step * 1e3}
+
+
 def bench_analytic_gap(ny=256, nx=256, ne=16, length=1000) -> dict:
     """Continuous gap map (every pixel a distinct gap): the analytic-gap
     kernel evaluates exact per-pixel kernels from Δ² — no per-gap tables."""
@@ -608,6 +650,7 @@ def main() -> None:
     extras.update(bench_collisions_50bin())
     extras.update(bench_collisions_100bin())
     extras.update(bench_analytic_gap())
+    extras.update(bench_analytic_gap_100bin())
     extras.update(bench_1d_64bin())
     extras.update(bench_ensemble_sweep())
     extras.update(bench_mkid_pulse())
