@@ -763,6 +763,21 @@ def _build_engine_program(
         K_r0_by_gap = K_s0_by_gap = None
         plan = None
     else:
+        # The gather path materialises one (NE, NE) table per unique gap
+        # and per channel — for continuous gap maps G ≈ Npix and the stacks
+        # explode (the reference's unique-gap cache, solver.py:1203-1232,
+        # has the same blow-up).  Refuse with guidance instead of thrashing.
+        n_channels = 1 + int(enable_recombination) + int(enable_scattering)
+        stack_bytes = int(unique_gaps.size) * num_energy_bins * num_energy_bins * 8 * n_channels
+        if collisions_on and stack_bytes > 4 << 30:
+            raise ValueError(
+                f"{unique_gaps.size} unique gap values x {num_energy_bins} "
+                f"bins needs ~{stack_bytes / 2**30:.0f} GB of per-gap kernel "
+                "tables on the XLA collision path. Continuous gap maps "
+                "should use the analytic Pallas kernels instead: run on TPU "
+                "or pass collision_backend='pallas' (needs a uniform energy "
+                "grid; above 64 bins also unsplit ω diagonals)."
+            )
         rho_by_gap = np.stack(
             [dynes_density_of_states(E_bins, float(g), dynes_gamma) for g in unique_gaps]
         )

@@ -642,3 +642,33 @@ def test_blocked_analytic_backend_matches_xla_above_64_bins_continuous_gap():
     np.testing.assert_allclose(mass_p, mass_x, rtol=1e-9)
     for a, b in zip(ef_x[-1], ef_p[-1]):
         np.testing.assert_allclose(np.nan_to_num(a), np.nan_to_num(b), atol=1e-18, rtol=1e-8)
+
+
+def test_continuous_gap_stack_explosion_refused_with_guidance():
+    # A continuous gap map whose per-unique-gap tables would need >4 GB on
+    # the XLA gather path must raise a helpful error, not thrash: here the
+    # CPU auto-dispatch would try (G, NE, NE) stacks with G ~ Npix.
+    mask = np.ones((96, 96), dtype=bool)
+    from qpsim_tpu.geometry.mask import extract_edge_segments
+
+    edges = extract_edge_segments(mask)
+    bcs = {e.edge_id: BoundaryCondition(kind="reflective") for e in edges}
+    with pytest.raises(ValueError, match="unique gap values"):
+        run_2d_crank_nicolson(
+            mask=mask,
+            edges=edges,
+            edge_conditions=bcs,
+            initial_field=np.full(mask.shape, 1e-5),
+            diffusion_coefficient=6.0,
+            dt=0.05,
+            total_time=0.05,
+            dx=1.0,
+            energy_gap=180.0,
+            num_energy_bins=200,
+            energy_max_factor=4.0,
+            enable_recombination=True,
+            enable_scattering=True,
+            bath_temperature=0.2,
+            collision_backend="xla",
+            gap_expression="return 120.0 + 60.0 * x + 0.3 * y",
+        )
