@@ -50,9 +50,17 @@ def test_dryrun_multichip_clean_interpreter():
 
 
 def test_dryrun_multichip_after_backend_init():
-    """Backends already initialized (entry()-style) before the dry run."""
+    """Backends already initialized (entry()-style) before the dry run.
+
+    The pre-initialized backend is a 1-device CPU client rather than the
+    ambient axon tunnel: the scenario under test is the clear_backends +
+    re-provision path, and touching the tunnel would make the TEST hang
+    whenever the tunnel is wedged (observed; the entry code itself never
+    touches it — see _provision_devices).
+    """
     code = (
-        "import jax; jax.devices();"  # initialize the ambient backend first
+        "import jax;"
+        "jax.config.update('jax_platforms', 'cpu'); jax.devices();"
         "import __graft_entry__; __graft_entry__.dryrun_multichip(8); print('OK')"
     )
     proc = subprocess.run(
