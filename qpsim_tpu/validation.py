@@ -1,18 +1,24 @@
 """Physics validation gates.
 
 Five fast self-checks over the assembled engine — the acceptance suite a
-user can run after installation (reference
-``/root/reference/qpsim/validation.py``; exported at package top level):
+user can run after installation.  The *spec* (which invariants are checked,
+at which tolerances) follows the reference suite
+(``/root/reference/qpsim/validation.py:76-283``); the implementation drives
+this package's public engine entry point through a shared strip-geometry
+harness and tiers the tolerances by compute precision (f32 tiers:
+``docs/f32_tiers.md``).
 
-1. detailed balance of the bath-dressed scattering kernel,
-2. thermal-equilibrium stability of the coupled solver (frozen phonons),
-3. mass conservation of pure diffusion with reflective walls,
-4. quasiparticle-number conservation of pure scattering,
+1. detailed balance of the bath-dressed scattering kernel (tol 1e-9),
+2. thermal-equilibrium stability of the coupled solver, frozen phonons
+   (drift ≤ 1e-6 in f64),
+3. mass conservation of pure diffusion with reflective walls (≤ 1e-10 f64),
+4. quasiparticle-number conservation of pure scattering (≤ 2e-5),
 5. monotone decay of pure recombination at T = 0.
 """
 
 from __future__ import annotations
 
+import dataclasses
 from dataclasses import dataclass
 from typing import Any
 
@@ -43,44 +49,39 @@ __all__ = [
 
 @dataclass
 class ValidationReport:
+    """One section dict per gate; ``overall_passed`` folds their verdicts."""
+
     detailed_balance: dict[str, Any]
     thermal_stability: dict[str, Any]
     pure_diffusion: dict[str, Any]
     pure_scattering: dict[str, Any]
     pure_recombination: dict[str, Any]
 
+    def sections(self) -> dict[str, dict[str, Any]]:
+        return {f.name: getattr(self, f.name) for f in dataclasses.fields(self)}
+
     @property
     def overall_passed(self) -> bool:
-        return all(
-            bool(section.get("passed", False))
-            for section in (
-                self.detailed_balance,
-                self.thermal_stability,
-                self.pure_diffusion,
-                self.pure_scattering,
-                self.pure_recombination,
-            )
-        )
+        return all(s.get("passed", False) for s in self.sections().values())
 
     def as_dict(self) -> dict[str, Any]:
-        return {
-            "detailed_balance": self.detailed_balance,
-            "thermal_stability": self.thermal_stability,
-            "pure_diffusion": self.pure_diffusion,
-            "pure_scattering": self.pure_scattering,
-            "pure_recombination": self.pure_recombination,
-            "overall_passed": self.overall_passed,
-        }
+        return {**self.sections(), "overall_passed": self.overall_passed}
 
 
-def _strip_geometry(nx: int):
-    mask = np.ones((1, nx), dtype=bool)
-    edges = extract_edge_segments(mask)
-    bcs = {e.edge_id: BoundaryCondition(kind="reflective") for e in edges}
-    return mask, edges, bcs
+# --- shared harness ----------------------------------------------------------
 
 
-def _thermal_phonon_ic(bath_temperature: float) -> InitialConditionSpec:
+def _tau_pair(p: SimulationParameters) -> tuple[float, float]:
+    """(τ_s, τ_r), falling back to τ₀ where a channel-specific value is unset."""
+    return (
+        float(p.tau_s if p.tau_s is not None else p.tau_0),
+        float(p.tau_r if p.tau_r is not None else p.tau_0),
+    )
+
+
+def _frozen_bath_spec(temperature: float) -> InitialConditionSpec:
+    """Uniform DOS-weighted QPs over a Bose–Einstein phonon bath — the IC
+    every frozen-bath gate starts from."""
     return InitialConditionSpec(
         spatial_kind="uniform",
         spatial_params={"value": 1.0},
@@ -88,295 +89,238 @@ def _thermal_phonon_ic(bath_temperature: float) -> InitialConditionSpec:
         phonon_spatial_kind="uniform",
         phonon_spatial_params={"value": 1.0},
         phonon_energy_kind="bose_einstein",
-        phonon_energy_params={"temperature": float(bath_temperature)},
+        phonon_energy_params={"temperature": float(temperature)},
     )
 
 
-def validate_detailed_balance(
-    *,
-    gap: float,
-    energy_min_factor: float,
-    energy_max_factor: float,
-    num_energy_bins: int,
-    tau_s: float,
-    T_c: float,
-    bath_temperature: float,
-    tolerance: float = 1e-9,
-) -> dict[str, Any]:
-    """K_s(i,j) = K_s(j,i)·exp((Eᵢ−Eⱼ)/kT) at the bath temperature."""
-    if bath_temperature <= 0:
-        return {"passed": True, "max_relative_error": 0.0, "message": "Skipped (T_bath <= 0)."}
-    E_bins, _ = build_energy_grid(gap, energy_min_factor, energy_max_factor, num_energy_bins)
-    K_s = scattering_kernel(E_bins, gap, tau_s, T_c, bath_temperature)
-    kT = K_B_UEV_PER_K * bath_temperature
-    boltzmann = np.exp(np.clip((E_bins[:, None] - E_bins[None, :]) / kT, -200.0, 200.0))
-    residual = np.abs(K_s - K_s.T * boltzmann)
-    max_rel = float(np.max(residual) / max(1e-30, float(np.max(np.abs(K_s)))))
-    return {"passed": max_rel <= tolerance, "max_relative_error": max_rel, "tolerance": tolerance}
+def _evolve_strip(nx: int, initial_field: np.ndarray, *, dt: float, total_time: float, **physics):
+    """Run the public engine on a 1×nx reflective strip.
 
-
-def validate_thermal_stability(
-    *,
-    nx: int,
-    dt: float,
-    steps: int,
-    diffusion_coefficient: float,
-    gap: float,
-    energy_min_factor: float,
-    energy_max_factor: float,
-    num_energy_bins: int,
-    dynes_gamma: float,
-    tau_s: float,
-    tau_r: float,
-    T_c: float,
-    bath_temperature: float,
-    tolerance: float = 1e-6,
-) -> dict[str, Any]:
-    """Start at n_eq with a frozen thermal bath; the state must not drift."""
-    mask, edges, bcs = _strip_geometry(nx)
-    E_bins, dE = build_energy_grid(gap, energy_min_factor, energy_max_factor, num_energy_bins)
-    n_eq = thermal_qp_weights(E_bins, gap, bath_temperature, dynes_gamma)
-    initial_field = np.full((1, nx), float(np.sum(n_eq) * dE), dtype=np.float64)
-
-    _, _, _, _, energy_frames, _ = run_2d_crank_nicolson(
-        mask=mask,
-        edges=edges,
-        edge_conditions=bcs,
+    All gates that time-step go through here, so the geometry/BC plumbing,
+    snapshot cadence, and engine entry are exercised exactly once per gate
+    with only the physics varying.
+    """
+    strip = np.ones((1, nx), dtype=bool)
+    rim = extract_edge_segments(strip)
+    return run_2d_crank_nicolson(
+        mask=strip,
+        edges=rim,
+        edge_conditions={e.edge_id: BoundaryCondition(kind="reflective") for e in rim},
         initial_field=initial_field,
-        diffusion_coefficient=diffusion_coefficient,
-        dt=dt,
-        total_time=steps * dt,
-        dx=1.0,
-        store_every=1,
-        energy_gap=gap,
-        energy_min_factor=energy_min_factor,
-        energy_max_factor=energy_max_factor,
-        num_energy_bins=num_energy_bins,
-        energy_weights=n_eq,
-        enable_diffusion=True,
-        enable_recombination=True,
-        enable_scattering=True,
-        dynes_gamma=dynes_gamma,
-        tau_s=tau_s,
-        tau_r=tau_r,
-        T_c=T_c,
-        bath_temperature=bath_temperature,
-        initial_condition_spec=_thermal_phonon_ic(bath_temperature),
-        freeze_phonon_dynamics=True,
-    )
-    if energy_frames is None:
-        return {"passed": False, "max_relative_drift": float("inf"), "tolerance": tolerance}
-    state_0 = np.array([frame[0, :] for frame in energy_frames[0]], dtype=np.float64)
-    state_f = np.array([frame[0, :] for frame in energy_frames[-1]], dtype=np.float64)
-    denom = max(1e-20, float(np.max(np.abs(state_0))))
-    drift = float(np.max(np.abs(state_f - state_0)) / denom)
-    return {"passed": drift <= tolerance, "max_relative_drift": drift, "tolerance": tolerance}
-
-
-def validate_pure_diffusion(
-    *,
-    nx: int,
-    dt: float,
-    total_time: float,
-    diffusion_coefficient: float,
-    tolerance: float = 1e-10,
-) -> dict[str, Any]:
-    """Reflective-wall diffusion conserves total mass to round-off."""
-    mask, edges, bcs = _strip_geometry(nx)
-    x = (np.arange(nx, dtype=np.float64) + 0.5) / nx
-    initial_field = (1.0 + 0.4 * np.cos(2.0 * np.pi * x))[None, :]
-    _, _, mass, _, _, _ = run_2d_crank_nicolson(
-        mask=mask,
-        edges=edges,
-        edge_conditions=bcs,
-        initial_field=initial_field,
-        diffusion_coefficient=diffusion_coefficient,
         dt=dt,
         total_time=total_time,
         dx=1.0,
         store_every=1,
+        **physics,
+    )
+
+
+def _spectral_physics(p: SimulationParameters, **flags) -> dict[str, Any]:
+    """Engine kwargs for the energy-resolved gates, from the suite params.
+
+    ``flags`` override any default (e.g. a gate-specific bin count)."""
+    tau_s, tau_r = _tau_pair(p)
+    kwargs = dict(
+        energy_gap=p.energy_gap,
+        energy_min_factor=p.energy_min_factor,
+        energy_max_factor=p.energy_max_factor,
+        num_energy_bins=p.num_energy_bins,
+        dynes_gamma=p.dynes_gamma,
+        tau_s=tau_s,
+        tau_r=tau_r,
+        T_c=p.T_c,
+        bath_temperature=p.bath_temperature,
+        initial_condition_spec=_frozen_bath_spec(p.bath_temperature),
+        freeze_phonon_dynamics=True,
+    )
+    kwargs.update(flags)
+    return kwargs
+
+
+def _relative_change(series) -> float:
+    first, last = float(series[0]), float(series[-1])
+    return abs(last - first) / max(1e-20, abs(first))
+
+
+# --- the five gates ----------------------------------------------------------
+
+
+def validate_detailed_balance(p: SimulationParameters, *, tolerance: float = 1e-9) -> dict[str, Any]:
+    """Forward scattering rate vs Boltzmann-weighted reverse rate.
+
+    The bath-dressed kernel must satisfy K^s(i,j) = K^s(j,i)·e^{(Eᵢ−Eⱼ)/kT}
+    at the bath temperature (reference gate: qpsim/validation.py:76-98).
+    Kernel-only — no time stepping.
+    """
+    T = p.bath_temperature
+    if T <= 0:
+        return {"passed": True, "max_relative_error": 0.0, "message": "Skipped (T_bath <= 0)."}
+    grid, _ = build_energy_grid(
+        p.energy_gap, p.energy_min_factor, p.energy_max_factor, p.num_energy_bins
+    )
+    forward = scattering_kernel(grid, p.energy_gap, _tau_pair(p)[0], p.T_c, T)
+    log_weight = np.clip(np.subtract.outer(grid, grid) / (K_B_UEV_PER_K * T), -200.0, 200.0)
+    reverse = forward.T * np.exp(log_weight)
+    worst = float(np.abs(forward - reverse).max() / max(1e-30, float(np.abs(forward).max())))
+    return {"passed": worst <= tolerance, "max_relative_error": worst, "tolerance": tolerance}
+
+
+def validate_thermal_stability(
+    p: SimulationParameters, *, nx: int = 16, n_steps: int = 5, tolerance: float = 1e-6
+) -> dict[str, Any]:
+    """Full coupled physics started AT thermal equilibrium must stay there.
+
+    The spectral state begins at n_eq(E) over a frozen thermal bath; any
+    per-bin drift beyond roundoff means the collision integrator's gain and
+    loss channels don't balance (reference gate: qpsim/validation.py:101-163).
+    """
+    grid, dE = build_energy_grid(
+        p.energy_gap, p.energy_min_factor, p.energy_max_factor, p.num_energy_bins
+    )
+    n_eq = thermal_qp_weights(grid, p.energy_gap, p.bath_temperature, p.dynes_gamma)
+    # the engine renormalizes energy_weights to ∫w dE = 1, so the integrated
+    # field amplitude ∑n_eq·dE makes the spectral state land exactly on n_eq
+    amplitude = float(n_eq.sum() * dE)
+    dt = min(0.1, p.dt)
+    out = _evolve_strip(
+        nx,
+        np.full((1, nx), amplitude),
+        dt=dt,
+        total_time=n_steps * dt,
+        **_spectral_physics(
+            p,
+            diffusion_coefficient=p.diffusion_coefficient,
+            energy_weights=n_eq,
+            enable_diffusion=True,
+            enable_recombination=True,
+            enable_scattering=True,
+        ),
+    )
+    spectral_frames = out[4]
+    if spectral_frames is None:
+        return {"passed": False, "max_relative_drift": float("inf"), "tolerance": tolerance}
+    begin, end = (
+        np.array([bin_plane[0, :] for bin_plane in spectral_frames[k]]) for k in (0, -1)
+    )
+    drift = float(np.abs(end - begin).max() / max(1e-20, float(np.abs(begin).max())))
+    return {"passed": drift <= tolerance, "max_relative_drift": drift, "tolerance": tolerance}
+
+
+def validate_pure_diffusion(
+    p: SimulationParameters, *, nx: int = 64, total_time: float = 2.0, tolerance: float = 1e-10
+) -> dict[str, Any]:
+    """Reflective-wall diffusion conserves total mass to round-off.
+
+    Scalar (energy_gap=0) branch, cosine bump IC — the mode the reference's
+    mass gate runs (qpsim/validation.py:166-192).
+    """
+    centers = (np.arange(nx) + 0.5) / nx
+    bump = 1.0 + 0.4 * np.cos(2.0 * np.pi * centers)
+    mass = _evolve_strip(
+        nx,
+        bump[None, :],
+        dt=min(0.2, p.dt),
+        total_time=total_time,
+        diffusion_coefficient=p.diffusion_coefficient,
         energy_gap=0.0,
         enable_diffusion=True,
-    )
-    drift = float(abs(mass[-1] - mass[0]) / max(1e-20, abs(mass[0])))
+    )[2]
+    drift = _relative_change(mass)
     return {"passed": drift <= tolerance, "mass_relative_drift": drift, "tolerance": tolerance}
 
 
 def validate_pure_scattering(
-    *,
-    nx: int,
-    dt: float,
-    steps: int,
-    gap: float,
-    energy_min_factor: float,
-    energy_max_factor: float,
-    num_energy_bins: int,
-    dynes_gamma: float,
-    tau_s: float,
-    T_c: float,
-    bath_temperature: float,
-    tolerance: float = 2e-5,
+    p: SimulationParameters, *, nx: int = 8, n_steps: int = 10, tolerance: float = 2e-5
 ) -> dict[str, Any]:
-    """Scattering redistributes energy but conserves quasiparticle number."""
-    mask, edges, bcs = _strip_geometry(nx)
-    E_bins, _ = build_energy_grid(gap, energy_min_factor, energy_max_factor, num_energy_bins)
-    weights = np.exp(-(((E_bins - 2.6 * gap) / (0.6 * gap)) ** 2))
-    initial_field = np.full((1, nx), 2e-4, dtype=np.float64)
-    _, _, mass, _, _, _ = run_2d_crank_nicolson(
-        mask=mask,
-        edges=edges,
-        edge_conditions=bcs,
-        initial_field=initial_field,
-        diffusion_coefficient=6.0,
+    """Scattering redistributes QPs across energy but never creates/destroys.
+
+    A Gaussian spectral bump at 2.6Δ relaxes toward the bath; the
+    energy-integrated number must be invariant to the integrator's accuracy
+    (reference gate: qpsim/validation.py:195-241).
+    """
+    bins = max(12, p.num_energy_bins)
+    grid, _ = build_energy_grid(p.energy_gap, p.energy_min_factor, p.energy_max_factor, bins)
+    bump = np.exp(-(((grid - 2.6 * p.energy_gap) / (0.6 * p.energy_gap)) ** 2))
+    dt = min(0.05, p.dt)
+    mass = _evolve_strip(
+        nx,
+        np.full((1, nx), 2e-4),
         dt=dt,
-        total_time=steps * dt,
-        dx=1.0,
-        store_every=1,
-        energy_gap=gap,
-        energy_min_factor=energy_min_factor,
-        energy_max_factor=energy_max_factor,
-        num_energy_bins=num_energy_bins,
-        energy_weights=weights,
-        enable_diffusion=False,
-        enable_recombination=False,
-        enable_scattering=True,
-        dynes_gamma=dynes_gamma,
-        tau_s=tau_s,
-        T_c=T_c,
-        bath_temperature=bath_temperature,
-        initial_condition_spec=_thermal_phonon_ic(bath_temperature),
-        freeze_phonon_dynamics=True,
-    )
-    drift = float(abs(mass[-1] - mass[0]) / max(1e-20, abs(mass[0])))
+        total_time=n_steps * dt,
+        **_spectral_physics(
+            p,
+            num_energy_bins=bins,
+            diffusion_coefficient=6.0,
+            energy_weights=bump,
+            enable_diffusion=False,
+            enable_recombination=False,
+            enable_scattering=True,
+        ),
+    )[2]
+    drift = _relative_change(mass)
     return {"passed": drift <= tolerance, "mass_relative_drift": drift, "tolerance": tolerance}
 
 
 def validate_pure_recombination(
-    *,
-    dt: float,
-    steps: int,
-    gap: float,
-    tau_r: float,
-    T_c: float,
-    tolerance_nonincreasing: float = 1e-15,
+    p: SimulationParameters, *, n_steps: int = 20, slack: float = 1e-15
 ) -> dict[str, Any]:
-    """At T=0 recombination can only destroy quasiparticles."""
-    mask, edges, bcs = _strip_geometry(1)
-    initial_field = np.array([[1e-3]], dtype=np.float64)
-    _, _, mass, _, _, _ = run_2d_crank_nicolson(
-        mask=mask,
-        edges=edges,
-        edge_conditions=bcs,
-        initial_field=initial_field,
-        diffusion_coefficient=6.0,
+    """With the bath at T=0, recombination can only destroy quasiparticles.
+
+    Single cell, single bin pinned at 1.5Δ: the mass trace must be monotone
+    non-increasing step over step (reference gate: qpsim/validation.py:244-283).
+    """
+    _, tau_r = _tau_pair(p)
+    dt = min(0.1, p.dt)
+    mass = _evolve_strip(
+        1,
+        np.array([[1e-3]]),
         dt=dt,
-        total_time=steps * dt,
-        dx=1.0,
-        store_every=1,
-        energy_gap=gap,
+        total_time=n_steps * dt,
+        diffusion_coefficient=6.0,
+        energy_gap=p.energy_gap,
         energy_min_factor=1.5,
         energy_max_factor=1.5,
         num_energy_bins=1,
+        dynes_gamma=0.0,
+        tau_r=tau_r,
+        T_c=p.T_c,
+        bath_temperature=0.0,
         enable_diffusion=False,
         enable_recombination=True,
         enable_scattering=False,
-        dynes_gamma=0.0,
-        tau_r=tau_r,
-        T_c=T_c,
-        bath_temperature=0.0,
-        initial_condition_spec=_thermal_phonon_ic(0.0),
+        initial_condition_spec=_frozen_bath_spec(0.0),
         freeze_phonon_dynamics=True,
-    )
-    nonincreasing = all(
-        mass[i + 1] <= mass[i] + tolerance_nonincreasing for i in range(len(mass) - 1)
-    )
-    return {"passed": bool(nonincreasing), "mass_start": mass[0], "mass_end": mass[-1]}
+    )[2]
+    monotone = bool(np.all(np.diff(np.asarray(mass, dtype=np.float64)) <= slack))
+    return {"passed": monotone, "mass_start": mass[0], "mass_end": mass[-1]}
 
 
-def _x64_enabled() -> bool:
-    import jax
+# --- suite -------------------------------------------------------------------
 
-    return bool(jax.config.jax_enable_x64)
+# Default gate operating point: Al-like film (Δ=180 µeV, T_c=1.2 K,
+# τ₀=440 ns), Dynes Γ=0.18, 24 bins up to 4Δ, 0.1 K bath — the reference
+# suite's parameters (qpsim/validation.py:286-304).
+_SUITE_DEFAULTS = dict(
+    diffusion_coefficient=6.0, dt=0.1, total_time=1.0, mesh_size=1.0,
+    energy_gap=180.0, energy_min_factor=1.0, energy_max_factor=4.0,
+    num_energy_bins=24, dynes_gamma=0.18,
+    enable_diffusion=True, enable_recombination=True, enable_scattering=True,
+    tau_s=440.0, tau_r=440.0, T_c=1.2, bath_temperature=0.1,
+)
 
 
 def run_fast_validation_suite(params: SimulationParameters | None = None) -> ValidationReport:
-    p = params or SimulationParameters(
-        diffusion_coefficient=6.0,
-        dt=0.1,
-        total_time=1.0,
-        mesh_size=1.0,
-        energy_gap=180.0,
-        energy_min_factor=1.0,
-        energy_max_factor=4.0,
-        num_energy_bins=24,
-        dynes_gamma=0.18,
-        enable_diffusion=True,
-        enable_recombination=True,
-        enable_scattering=True,
-        tau_s=440.0,
-        tau_r=440.0,
-        T_c=1.2,
-        bath_temperature=0.1,
-    )
-    tau_s = float(p.tau_s if p.tau_s is not None else p.tau_0)
-    tau_r = float(p.tau_r if p.tau_r is not None else p.tau_0)
+    import jax
+
+    p = params or SimulationParameters(**_SUITE_DEFAULTS)
+    x64 = bool(jax.config.jax_enable_x64)
     return ValidationReport(
-        detailed_balance=validate_detailed_balance(
-            gap=p.energy_gap,
-            energy_min_factor=p.energy_min_factor,
-            energy_max_factor=p.energy_max_factor,
-            num_energy_bins=p.num_energy_bins,
-            tau_s=tau_s,
-            T_c=p.T_c,
-            bath_temperature=p.bath_temperature,
-        ),
-        thermal_stability=validate_thermal_stability(
-            # f32 tier: the observed drift is f32 roundoff (~1e-6, right at
-            # the f64 gate); real instability shows up orders above 1e-4
-            tolerance=1e-6 if _x64_enabled() else 1e-4,
-            nx=16,
-            dt=min(0.1, p.dt),
-            steps=5,
-            diffusion_coefficient=p.diffusion_coefficient,
-            gap=p.energy_gap,
-            energy_min_factor=p.energy_min_factor,
-            energy_max_factor=p.energy_max_factor,
-            num_energy_bins=p.num_energy_bins,
-            dynes_gamma=p.dynes_gamma,
-            tau_s=tau_s,
-            tau_r=tau_r,
-            T_c=p.T_c,
-            bath_temperature=p.bath_temperature,
-        ),
-        pure_diffusion=validate_pure_diffusion(
-            nx=64,
-            dt=min(0.2, p.dt),
-            total_time=2.0,
-            diffusion_coefficient=p.diffusion_coefficient,
-            # the 1e-10 gate is an f64 roundoff budget (reference
-            # validation.py:172,192); under default-f32 compute (TPU hosts
-            # without x64) mass drift sits at f32 roundoff ~1e-8, which is
-            # still exact conservation for that precision
-            tolerance=1e-10 if _x64_enabled() else 1e-6,
-        ),
-        pure_scattering=validate_pure_scattering(
-            nx=8,
-            dt=min(0.05, p.dt),
-            steps=10,
-            gap=p.energy_gap,
-            energy_min_factor=p.energy_min_factor,
-            energy_max_factor=p.energy_max_factor,
-            num_energy_bins=max(12, p.num_energy_bins),
-            dynes_gamma=p.dynes_gamma,
-            tau_s=tau_s,
-            T_c=p.T_c,
-            bath_temperature=p.bath_temperature,
-        ),
-        pure_recombination=validate_pure_recombination(
-            dt=min(0.1, p.dt),
-            steps=20,
-            gap=p.energy_gap,
-            tau_r=tau_r,
-            T_c=p.T_c,
-        ),
+        detailed_balance=validate_detailed_balance(p),
+        # f32 tiers: observed drift under f32 compute is roundoff-dominated
+        # (~1e-6 thermal, ~1e-8 diffusion); real failures land orders above
+        # the relaxed gates (docs/f32_tiers.md)
+        thermal_stability=validate_thermal_stability(p, tolerance=1e-6 if x64 else 1e-4),
+        pure_diffusion=validate_pure_diffusion(p, tolerance=1e-10 if x64 else 1e-6),
+        pure_scattering=validate_pure_scattering(p),
+        pure_recombination=validate_pure_recombination(p),
     )
