@@ -203,11 +203,12 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument(
         "--strang-mode",
         dest="strang_mode",
-        default="exact",
-        choices=("exact", "merged"),
-        help="'merged' fuses adjacent collision half-steps between stored "
-        "frames (~25%% faster coupled steps, same splitting order; "
-        "incompatible with external generation)",
+        default="auto",
+        choices=("auto", "exact", "merged"),
+        help="'auto' (default) fuses adjacent collision half-steps between "
+        "stored frames wherever that applies (~40%% faster coupled steps, "
+        "same splitting order; generation injected at the seams); 'exact' "
+        "pins the reference's per-step C(dt/2) D C(dt/2) composition",
     )
     r.add_argument("--verbose", action="store_true", help="print stored-step progress")
     r.add_argument(

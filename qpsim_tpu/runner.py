@@ -97,7 +97,7 @@ def run_setup(
     save_path: Path | None = None,
     diffusion_backend: str = "auto",
     collision_backend: str = "auto",
-    strang_mode: str = "exact",
+    strang_mode: str = "auto",
     dtype=None,
     checkpoint_dir: str | Path | None = None,
 ) -> tuple[SimulationResultData, str | None]:

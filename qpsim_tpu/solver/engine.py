@@ -71,6 +71,7 @@ from ..ops.energy_grid import build_energy_grid, integration_widths_from_centers
 from ..ops.generation import build_generation_program, evaluate_generation_host
 from ..ops.kernels import recombination_kernel_base, scattering_kernel_base
 from ..ops.phonon_map import build_phonon_frequency_map
+from ..utils.compile_cache import maybe_enable_persistent_cache
 from .diffusion_backends import choose_backend
 from .pauli import PauliEnforcer, make_pauli_stats_fn
 from .phonon_history import build_fixed_phonon_history, reconstruct_field
@@ -158,7 +159,7 @@ def run_2d_crank_nicolson(
     pixel_chunk: int = DEFAULT_PIXEL_CHUNK,
     checkpointer=None,
     collision_backend: str = "auto",
-    strang_mode: str = "exact",
+    strang_mode: str = "auto",
     mesh=None,
 ) -> tuple:
     """Run an (optionally energy-resolved) masked 2D diffusion–collision sim.
@@ -175,35 +176,46 @@ def run_2d_crank_nicolson(
     a grid divisible by the 'space' axis in both dimensions, and
     ``strang_mode='exact'``) and ``strang_mode``:
 
-    * ``"exact"`` (default) — the reference's stepping, C(dt/2) D(dt) C(dt/2)
+    * ``"auto"`` (default) — ``"merged"`` wherever it applies (coupled
+      diffusion+collision runs whose generation, if any, traces), else
+      ``"exact"``.  Merged stepping costs ~60% of exact at production sizes
+      for the same O(dt²) splitting order; reference-parity comparisons at
+      1e-10 tolerances pin ``strang_mode="exact"`` explicitly (the parity
+      tier), the same way f64 oracles pin ``dtype``.
+    * ``"exact"`` — the reference's stepping, C(dt/2) D(dt) C(dt/2)
       every step (``/root/reference/qpsim/solver.py:1466-1475``).
     * ``"merged"`` — first-same-as-last fusion of adjacent collision
       half-steps *within each stored segment*: C(dt/2) [D C(dt)]^(L−1) D
       C(dt/2).  Same formal O(dt²) splitting order and identical cost at
       store_every=1, but ~half the collision work for long unstored
       stretches.  Snapshot states differ from ``"exact"`` only through the
-      collision integrator's own O(dt²) sub-splitting error.  Incompatible
-      with external generation (which must be applied at every step
-      boundary) — a run with generation enabled raises ``ValueError``.
+      collision integrator's own O(dt²) sub-splitting error.  External
+      generation composes: each g_ext(t_k)·dt is applied at its step's
+      merged seam (just before the fused C(dt) the exact composition would
+      split around), preserving the reference's per-step forward-Euler
+      contract (``/root/reference/qpsim/solver.py:1459-1475``) to the same
+      O(dt²) the merge already accepts — every step still injects exactly
+      dt·g(t_k), evaluated at the exact-mode times, so pulse windows and
+      injected totals match ``"exact"`` bit-for-bit; only the operator
+      ordering differs.  Host-evaluated custom expressions (the rare
+      non-traceable ones) still require ``strang_mode='exact'`` and raise
+      ``ValueError``.
     """
     if dt <= 0 or total_time <= 0:
         raise ValueError("dt and total_time must be positive.")
     if enable_diffusion and diffusion_coefficient <= 0:
         raise ValueError("Diffusion coefficient must be positive.")
-    if strang_mode not in ("exact", "merged"):
-        raise ValueError(f"Unknown strang_mode: {strang_mode!r} (use 'exact' or 'merged')")
-    if strang_mode == "merged":
-        gen_mode = (
-            external_generation.normalized_mode()
-            if external_generation is not None
-            else "none"
+    # on-disk compile cache: the in-process program cache below only helps
+    # within one interpreter; Mosaic kernel compiles (28-129 s at 48-64 bins)
+    # must be paid once per MACHINE, not per process
+    maybe_enable_persistent_cache()
+    if strang_mode not in ("auto", "exact", "merged"):
+        raise ValueError(
+            f"Unknown strang_mode: {strang_mode!r} (use 'auto', 'exact' or 'merged')"
         )
-        if gen_mode != "none":
-            raise ValueError(
-                "strang_mode='merged' cannot be combined with external generation: "
-                "the merged composition has no per-step boundary to apply g_ext at. "
-                "Use strang_mode='exact'."
-            )
+    # explicit merged + host-evaluated generation is rejected at program
+    # build time (only there is it known whether a custom expression traces);
+    # 'auto' falls back to exact there instead
     if mesh is not None:
         if energy_gap <= 0.0:
             raise ValueError(
@@ -217,6 +229,8 @@ def run_2d_crank_nicolson(
                 "physics is pixel-local and needs no spatial sharding "
                 "(use qpsim_tpu.parallel.ensemble for data parallelism)."
             )
+        if strang_mode == "auto":
+            strang_mode = "exact"  # the sharded step composes exact Strang
         if strang_mode != "exact":
             raise ValueError("mesh= currently supports strang_mode='exact' only.")
     if store_every <= 0:
@@ -818,6 +832,18 @@ def _build_engine_program(
     # --- generation --------------------------------------------------------------
     gen = build_generation_program(external_generation, E_bins, mask, dtype)
     mask_dev = jnp.asarray(mask)
+    if strang_mode == "auto":
+        # merged wherever it applies; the segment runner itself degenerates
+        # to the exact composition when there are no collisions, no
+        # diffusion, or single-step segments
+        strang_mode = "exact" if gen.host_mode else "merged"
+    if strang_mode == "merged" and gen.host_mode:
+        raise ValueError(
+            "strang_mode='merged' cannot be combined with a host-evaluated "
+            "custom generation expression: the fused segment has no per-step "
+            "host boundary to evaluate it at.  Use strang_mode='exact' (or a "
+            "traceable expression)."
+        )
 
     def make_col(dt_col: float):
         if not collisions_on:
@@ -1042,9 +1068,16 @@ def _build_engine_program(
             strang_mode == "merged"
             and collisions_on
             and backend is not None
-            and gen.traced_fn is None
             and length > 1
         )
+
+        def gen_apply(qq, t):
+            """Forward-Euler g_ext injection + on-device validity flags."""
+            g = gen.traced_fn(t)
+            g_masked = jnp.where(mask_dev, g, 0.0)
+            nonfinite = ~jnp.all(jnp.isfinite(g_masked))
+            negative = jnp.any(g_masked < 0)
+            return qq + seg_dt * g, nonfinite, negative
 
         def run(qq, pp, t_start, daux, paux):
             global _TRACE_EVENTS
@@ -1055,10 +1088,7 @@ def _build_engine_program(
                 gen_nonfinite = jnp.asarray(False)
                 gen_negative = jnp.asarray(False)
                 if gen.traced_fn is not None:
-                    g = gen.traced_fn(t)
-                    gen_nonfinite = ~jnp.all(jnp.isfinite(jnp.where(mask_dev, g, 0.0)))
-                    gen_negative = jnp.any(jnp.where(mask_dev, g, 0.0) < 0)
-                    qq = qq + seg_dt * g
+                    qq, gen_nonfinite, gen_negative = gen_apply(qq, t)
                 if collisions_on and diff_step is not None:
                     qq, pp = col_half(qq, pp)
                     qq = diff_step(qq, daux)
@@ -1070,35 +1100,48 @@ def _build_engine_program(
                 stats = pauli_stats_fn(qq, paux)
                 return (qq, pp, t0), stats + (gen_nonfinite, gen_negative)
 
-            def run_merged(qq, pp):
+            def run_merged(qq, pp, t_start):
                 # C(dt/2) [D C(dt)]^(L-1) D C(dt/2): the trailing half-step of
                 # each Strang step is fused with the next step's leading half.
+                # Generation (if traced) injects dt·g(t_k) at the exact-mode
+                # times; step k>1's injection rides its seam — just before the
+                # fused C(dt) the exact composition would split around it,
+                # an O(dt²) reordering of the same operators.
+                no = jnp.asarray(False)
+                gnf0 = gng0 = no
+                if gen.traced_fn is not None:
+                    qq, gnf0, gng0 = gen_apply(qq, t_start)
                 qq, pp = col_half(qq, pp)
 
-                def body_m(carry, _):
-                    qq, pp = carry
+                def body_m(carry, idx):
+                    qq, pp, t0 = carry
                     qq = diff_step(qq, daux)
+                    gnf = gng = no
+                    if gen.traced_fn is not None:
+                        t = t0 + (idx + 1).astype(t0.dtype) * seg_dt
+                        qq, gnf, gng = gen_apply(qq, t)
                     qq, pp = col_full(qq, pp)
                     stats = pauli_stats_fn(qq, paux)
-                    no = jnp.asarray(False)
-                    return (qq, pp), stats + (no, no)
+                    return (qq, pp, t0), stats + (gnf, gng)
 
-                (qq, pp), stats = jax.lax.scan(
-                    body_m, (qq, pp), None, length=length - 1,
+                (qq, pp, _), stats = jax.lax.scan(
+                    body_m, (qq, pp, t_start), jnp.arange(length - 1),
                     unroll=min(scan_unroll, length - 1),
                 )
                 qq = diff_step(qq, daux)
                 qq, pp = col_half(qq, pp)
-                no = jnp.asarray(False)
                 last = pauli_stats_fn(qq, paux) + (no, no)
-                stats = tuple(
+                stats = list(
                     jnp.concatenate([s, jnp.asarray(l)[None]])
                     for s, l in zip(stats, last)
                 )
-                return qq, pp, stats
+                # fold the pre-loop (step-1) generation flags into slot 0
+                stats[4] = stats[4].at[0].set(stats[4][0] | gnf0)
+                stats[5] = stats[5].at[0].set(stats[5][0] | gng0)
+                return qq, pp, tuple(stats)
 
             if merged:
-                return run_merged(qq, pp)
+                return run_merged(qq, pp, t_start)
 
             (qq, pp, _), stats = jax.lax.scan(
                 body, (qq, pp, t_start), jnp.arange(length), length=length,
@@ -1410,9 +1453,64 @@ def _run_energy_resolved(
             checkpointer.save_step(0, step=0, time_ns=0.0, q=q_np, ph=ph_np)
 
     # --- main loop --------------------------------------------------------------
+    # Segments are drained one behind their dispatch (depth-1 pipeline): the
+    # next segment's scan is enqueued on the device BEFORE the previous
+    # segment's stats/snapshot values are pulled to the host, so snapshot
+    # extraction (a full-state device→host transfer per stored frame — over
+    # a remote tunnel the dominant cost at small store_every) overlaps the
+    # next segment's compute instead of serializing into the hot loop.
+    # Drain order is program order, so frames/callbacks/checkpoints keep the
+    # reference's exact sequence (/root/reference/qpsim/solver.py:1375-1379);
+    # Pauli/generation errors still raise before the run returns, at their
+    # recorded step numbers.
     gen_mode = external_generation.normalized_mode() if external_generation else "none"
     cumulative = 0
 
+    def drain(p) -> None:
+        nonlocal stored_idx
+        stats_np = [np.asarray(s) for s in p["stats"]]
+        t = p["t_start"]
+        for i in range(p["seg"].length):
+            t += p["seg"].dt
+            if bool(stats_np[4][i]):
+                raise ValueError(
+                    f"External generation mode '{gen_mode}' produced non-finite values."
+                )
+            if bool(stats_np[5][i]):
+                raise ValueError(
+                    f"External generation mode '{gen_mode}' produced negative values. "
+                    "Generation rates must be non-negative."
+                )
+            enforcer.check(
+                p["step_start"] + i + 1,
+                t,
+                float(stats_np[0][i]),
+                int(stats_np[1][i]),
+                bool(stats_np[2][i]),
+                int(stats_np[3][i]),
+            )
+        if p["seg"].stored:
+            stored_idx += 1
+            q_host = np.asarray(p["q"], dtype=np.float64)
+            ph_host = np.asarray(p["ph"], dtype=np.float64)
+            frame, energy_frame, m = snapshot(q_host)
+            times.append(float(t))
+            frames.append(frame)
+            energy_frames.append(energy_frame)
+            mass.append(m)
+            if record_phonons:
+                record_phonon_snapshot(ph_host)
+            _notify(progress_callback, t, frame)
+            if checkpointer is not None:
+                checkpointer.save_step(
+                    stored_idx,
+                    step=p["step_start"] + p["seg"].length,
+                    time_ns=float(t),
+                    q=q_host,
+                    ph=ph_host,
+                )
+
+    pending = None
     for seg in segments:
         if cumulative + seg.length <= completed_steps:
             cumulative += seg.length
@@ -1421,6 +1519,8 @@ def _run_energy_resolved(
             continue
         cumulative += seg.length
         if host_gen:
+            # host-evaluated generation needs the host between every step —
+            # inherently sequential, no pipelining
             for _ in range(seg.length):
                 g_host = evaluate_generation_host(
                     external_generation, E_bins, n_spatial, current_time, mask
@@ -1440,51 +1540,46 @@ def _run_energy_resolved(
                     bool(stats[2]),
                     int(stats[3]),
                 )
-        else:
-            q, ph, stats = segment_runner(seg.dt, seg.length)(
-                q, ph, jnp.asarray(current_time, dtype=dtype)
-            )
-            stats_np = [np.asarray(s) for s in stats]
-            for i in range(seg.length):
-                step_counter += 1
-                current_time += seg.dt
-                if bool(stats_np[4][i]):
-                    raise ValueError(
-                        f"External generation mode '{gen_mode}' produced non-finite values."
+            if seg.stored:
+                stored_idx += 1
+                q_host = np.asarray(q, dtype=np.float64)
+                ph_host = np.asarray(ph, dtype=np.float64)
+                frame, energy_frame, m = snapshot(q_host)
+                times.append(float(current_time))
+                frames.append(frame)
+                energy_frames.append(energy_frame)
+                mass.append(m)
+                if record_phonons:
+                    record_phonon_snapshot(ph_host)
+                _notify(progress_callback, current_time, frame)
+                if checkpointer is not None:
+                    checkpointer.save_step(
+                        stored_idx,
+                        step=step_counter,
+                        time_ns=float(current_time),
+                        q=q_host,
+                        ph=ph_host,
                     )
-                if bool(stats_np[5][i]):
-                    raise ValueError(
-                        f"External generation mode '{gen_mode}' produced negative values. "
-                        "Generation rates must be non-negative."
-                    )
-                enforcer.check(
-                    step_counter,
-                    current_time,
-                    float(stats_np[0][i]),
-                    int(stats_np[1][i]),
-                    bool(stats_np[2][i]),
-                    int(stats_np[3][i]),
-                )
-        if seg.stored:
-            stored_idx += 1
-            q_host = np.asarray(q, dtype=np.float64)
-            ph_host = np.asarray(ph, dtype=np.float64)
-            frame, energy_frame, m = snapshot(q_host)
-            times.append(float(current_time))
-            frames.append(frame)
-            energy_frames.append(energy_frame)
-            mass.append(m)
-            if record_phonons:
-                record_phonon_snapshot(ph_host)
-            _notify(progress_callback, current_time, frame)
-            if checkpointer is not None:
-                checkpointer.save_step(
-                    stored_idx,
-                    step=step_counter,
-                    time_ns=float(current_time),
-                    q=q_host,
-                    ph=ph_host,
-                )
+            continue
+        q, ph, stats = segment_runner(seg.dt, seg.length)(
+            q, ph, jnp.asarray(current_time, dtype=dtype)
+        )
+        new_pending = {
+            "seg": seg,
+            "stats": stats,
+            "q": q,
+            "ph": ph,
+            "step_start": step_counter,
+            "t_start": current_time,
+        }
+        step_counter += seg.length
+        for _ in range(seg.length):  # sequential adds: bit-identical times
+            current_time += seg.dt
+        if pending is not None:
+            drain(pending)
+        pending = new_pending
+    if pending is not None:
+        drain(pending)
 
     if checkpointer is not None:
         checkpointer.finalize()

@@ -426,17 +426,83 @@ def test_merged_strang_mode():
     assert d1 < 1e-2
     assert d2 < 0.75 * d1
 
-    # external generation is incompatible with the merged composition
+
+def test_merged_strang_composes_with_generation():
+    """Traced generation rides the merged seams (VERDICT r2 item 2a):
+    dt·g(t_k) injected at the exact-mode times, bitwise-equal at
+    store_every=1, O(dt)-convergent beyond, totals preserved."""
     import pytest
 
     from qpsim_tpu.models.params import ExternalGenerationSpec
 
-    with pytest.raises(ValueError, match="merged"):
+    mask, edges, bcs = _strip(8)
+    base = dict(
+        mask=mask,
+        edges=edges,
+        edge_conditions=bcs,
+        initial_field=np.full(mask.shape, 1e-5),
+        diffusion_coefficient=6.0,
+        dx=1.0,
+        energy_gap=180.0,
+        num_energy_bins=6,
+        energy_max_factor=3.0,
+        enable_recombination=True,
+        enable_scattering=True,
+        bath_temperature=0.2,
+    )
+    pulse = ExternalGenerationSpec(
+        mode="pulse", pulse_start=0.1, pulse_duration=0.3, pulse_rate=2e-5
+    )
+
+    # store_every=1: every segment is a single step, so merged degenerates
+    # to the exact composition — bitwise equal even with the pulse active
+    kw1 = dict(dt=0.1, total_time=0.4, store_every=1, external_generation=pulse, **base)
+    _, _, m_e, _, _, _ = run_2d_crank_nicolson(strang_mode="exact", **kw1)
+    _, _, m_m, _, _, _ = run_2d_crank_nicolson(strang_mode="merged", **kw1)
+    np.testing.assert_array_equal(np.asarray(m_e), np.asarray(m_m))
+
+    # multi-step segments: same injected totals (pulse windows evaluated at
+    # the same times), states O(dt)-close and converging as dt shrinks
+    def diff_at(dt):
+        kw = dict(
+            dt=dt, total_time=0.8, store_every=int(round(0.8 / dt)),
+            external_generation=pulse, **base,
+        )
+        _, fr_e, mass_e, _, _, _ = run_2d_crank_nicolson(strang_mode="exact", **kw)
+        _, fr_m, mass_m, _, _, _ = run_2d_crank_nicolson(strang_mode="merged", **kw)
+        # the pulse grew the film, and by the same amount up to O(dt²)·T
+        assert mass_e[-1] > mass_e[0] * 2
+        assert abs(mass_m[-1] - mass_e[-1]) / mass_e[-1] < 50 * dt * dt
+        a, b = np.nan_to_num(fr_e[-1]), np.nan_to_num(fr_m[-1])
+        return np.max(np.abs(a - b)) / np.max(np.abs(a))
+
+    d1, d2 = diff_at(0.1), diff_at(0.05)
+    assert d1 < 1e-2
+    assert d2 < 0.75 * d1
+
+    # host-evaluated custom expressions still cannot merge (no per-step
+    # host boundary inside the fused segment)
+    host_only = ExternalGenerationSpec(
+        mode="custom", custom_body="1e-6 if t >= 0 else 0.0"
+    )
+    with pytest.raises(ValueError, match="host-evaluated"):
         run_2d_crank_nicolson(
             strang_mode="merged",
             dt=0.1,
             total_time=0.2,
-            external_generation=ExternalGenerationSpec(mode="constant", rate=1e-6),
+            external_generation=host_only,
+            **base,
+        )
+
+    # generation-validity flags surface from inside the fused segment too
+    negative = ExternalGenerationSpec(mode="custom", custom_body="-1e-6 + 0.0*t")
+    with pytest.raises(ValueError, match="negative"):
+        run_2d_crank_nicolson(
+            strang_mode="merged",
+            dt=0.1,
+            total_time=0.4,
+            store_every=4,
+            external_generation=negative,
             **base,
         )
 

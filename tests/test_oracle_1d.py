@@ -130,6 +130,7 @@ def test_engine_matches_independent_oracle():
         total_time=STEPS * DT,
         dx=1.0,
         store_every=STEPS,
+        strang_mode="exact",  # parity tier: the oracle composes exact Strang
         energy_gap=GAP,
         energy_min_factor=1.0,
         energy_max_factor=4.0,

@@ -558,7 +558,9 @@ def test_engine_mesh_matches_single_chip():
         tau_s=TAU, tau_r=TAU, T_c=TC, bath_temperature=TBATH,
     )
     t_ref, f_ref, m_ref, c_ref, ef_ref, eb_ref = run_2d_crank_nicolson(
-        **kw, diffusion_backend="adi", collision_backend="xla"
+        # exact tier: the sharded step composes exact Strang, so the
+        # single-chip comparison run must too (auto would merge seams here)
+        **kw, diffusion_backend="adi", collision_backend="xla", strang_mode="exact"
     )
     mesh = make_mesh(n_space=len(jax.devices()))
     t_m, f_m, m_m, c_m, ef_m, eb_m = run_2d_crank_nicolson(**kw, mesh=mesh)

@@ -127,6 +127,7 @@ def test_end_to_end_coupled_parity():
         initial_field=init,
         diffusion_backend="dense",
         collision_backend="xla",
+        strang_mode="exact",  # parity tier: bitwise comparison vs the reference stepping
         **kw,
     )
     np.testing.assert_allclose(t_m, t_r, atol=1e-12)
@@ -233,7 +234,7 @@ def test_randomized_differential_sweep_vs_reference():
         t_m, f_m, m_m, c_m, ef_m, eb_m = my_run(
             mask=mask, edges=edges, edge_conditions=my_bcs, initial_field=init,
             external_generation=ExternalGenerationSpec(**gen_kw), phonon_history_out=my_ph,
-            diffusion_backend="dense", collision_backend="xla", **kw
+            diffusion_backend="dense", collision_backend="xla", strang_mode="exact", **kw
         )
         ctx = f"seed={seed} mask={mask.shape} gen={gm} bins={kw['num_energy_bins']}"
         np.testing.assert_allclose(t_m, t_r, atol=1e-12, err_msg=ctx)
@@ -404,12 +405,13 @@ def test_extended_differential_fuzz_vs_reference():
             with pytest.raises(Exception):
                 my_run(mask=mask, edges=edges, edge_conditions=my_bcs, initial_field=init,
                        external_generation=ExternalGenerationSpec(**gen_kw),
-                       diffusion_backend="dense", collision_backend="xla", **kw)
+                       diffusion_backend="dense", collision_backend="xla",
+                       strang_mode="exact", **kw)
             continue
         t_m, f_m, m_m, c_m, ef_m, eb_m = my_run(
             mask=mask, edges=edges, edge_conditions=my_bcs, initial_field=init,
             external_generation=ExternalGenerationSpec(**gen_kw),
-            diffusion_backend="dense", collision_backend="xla", **kw)
+            diffusion_backend="dense", collision_backend="xla", strang_mode="exact", **kw)
         scale = max(1e-30, max(np.nanmax(np.abs(f)) for f in f_r))
         d_f = max(
             np.nanmax(np.abs(np.nan_to_num(a) - np.nan_to_num(b)))
