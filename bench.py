@@ -691,6 +691,52 @@ def bench_ensemble_sweep(n_members=32, member=(64, 64), ne=8, length=1000) -> di
     }
 
 
+def bench_engine_snapshot_overlap(total_steps=10_000, nx=1024, ne=16) -> dict:
+    """VERDICT r2 item 8 witness: the ENGINE's 10k-step MKID run with dense
+    snapshots (store_every=10 → 1000 stored frames) vs sparse
+    (store_every=10000 → 1 frame).  The depth-1 drain pipeline + async host
+    copies (solver/engine.py main loop) must keep the dense run's
+    wall-clock within ~15% of the sparse run's."""
+    import time as _time
+
+    import numpy as np
+
+    from qpsim_tpu.geometry.mask import extract_edge_segments
+    from qpsim_tpu.models.params import BoundaryCondition, ExternalGenerationSpec
+    from qpsim_tpu.solver.engine import run_2d_crank_nicolson
+
+    mask = np.ones((1, nx), dtype=bool)
+    edges = extract_edge_segments(mask)
+    bcs = {e.edge_id: BoundaryCondition(kind="reflective") for e in edges}
+    init = np.zeros(mask.shape)
+    init[mask] = 1e-6
+    dt = 0.01
+    kw = dict(
+        mask=mask, edges=edges, edge_conditions=bcs, initial_field=init,
+        diffusion_coefficient=6.0, dt=dt, total_time=total_steps * dt, dx=1.0,
+        energy_gap=180.0, energy_min_factor=1.0, energy_max_factor=4.0,
+        num_energy_bins=ne, enable_recombination=True, enable_scattering=True,
+        tau_s=440.0, tau_r=440.0, T_c=1.2, bath_temperature=0.2,
+        external_generation=ExternalGenerationSpec(
+            mode="pulse", pulse_start=0.0, pulse_duration=2.0, pulse_rate=1e-5
+        ),
+    )
+    out = {}
+    for label, se in (("sparse", total_steps), ("dense", 10)):
+        run_2d_crank_nicolson(store_every=se, **kw)  # warm the program cache
+        t0 = _time.time()
+        run_2d_crank_nicolson(store_every=se, **kw)
+        out[f"engine_mkid_10k_store_{label}_s"] = _time.time() - t0
+    out["snapshot_overlap_dense_over_sparse"] = (
+        out["engine_mkid_10k_store_dense_s"] / out["engine_mkid_10k_store_sparse_s"]
+    )
+    log(
+        f"engine snapshot overlap: dense/sparse = "
+        f"{out['snapshot_overlap_dense_over_sparse']:.3f}"
+    )
+    return out
+
+
 def bench_mkid_pulse(total_steps=10_000, nx=1024, ne=16) -> dict:
     """10k-step MKID pulse: 1D wire, coupled scattering+recombination+pulse."""
     import jax
@@ -828,6 +874,7 @@ def main() -> None:
         ("coupled_1d_64bin", lambda: _PAYLOAD.update(bench_1d_64bin())),
         ("ensemble_sweep", lambda: _PAYLOAD.update(bench_ensemble_sweep())),
         ("mkid_pulse", lambda: _PAYLOAD.update(bench_mkid_pulse())),
+        ("snapshot_overlap", lambda: _PAYLOAD.update(bench_engine_snapshot_overlap())),
     ]
     for name, fn in stages:
         try:

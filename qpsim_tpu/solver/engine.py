@@ -1572,6 +1572,13 @@ def _run_energy_resolved(
             "step_start": step_counter,
             "t_start": current_time,
         }
+        # kick the device->host transfers off now (they complete behind the
+        # next segment's compute); drain() then finds the bytes already here
+        for leaf in (*stats, *((q, ph) if seg.stored else ())):
+            try:
+                leaf.copy_to_host_async()
+            except AttributeError:  # non-jax leaf (e.g. interpret mode)
+                pass
         step_counter += seg.length
         for _ in range(seg.length):  # sequential adds: bit-identical times
             current_time += seg.dt

@@ -63,5 +63,6 @@ def test_bench_module_stage_functions_exist():
         "bench_1d_64bin",
         "bench_ensemble_sweep",
         "bench_mkid_pulse",
+        "bench_engine_snapshot_overlap",
     ):
         assert callable(getattr(bench, name))
