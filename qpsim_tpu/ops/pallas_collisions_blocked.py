@@ -105,6 +105,7 @@ def build_pallas_collision_step_blocked(
     block: int = _DEFAULT_BLOCK,
     interpret: bool = False,
     gap_id: np.ndarray | None = None,
+    hoist_loads: bool = True,
     _analytic: dict | None = None,
 ):
     """Build ``(n_qp, n_ph) -> (n_qp, n_ph)`` for one collision substep.
@@ -174,10 +175,10 @@ def build_pallas_collision_step_blocked(
             np.array_equal(K, K.T) for K in stack(K_s0)
         )
 
-    # VMEM-aware lane-tile clamp: scratch (4 doubled buffers + loss/gain +
-    # a/b) plus pipelined in/out blocks ≈ (16·ne_pad + 6·nw_pad) rows per
-    # lane tile in f32, PLUS the tile-independent resident coefficient
-    # tables (per-gap offset/anti-diagonal tables + rho columns).
+    # VMEM-aware lane-tile clamp: scratch (2 doubled + 2 tripled buffers +
+    # loss/gain + a/b) plus pipelined in/out blocks ≈ (18·ne_pad + 6·nw_pad)
+    # rows per lane tile in f32, PLUS the tile-independent resident
+    # coefficient tables (per-gap offset/anti-diagonal tables + rho columns).
     # Measured envelope (single gap): NE=100 compiles at tile 512 (~7 MB
     # est), NE=192 at 512 exceeds the 16 MB budget (est ~13 MB) but
     # compiles at 256, NE=256 runs at 256 — clamp the estimate to 10 MB.
@@ -200,7 +201,7 @@ def build_pallas_collision_step_blocked(
         # temporaries per offset — tile 512 at NE=100 fails Mosaic's
         # scoped-VMEM allocation (measured); 256 runs
         tile = min(tile, 256)
-    row_bytes_per_lane = (16 * ne_pad + 6 * nw_pad) * 4
+    row_bytes_per_lane = (18 * ne_pad + 6 * nw_pad) * 4
     while tile > 128 and row_bytes_per_lane * tile + table_bytes > 10 * 2**20:
         tile = max(128, (tile // 2 // 128) * 128)
     if row_bytes_per_lane * 128 + table_bytes > 10 * 2**20:
@@ -230,6 +231,15 @@ def build_pallas_collision_step_blocked(
     up_tab = ((np.arange(_round_up(kmax, 8), dtype=np.int64) % ne_pad) & ~7) // 8
     dn_tab = (((-np.arange(_round_up(kmax, 8), dtype=np.int64)) % ne_pad) & ~7) // 8
     rev_tab = (((ne - 1 - np.arange(_round_up(smax, 8), dtype=np.int64)) % ne_pad) & ~7) // 8
+    # Block-window base tables for the hoisted loads (entries used at
+    # k ≡ 0 (mod 8) only): within an 8-offset run the up-shift base is the
+    # run's own aligned base, the down-shift rows span one 8-row boundary
+    # below it, and the run's 16 consecutive anti-diagonal rows unwrap into
+    # the tripled reversed buffer.
+    k0s = np.arange(_round_up(kmax, 8), dtype=np.int64)
+    dnw_tab = np.maximum(ne_pad - (k0s % ne_pad) - 8, 0) // 8
+    v0 = (ne - 1 - 2 * k0s) % ne_pad
+    revw_tab = (np.where(v0 < 15, v0 + ne_pad, v0) - 15) // 8
 
     def _evod_split(r_full: np.ndarray):
         """(G, ne_pad, sp) → two (G, ne_pad, kp) even/odd anti-diag tables."""
@@ -331,6 +341,8 @@ def build_pallas_collision_step_blocked(
         up_ref = next(it)
         dn_ref = next(it)
         rev_ref = next(it)
+        dnw_ref = next(it)
+        revw_ref = next(it)
         q_out = next(it)
         ph_out = next(it)
         qq_ref = next(it)       # (2·ne_pad, T) doubled q
@@ -404,13 +416,19 @@ def build_pallas_collision_step_blocked(
                     0.0,
                 )
             qq_ref[:ne_pad] = q
-            qq_ref[ne_pad:] = q
+            qq_ref[ne_pad : 2 * ne_pad] = q
+            qq_ref[2 * ne_pad :] = q[:8]
             pp_ref[:ne_pad] = partner
-            pp_ref[ne_pad:] = partner
+            pp_ref[ne_pad : 2 * ne_pad] = partner
+            pp_ref[2 * ne_pad :] = partner[:8]
             qqr_ref[:ne_pad] = qrev
-            qqr_ref[ne_pad:] = qrev
+            qqr_ref[ne_pad : 2 * ne_pad] = qrev
+            qqr_ref[2 * ne_pad : 3 * ne_pad] = qrev
+            qqr_ref[3 * ne_pad :] = qrev[:8]
             ppr_ref[:ne_pad] = partner_rev
-            ppr_ref[ne_pad:] = partner_rev
+            ppr_ref[ne_pad : 2 * ne_pad] = partner_rev
+            ppr_ref[2 * ne_pad : 3 * ne_pad] = partner_rev
+            ppr_ref[3 * ne_pad :] = partner_rev[:8]
             zero = jnp.zeros_like(q)
             loss_ref[:] = zero
             gain_ref[:] = zero
@@ -443,66 +461,131 @@ def build_pallas_collision_step_blocked(
                 return ref[pl.ds(base, ne_pad)]
             return ref[pl.ds(base, ne_pad + 8)][rem : rem + ne_pad]
 
-        for d in range(B):
-            k = kb * B + d
-            if scattering:
-                r_up = d % 8
-                r_dn = (-d) % 8
-                base_up = 8 * up_ref[k]
-                base_dn = 8 * dn_ref[k]
-                q_up = shifted(qq_ref, base_up, r_up)
-                p_up = shifted(pp_ref, base_up, r_up)
-                q_dn = shifted(qq_ref, base_dn, r_dn)
-                p_dn = shifted(pp_ref, base_dn, r_dn)
-                dk = drow_ref[k]
-                Dk = ph_ref[pl.ds(dk, 1), :]  # (1, T)
-                if analytic:
-                    # K^s(Δ²) = max(A − B·Δ², 0), per pixel — (ne_pad, T)
-                    eu = jnp.maximum(
-                        col(eup_ref, lanes_k, k) - col(eBup_ref, lanes_k, k) * g2, 0.0
+        def scatter_body(k, q_up, p_up, q_dn, p_dn, loss, gain):
+            dk = drow_ref[k]
+            Dk = ph_ref[pl.ds(dk, 1), :]  # (1, T)
+            if analytic:
+                # K^s(Δ²) = max(A − B·Δ², 0), per pixel — (ne_pad, T)
+                eu = jnp.maximum(
+                    col(eup_ref, lanes_k, k) - col(eBup_ref, lanes_k, k) * g2, 0.0
+                )
+                ed = jnp.maximum(
+                    col(edn_ref, lanes_k, k) - col(eBdn_ref, lanes_k, k) * g2, 0.0
+                )
+                au, ad = eu, ed
+            else:
+                eu = col(eup_ref, lanes_k, k)
+                ed = col(edn_ref, lanes_k, k)
+                au = eu if sym_ks else col(aup_ref, lanes_k, k)
+                ad = ed if sym_ks else col(adn_ref, lanes_k, k)
+            em = 1.0 + Dk
+            t_em = eu * q_up  # shared: QP gain + phonon emission
+            t_ab = au * p_up  # shared: QP loss + phonon absorption
+            loss = loss + em * (ed * p_dn) + Dk * t_ab
+            gain = gain + em * t_em + Dk * (ad * q_dn)
+            if update_phonons:
+                p_em = jnp.sum(t_em * partner, axis=0, keepdims=True)
+                p_ab = jnp.sum(t_ab * q, axis=0, keepdims=True)
+                a_ref[pl.ds(dk, 1), :] += p_em
+                b_ref[pl.ds(dk, 1), :] += p_em - p_ab
+            return loss, gain
+
+        def recomb_body(k, s, even, q_s, p_s, loss, gain):
+            ms = srow_ref[s]
+            Ss = ph_ref[pl.ds(ms, 1), :]
+            r = col(rev_ref_t if even else rod_ref_t, lanes_k, k)
+            if analytic:
+                # K^r(Δ²) = A + B·Δ², per pixel
+                r = r + col(rBev_ref if even else rBod_ref, lanes_k, k) * g2
+            t_rec = r * q_s  # shared: QP loss + phonon recombination
+            t_pb = r * p_s   # shared: QP gain + pair-breaking
+            loss = loss + t_rec + Ss * t_rec
+            gain = gain + Ss * t_pb
+            if update_phonons:
+                p_rec = jnp.sum(t_rec * q, axis=0, keepdims=True)
+                p_pb = jnp.sum(t_pb * partner, axis=0, keepdims=True)
+                a_ref[pl.ds(ms, 1), :] += 0.5 * p_rec
+                b_ref[pl.ds(ms, 1), :] += 0.5 * (p_rec - p_pb)
+            return loss, gain
+
+        if hoist_loads:
+            # One aligned window load per 8-offset run instead of per-offset
+            # dynamic loads: within a run the up-shift base is CONSTANT
+            # (k − e is a multiple of 8, so aligned(k % ne_pad) doesn't move
+            # as e walks 0..7), the down-shifts span one 8-row boundary, and
+            # the 16 recombination anti-diagonals span ≤ 24 rows — so 6
+            # window loads replace 64 per-offset loads per run, and every
+            # per-offset view is a STATIC sub-slice of a loaded window.
+            for g in range(B // 8):
+                k0 = kb * B + 8 * g
+                if scattering:
+                    up_base = 8 * up_ref[k0]
+                    dn_base = 8 * dnw_ref[k0]
+                    upq = qq_ref[pl.ds(up_base, ne_pad + 8)]
+                    upp = pp_ref[pl.ds(up_base, ne_pad + 8)]
+                    dnq = qq_ref[pl.ds(dn_base, ne_pad + 16)]
+                    dnp = pp_ref[pl.ds(dn_base, ne_pad + 16)]
+                if recombination:
+                    rev_base = 8 * revw_ref[k0]
+                    rvq = qqr_ref[pl.ds(rev_base, ne_pad + 24)]
+                    rvp = ppr_ref[pl.ds(rev_base, ne_pad + 24)]
+                for e in range(8):
+                    d = 8 * g + e
+                    k = kb * B + d
+                    if scattering:
+                        loss, gain = scatter_body(
+                            k,
+                            upq[e : e + ne_pad],
+                            upp[e : e + ne_pad],
+                            dnq[8 - e : 8 - e + ne_pad],
+                            dnp[8 - e : 8 - e + ne_pad],
+                            loss,
+                            gain,
+                        )
+                    if recombination:
+                        for i in (2 * e, 2 * e + 1):
+                            s = 2 * k0 + i
+                            rr = (ne % 8) + 15 - i
+                            loss, gain = recomb_body(
+                                k,
+                                s,
+                                i == 2 * e,
+                                rvq[rr : rr + ne_pad],
+                                rvp[rr : rr + ne_pad],
+                                loss,
+                                gain,
+                            )
+        else:
+            for d in range(B):
+                k = kb * B + d
+                if scattering:
+                    r_up = d % 8
+                    r_dn = (-d) % 8
+                    base_up = 8 * up_ref[k]
+                    base_dn = 8 * dn_ref[k]
+                    loss, gain = scatter_body(
+                        k,
+                        shifted(qq_ref, base_up, r_up),
+                        shifted(pp_ref, base_up, r_up),
+                        shifted(qq_ref, base_dn, r_dn),
+                        shifted(pp_ref, base_dn, r_dn),
+                        loss,
+                        gain,
                     )
-                    ed = jnp.maximum(
-                        col(edn_ref, lanes_k, k) - col(eBdn_ref, lanes_k, k) * g2, 0.0
-                    )
-                    au, ad = eu, ed
-                else:
-                    eu = col(eup_ref, lanes_k, k)
-                    ed = col(edn_ref, lanes_k, k)
-                    au = eu if sym_ks else col(aup_ref, lanes_k, k)
-                    ad = ed if sym_ks else col(adn_ref, lanes_k, k)
-                em = 1.0 + Dk
-                t_em = eu * q_up  # shared: QP gain + phonon emission
-                t_ab = au * p_up  # shared: QP loss + phonon absorption
-                loss = loss + em * (ed * p_dn) + Dk * t_ab
-                gain = gain + em * t_em + Dk * (ad * q_dn)
-                if update_phonons:
-                    p_em = jnp.sum(t_em * partner, axis=0, keepdims=True)
-                    p_ab = jnp.sum(t_ab * q, axis=0, keepdims=True)
-                    a_ref[pl.ds(dk, 1), :] += p_em
-                    b_ref[pl.ds(dk, 1), :] += p_em - p_ab
-            if recombination:
-                for j in (2 * d, 2 * d + 1):
-                    s = 2 * kb * B + j
-                    r_s = (ne - 1 - j) % 8
-                    base_s = 8 * rev_ref[s]
-                    q_s = shifted(qqr_ref, base_s, r_s)
-                    p_s = shifted(ppr_ref, base_s, r_s)
-                    ms = srow_ref[s]
-                    Ss = ph_ref[pl.ds(ms, 1), :]
-                    even = j == 2 * d
-                    r = col(rev_ref_t if even else rod_ref_t, lanes_k, k)
-                    if analytic:
-                        # K^r(Δ²) = A + B·Δ², per pixel
-                        r = r + col(rBev_ref if even else rBod_ref, lanes_k, k) * g2
-                    t_rec = r * q_s  # shared: QP loss + phonon recombination
-                    t_pb = r * p_s   # shared: QP gain + pair-breaking
-                    loss = loss + t_rec + Ss * t_rec
-                    gain = gain + Ss * t_pb
-                    if update_phonons:
-                        p_rec = jnp.sum(t_rec * q, axis=0, keepdims=True)
-                        p_pb = jnp.sum(t_pb * partner, axis=0, keepdims=True)
-                        a_ref[pl.ds(ms, 1), :] += 0.5 * p_rec
-                        b_ref[pl.ds(ms, 1), :] += 0.5 * (p_rec - p_pb)
+                if recombination:
+                    for j in (2 * d, 2 * d + 1):
+                        s = 2 * kb * B + j
+                        r_s = (ne - 1 - j) % 8
+                        base_s = 8 * rev_ref[s]
+                        loss, gain = recomb_body(
+                            k,
+                            s,
+                            j == 2 * d,
+                            shifted(qqr_ref, base_s, r_s),
+                            shifted(ppr_ref, base_s, r_s),
+                            loss,
+                            gain,
+                        )
 
         loss_ref[:] = loss
         gain_ref[:] = gain
@@ -618,6 +701,8 @@ def build_pallas_collision_step_blocked(
             jnp.asarray(up_tab, dtype=jnp.int32),
             jnp.asarray(dn_tab, dtype=jnp.int32),
             jnp.asarray(rev_tab, dtype=jnp.int32),
+            jnp.asarray(dnw_tab, dtype=jnp.int32),
+            jnp.asarray(revw_tab, dtype=jnp.int32),
         ]
         specs += [
             smem(drow_tab.shape),
@@ -625,6 +710,8 @@ def build_pallas_collision_step_blocked(
             smem(up_tab.shape),
             smem(dn_tab.shape),
             smem(rev_tab.shape),
+            smem(dnw_tab.shape),
+            smem(revw_tab.shape),
         ]
 
         q_new, ph_new = pl.pallas_call(
@@ -637,10 +724,10 @@ def build_pallas_collision_step_blocked(
                 jax.ShapeDtypeStruct((nw_pad, p_pad), dtype),
             ),
             scratch_shapes=[
-                pltpu.VMEM((2 * ne_pad, tile), dtype),
-                pltpu.VMEM((2 * ne_pad, tile), dtype),
-                pltpu.VMEM((2 * ne_pad, tile), dtype),
-                pltpu.VMEM((2 * ne_pad, tile), dtype),
+                pltpu.VMEM((2 * ne_pad + 8, tile), dtype),   # doubled q (+8 dn window)
+                pltpu.VMEM((2 * ne_pad + 8, tile), dtype),   # doubled partner
+                pltpu.VMEM((3 * ne_pad + 8, tile), dtype),   # tripled reversed q
+                pltpu.VMEM((3 * ne_pad + 8, tile), dtype),   # tripled reversed partner
                 pltpu.VMEM((ne_pad, tile), dtype),
                 pltpu.VMEM((ne_pad, tile), dtype),
                 pltpu.VMEM((nw_pad, tile), dtype),
@@ -674,6 +761,7 @@ def build_pallas_collision_step_blocked_analytic(
     tile: int = _DEFAULT_TILE,
     block: int = _DEFAULT_BLOCK,
     interpret: bool = False,
+    hoist_loads: bool = True,
 ):
     """Analytic-gap variant of the block-gridded kernel (NE > 64).
 
@@ -707,6 +795,7 @@ def build_pallas_collision_step_blocked_analytic(
         tile=tile,
         block=block,
         interpret=interpret,
+        hoist_loads=hoist_loads,
         _analytic=dict(
             gap_plane=gap_plane,
             tau_s=tau_s,

@@ -477,9 +477,13 @@ def test_pallas_blocked_matches_xla_interpret():
             (pm.num_omega, ny, nx),
         ).copy()
     )
-    for use_s, use_r, phon, blk in (
-        (True, True, True, 8), (True, False, True, 8), (False, True, True, 8),
-        (True, True, False, 8), (True, True, True, 4), (True, True, True, 16),
+    for use_s, use_r, phon, blk, hoist in (
+        (True, True, True, 8, True), (True, False, True, 8, True),
+        (False, True, True, 8, True), (True, True, False, 8, True),
+        (True, True, True, 4, True), (True, True, True, 16, True),
+        # per-offset load path (the fallback if Mosaic ever rejects the
+        # hoisted block windows on hardware) stays correct too
+        (True, True, True, 8, False), (True, True, True, 16, False),
     ):
         plan = build_collision_plan_arrays(
             dE=dE, rho_by_gap=rho[None],
@@ -493,11 +497,11 @@ def test_pallas_blocked_matches_xla_interpret():
             E_bins=E, dE=dE, rho=rho,
             K_s0=Ks if use_s else None, K_r0=Kr if use_r else None,
             pmap=pm, dt=0.02, update_phonons=phon, tile=128, block=blk,
-            interpret=True)
+            hoist_loads=hoist, interpret=True)
         assert pal is not None
         q1, p1 = xla(q0, ph0)
         q2, p2 = pal(q0, ph0)
-        ctx = f"s={use_s} r={use_r} ph={phon} blk={blk}"
+        ctx = f"s={use_s} r={use_r} ph={phon} blk={blk} hoist={hoist}"
         np.testing.assert_allclose(
             np.asarray(q2), np.asarray(q1), rtol=1e-12, atol=1e-22, err_msg=ctx)
         np.testing.assert_allclose(
