@@ -116,7 +116,7 @@ def _best_diffusion(op, dtype):
     return ADIDiffusion(op, dtype)
 
 
-def bench_scalar_cn_1024() -> float:
+def bench_scalar_cn_1024(n=1024, length=2000) -> float:
     """Headline: 2D CN (fused Pallas PR-ADI on TPU) on a full 1024² film."""
     import jax
     import jax.numpy as jnp
@@ -124,7 +124,6 @@ def bench_scalar_cn_1024() -> float:
     from qpsim_tpu.geometry.mask import extract_edge_segments
     from qpsim_tpu.models.params import BoundaryCondition
     from qpsim_tpu.ops.diffusion import build_directional_stencils, fold_diffusion
-    n, length = 1024, 2000
     mask = np.ones((n, n), dtype=bool)
     edges = extract_edge_segments(mask)
     bcs = {e.edge_id: BoundaryCondition(kind="reflective") for e in edges}
@@ -145,6 +144,7 @@ def bench_scalar_cn_1024() -> float:
 
 
 def _coupled_pieces(ny, nx, ne, dt, dtype):
+    import jax
     import jax.numpy as jnp
 
     from qpsim_tpu.geometry.mask import extract_edge_segments
@@ -179,6 +179,7 @@ def _coupled_pieces(ny, nx, ne, dt, dtype):
         pmap=pm,
         dt=0.5 * dt,
         update_phonons=True,
+        interpret=jax.default_backend() != "tpu",
     )
     rng = np.random.default_rng(1)
     q0 = jnp.asarray(rng.uniform(0, 1e-5, (ne, ny, nx)) * rho[:, None, None], dtype=dtype)
@@ -221,7 +222,7 @@ def bench_coupled_2d(ny=256, nx=256, ne=16, length=1000) -> dict:
     }
 
 
-def bench_masked_512(length: int = 2000) -> dict:
+def bench_masked_512(n: int = 512, length: int = 2000) -> dict:
     """Driver config #3: ADI CN on a masked 512² donut, absorbing/reflective."""
     import jax
     import jax.numpy as jnp
@@ -231,7 +232,6 @@ def bench_masked_512(length: int = 2000) -> dict:
     from qpsim_tpu.models.params import BoundaryCondition
     from qpsim_tpu.ops.diffusion import build_directional_stencils, fold_diffusion
 
-    n = 512
     ang = np.linspace(0, 2 * np.pi, 24, endpoint=False)
     outer = np.column_stack([n / 2 + 0.46 * n * np.cos(ang), n / 2 + 0.46 * n * np.sin(ang)])
     inner = np.column_stack(
@@ -258,7 +258,7 @@ def bench_masked_512(length: int = 2000) -> dict:
     return {"masked_512_cell_steps_per_s": n * n / per_step}
 
 
-def bench_coupled_full_scale(length: int = 200) -> dict:
+def bench_coupled_full_scale(length: int = 200, n: int = 1024, ne: int = 16) -> dict:
     """Driver config #5 scale: full coupled physics at 1024² × 16 bins,
     WITH external generation active (the pulse-injection workloads that
     care about speed, VERDICT r2 item 2).
@@ -272,7 +272,7 @@ def bench_coupled_full_scale(length: int = 200) -> dict:
     import jax.numpy as jnp
 
     dt, rate = 0.05, 1e-7
-    diff_step, diff_aux, col_half, q0, ph0 = _coupled_pieces(1024, 1024, 16, dt, jnp.float32)
+    diff_step, diff_aux, col_half, q0, ph0 = _coupled_pieces(n, n, ne, dt, jnp.float32)
 
     @jax.jit
     def chunk_exact_a(state, daux):
@@ -287,7 +287,7 @@ def bench_coupled_full_scale(length: int = 200) -> dict:
         return jax.lax.scan(step, state, None, length=length, unroll=32)[0]
 
     chunk = lambda state: chunk_exact_a(state, diff_aux)
-    per_exact, _ = _timed_chunk(chunk, (q0, ph0), length, "coupled 1024^2 x 16 exact+gen")
+    per_exact, _ = _timed_chunk(chunk, (q0, ph0), length, f"coupled {n}^2 x {ne} exact+gen")
 
     from qpsim_tpu.ops.dos import dynes_density_of_states
     from qpsim_tpu.ops.energy_grid import build_energy_grid
@@ -296,7 +296,7 @@ def bench_coupled_full_scale(length: int = 200) -> dict:
     from qpsim_tpu.ops.phonon_map import build_phonon_frequency_map
 
     gap, tau, tc = 180.0, 440.0, 1.2
-    E, dE = build_energy_grid(gap, 1.0, 4.0, 16)
+    E, dE = build_energy_grid(gap, 1.0, 4.0, ne)
     col_full = build_pallas_collision_step(
         E_bins=E,
         dE=dE,
@@ -306,6 +306,7 @@ def bench_coupled_full_scale(length: int = 200) -> dict:
         pmap=build_phonon_frequency_map(E),
         dt=dt,
         update_phonons=True,
+        interpret=jax.default_backend() != "tpu",
     )
 
     @jax.jit
@@ -328,7 +329,7 @@ def bench_coupled_full_scale(length: int = 200) -> dict:
         return q, ph
 
     chunk_m = lambda state: chunk_m_a(state, diff_aux)
-    per_step, _ = _timed_chunk(chunk_m, (q0, ph0), length, "coupled 1024^2 x 16 default+gen")
+    per_step, _ = _timed_chunk(chunk_m, (q0, ph0), length, f"coupled {n}^2 x {ne} default+gen")
     return {
         "coupled_1024_ms_per_step": per_step * 1e3,
         "coupled_1024_ms_per_step_exact_strang": per_exact * 1e3,
@@ -485,6 +486,7 @@ def bench_collisions_50bin(ny=256, nx=256, ne=50, length=200) -> dict:
         K_r0=recombination_kernel_base(E, gap, tau, tc),
         pmap=pm,
         dt=0.025,
+    interpret=jax.default_backend() != "tpu",
     )
     rng = np.random.default_rng(2)
     q0 = jnp.asarray(rng.uniform(0, 1e-5, (ne, ny, nx)) * rho[:, None, None], jnp.float32)
@@ -533,6 +535,7 @@ def bench_collisions_100bin(ny=256, nx=256, ne=100, length=200) -> dict:
         pmap=pm,
         dt=0.025,
         tile=512,
+    interpret=jax.default_backend() != "tpu",
     )
     rng = np.random.default_rng(2)
     q0 = jnp.asarray(rng.uniform(0, 1e-5, (ne, ny, nx)) * rho[:, None, None], jnp.float32)
@@ -575,6 +578,7 @@ def bench_analytic_gap_100bin(ny=256, nx=256, ne=100, length=200) -> dict:
     col = build_pallas_collision_step_blocked_analytic(
         E_bins=E, dE=dE, gap_plane=gp, pmap=pm, dt=0.025,
         tau_s=tau, tau_r=tau, T_c=tc, dynes_gamma=0.0,
+        interpret=jax.default_backend() != "tpu",
     )
     rho = dynes_density_of_states(E, gap - 25.0, 0.0)
     q0 = jnp.asarray(rng.uniform(0, 1e-5, (ne, ny, nx)) * rho[:, None, None], jnp.float32)
@@ -613,6 +617,7 @@ def bench_analytic_gap(ny=256, nx=256, ne=16, length=1000) -> dict:
     col = build_pallas_collision_step_analytic(
         E_bins=E, dE=dE, gap_plane=gp, pmap=pm, dt=0.025,
         tau_s=tau, tau_r=tau, T_c=tc, dynes_gamma=0.0,
+        interpret=jax.default_backend() != "tpu",
     )
     rho = dynes_density_of_states(E, gap, 0.0)
     q0 = jnp.asarray(rng.uniform(0, 1e-5, (ne, ny, nx)) * rho[:, None, None], jnp.float32)
@@ -745,7 +750,7 @@ def bench_mkid_pulse(total_steps=10_000, nx=1024, ne=16) -> dict:
     dt = 0.01
     diff_step, diff_aux, col_half, q0, ph0 = _coupled_pieces(1, nx, ne, dt, jnp.float32)
     pulse_rate, pulse_end = 1e-5, 2.0
-    chunk_len = 2000
+    chunk_len = min(2000, total_steps)
 
     @jax.jit
     def run_chunk_a(state, i0, daux):
@@ -836,7 +841,16 @@ def _probe_backend(timeout_s: float) -> bool:
 def main() -> None:
     probe_timeout = float(os.environ.get("QPSIM_BENCH_PROBE_TIMEOUT_S", "90"))
     deadline = float(os.environ.get("QPSIM_BENCH_DEADLINE_S", "3000"))
-    if not _probe_backend(probe_timeout):
+    smoke_mode = os.environ.get("QPSIM_BENCH_SMOKE") == "1"
+    if smoke_mode:
+        # wiring check at tiny shapes: force the CPU backend in-process
+        # (env JAX_PLATFORMS is overridden by this image's axon hook; only
+        # the config update before first backend use works) and skip the
+        # TPU probe
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    elif not _probe_backend(probe_timeout):
         _PAYLOAD["error"] = "tpu_unavailable"
         _emit()
         return
@@ -854,36 +868,60 @@ def main() -> None:
     _PAYLOAD["backend"] = jax.default_backend()
     log(f"backend: {jax.default_backend()} devices: {jax.devices()}")
 
-    def _headline() -> None:
-        rate = bench_scalar_cn_1024()
+    def _headline(**kw) -> dict:
+        rate = bench_scalar_cn_1024(**kw)
         _PAYLOAD["value"] = rate
         _PAYLOAD["vs_baseline"] = rate / REFERENCE_SCALAR_1024_CELL_STEPS_PER_S
+        return {}
+
+    # QPSIM_BENCH_SMOKE=1 runs every stage end-to-end at tiny shapes (CPU
+    # interpret-mode Pallas) — a wiring check, not a measurement; tested in
+    # tests/test_bench.py so stage regressions surface before TPU time
+    smoke = smoke_mode
+    smoke_kw: dict[str, dict] = {
+        "scalar_cn_1024": dict(n=64, length=8),
+        "masked_512": dict(n=64, length=8),
+        "coupled_2d": dict(ny=16, nx=16, ne=6, length=4),
+        "coupled_full_scale": dict(n=32, ne=6, length=4),
+        "rooflines": dict(n=32, ne=6, length=4),
+        "sharded_overhead": dict(ny=16, nx=16, ne=4, length=4),
+        "collisions_50bin": dict(ny=8, nx=8, ne=12, length=3),
+        "collisions_100bin": dict(ny=8, nx=8, ne=72, length=2),
+        "analytic_gap": dict(ny=8, nx=8, ne=6, length=3),
+        "analytic_gap_100bin": dict(ny=8, nx=8, ne=72, length=2),
+        "coupled_1d_64bin": dict(nx=64, ne=12, length=3),
+        "ensemble_sweep": dict(n_members=4, member=(8, 8), ne=4, length=4),
+        "mkid_pulse": dict(total_steps=40, nx=32, ne=6),
+        "snapshot_overlap": dict(total_steps=40, nx=32, ne=6),
+    }
 
     errors: dict[str, str] = {}
     stages = [
         ("scalar_cn_1024", _headline),
-        ("masked_512", lambda: _PAYLOAD.update(bench_masked_512())),
-        ("coupled_2d", lambda: _PAYLOAD.update(bench_coupled_2d())),
-        ("coupled_full_scale", lambda: _PAYLOAD.update(bench_coupled_full_scale())),
-        ("rooflines", lambda: _PAYLOAD.update(bench_rooflines())),
-        ("sharded_overhead", lambda: _PAYLOAD.update(bench_sharded_overhead_1dev())),
-        ("collisions_50bin", lambda: _PAYLOAD.update(bench_collisions_50bin())),
-        ("collisions_100bin", lambda: _PAYLOAD.update(bench_collisions_100bin())),
-        ("analytic_gap", lambda: _PAYLOAD.update(bench_analytic_gap())),
-        ("analytic_gap_100bin", lambda: _PAYLOAD.update(bench_analytic_gap_100bin())),
-        ("coupled_1d_64bin", lambda: _PAYLOAD.update(bench_1d_64bin())),
-        ("ensemble_sweep", lambda: _PAYLOAD.update(bench_ensemble_sweep())),
-        ("mkid_pulse", lambda: _PAYLOAD.update(bench_mkid_pulse())),
-        ("snapshot_overlap", lambda: _PAYLOAD.update(bench_engine_snapshot_overlap())),
+        ("masked_512", bench_masked_512),
+        ("coupled_2d", bench_coupled_2d),
+        ("coupled_full_scale", bench_coupled_full_scale),
+        ("rooflines", bench_rooflines),
+        ("sharded_overhead", bench_sharded_overhead_1dev),
+        ("collisions_50bin", bench_collisions_50bin),
+        ("collisions_100bin", bench_collisions_100bin),
+        ("analytic_gap", bench_analytic_gap),
+        ("analytic_gap_100bin", bench_analytic_gap_100bin),
+        ("coupled_1d_64bin", bench_1d_64bin),
+        ("ensemble_sweep", bench_ensemble_sweep),
+        ("mkid_pulse", bench_mkid_pulse),
+        ("snapshot_overlap", bench_engine_snapshot_overlap),
     ]
     for name, fn in stages:
         try:
-            fn()
+            _PAYLOAD.update(fn(**(smoke_kw[name] if smoke else {})) or {})
         except Exception as exc:  # noqa: BLE001 — isolate per stage, keep going
             log(f"stage {name} FAILED: {type(exc).__name__}: {exc}")
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
     if errors:
         _PAYLOAD["stage_errors"] = errors
+    if smoke:
+        _PAYLOAD["smoke"] = True
     _emit()
     watchdog.cancel()
 

@@ -12,6 +12,8 @@ import os
 import subprocess
 import sys
 
+import pytest
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 BENCH = os.path.join(REPO, "bench.py")
 
@@ -39,6 +41,40 @@ def test_bench_emits_degraded_json_line_when_backend_unavailable():
     assert payload["unit"] == "cell-steps/s"
     assert payload["vs_baseline"] == 0.0
     assert payload["error"] == "tpu_unavailable"
+
+
+@pytest.mark.slow
+def test_bench_smoke_runs_every_stage_on_cpu():
+    """QPSIM_BENCH_SMOKE=1 runs all 14 stages end-to-end at tiny shapes on
+    the CPU backend (interpret-mode Pallas) — stage wiring regressions must
+    surface here, not on TPU time."""
+    env = dict(os.environ)
+    env["QPSIM_BENCH_SMOKE"] = "1"
+    env["QPSIM_PERSISTENT_CACHE"] = "0"
+    r = subprocess.run(
+        [sys.executable, BENCH],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=1800,
+        cwd=REPO,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    lines = [ln for ln in r.stdout.splitlines() if ln.strip()]
+    assert len(lines) == 1, r.stdout
+    payload = json.loads(lines[0])
+    assert payload.get("smoke") is True
+    assert "stage_errors" not in payload, payload["stage_errors"]
+    assert payload["value"] > 0
+    for key in (
+        "coupled_1024_ms_per_step",
+        "coupled_1024_ms_per_step_exact_strang",
+        "sharded_overhead_1dev",
+        "collisions_100bin_ms_per_substep",
+        "snapshot_overlap_dense_over_sparse",
+        "mkid_pulse_10k_steps_wallclock_s",
+    ):
+        assert key in payload, key
 
 
 def test_bench_module_stage_functions_exist():
