@@ -812,6 +812,20 @@ def _emit() -> None:
         print(json.dumps(_PAYLOAD), flush=True)
 
 
+def _payload_update(fields: dict | None) -> None:
+    """Stage results enter the payload under the emit lock: the watchdog
+    thread may serialize it concurrently."""
+    with _EMIT_LOCK:
+        _PAYLOAD.update(fields or {})
+
+
+def _watchdog_fire() -> None:
+    try:
+        _emit()
+    finally:
+        os._exit(0)  # the hang the watchdog breaks would otherwise persist
+
+
 def _probe_backend(timeout_s: float) -> bool:
     """Trivial jit in a child process with a hard timeout (CLAUDE.md rule:
     probe tunnel health before queueing TPU work; a hung tunnel blocks in
@@ -855,7 +869,7 @@ def main() -> None:
         _emit()
         return
 
-    watchdog = threading.Timer(deadline, lambda: (_emit(), os._exit(0)))
+    watchdog = threading.Timer(deadline, _watchdog_fire)
     watchdog.daemon = True
     watchdog.start()
 
@@ -865,14 +879,15 @@ def main() -> None:
 
     cache_dir = maybe_enable_persistent_cache()
     log(f"persistent compile cache: {cache_dir}")
-    _PAYLOAD["backend"] = jax.default_backend()
+    _payload_update({"backend": jax.default_backend()})
     log(f"backend: {jax.default_backend()} devices: {jax.devices()}")
 
     def _headline(**kw) -> dict:
         rate = bench_scalar_cn_1024(**kw)
-        _PAYLOAD["value"] = rate
-        _PAYLOAD["vs_baseline"] = rate / REFERENCE_SCALAR_1024_CELL_STEPS_PER_S
-        return {}
+        return {
+            "value": rate,
+            "vs_baseline": rate / REFERENCE_SCALAR_1024_CELL_STEPS_PER_S,
+        }
 
     # QPSIM_BENCH_SMOKE=1 runs every stage end-to-end at tiny shapes (CPU
     # interpret-mode Pallas) — a wiring check, not a measurement; tested in
@@ -914,14 +929,14 @@ def main() -> None:
     ]
     for name, fn in stages:
         try:
-            _PAYLOAD.update(fn(**(smoke_kw[name] if smoke else {})) or {})
+            _payload_update(fn(**(smoke_kw[name] if smoke else {})))
         except Exception as exc:  # noqa: BLE001 — isolate per stage, keep going
             log(f"stage {name} FAILED: {type(exc).__name__}: {exc}")
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
     if errors:
-        _PAYLOAD["stage_errors"] = errors
+        _payload_update({"stage_errors": errors})
     if smoke:
-        _PAYLOAD["smoke"] = True
+        _payload_update({"smoke": True})
     _emit()
     watchdog.cancel()
 

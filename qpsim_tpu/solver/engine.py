@@ -1466,8 +1466,25 @@ def _run_energy_resolved(
     gen_mode = external_generation.normalized_mode() if external_generation else "none"
     cumulative = 0
 
-    def drain(p) -> None:
+    def store_snapshot(t, step, q_dev, ph_dev) -> None:
         nonlocal stored_idx
+        stored_idx += 1
+        q_host = np.asarray(q_dev, dtype=np.float64)
+        ph_host = np.asarray(ph_dev, dtype=np.float64)
+        frame, energy_frame, m = snapshot(q_host)
+        times.append(float(t))
+        frames.append(frame)
+        energy_frames.append(energy_frame)
+        mass.append(m)
+        if record_phonons:
+            record_phonon_snapshot(ph_host)
+        _notify(progress_callback, t, frame)
+        if checkpointer is not None:
+            checkpointer.save_step(
+                stored_idx, step=step, time_ns=float(t), q=q_host, ph=ph_host
+            )
+
+    def drain(p) -> None:
         stats_np = [np.asarray(s) for s in p["stats"]]
         t = p["t_start"]
         for i in range(p["seg"].length):
@@ -1490,25 +1507,7 @@ def _run_energy_resolved(
                 int(stats_np[3][i]),
             )
         if p["seg"].stored:
-            stored_idx += 1
-            q_host = np.asarray(p["q"], dtype=np.float64)
-            ph_host = np.asarray(p["ph"], dtype=np.float64)
-            frame, energy_frame, m = snapshot(q_host)
-            times.append(float(t))
-            frames.append(frame)
-            energy_frames.append(energy_frame)
-            mass.append(m)
-            if record_phonons:
-                record_phonon_snapshot(ph_host)
-            _notify(progress_callback, t, frame)
-            if checkpointer is not None:
-                checkpointer.save_step(
-                    stored_idx,
-                    step=p["step_start"] + p["seg"].length,
-                    time_ns=float(t),
-                    q=q_host,
-                    ph=ph_host,
-                )
+            store_snapshot(t, p["step_start"] + p["seg"].length, p["q"], p["ph"])
 
     pending = None
     for seg in segments:
@@ -1541,25 +1540,7 @@ def _run_energy_resolved(
                     int(stats[3]),
                 )
             if seg.stored:
-                stored_idx += 1
-                q_host = np.asarray(q, dtype=np.float64)
-                ph_host = np.asarray(ph, dtype=np.float64)
-                frame, energy_frame, m = snapshot(q_host)
-                times.append(float(current_time))
-                frames.append(frame)
-                energy_frames.append(energy_frame)
-                mass.append(m)
-                if record_phonons:
-                    record_phonon_snapshot(ph_host)
-                _notify(progress_callback, current_time, frame)
-                if checkpointer is not None:
-                    checkpointer.save_step(
-                        stored_idx,
-                        step=step_counter,
-                        time_ns=float(current_time),
-                        q=q_host,
-                        ph=ph_host,
-                    )
+                store_snapshot(current_time, step_counter, q, ph)
             continue
         q, ph, stats = segment_runner(seg.dt, seg.length)(
             q, ph, jnp.asarray(current_time, dtype=dtype)

@@ -28,13 +28,14 @@ _DEFAULT_DIR = os.path.join(os.path.expanduser("~"), ".cache", "qpsim_tpu", "xla
 _active_dir: str | None = None
 
 
-def enable_persistent_cache(cache_dir: str | None = None) -> str:
+def enable_persistent_cache(cache_dir: str | None = None) -> str | None:
     """Point JAX's persistent compilation cache at ``cache_dir`` and return it.
 
     Idempotent; safe to call before or after backend initialisation (entries
     are keyed on backend + compiler version, so CPU and TPU programs
     coexist).  Only compiles taking >1 s are persisted — trivial test jits
-    stay out of the cache.
+    stay out of the cache.  Returns None (cache disabled) if the directory
+    cannot be created.
     """
     global _active_dir
     if cache_dir is None:
@@ -44,10 +45,15 @@ def enable_persistent_cache(cache_dir: str | None = None) -> str:
 
     import jax
 
-    os.makedirs(cache_dir, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except OSError:
+        # the cache is purely an optimization — an unwritable HOME or full
+        # disk must not take down the simulation that asked for it
+        return None
     _active_dir = cache_dir
     return cache_dir
 

@@ -507,6 +507,42 @@ def test_pallas_blocked_matches_xla_interpret():
         np.testing.assert_allclose(
             np.asarray(p2), np.asarray(p1), rtol=1e-9, atol=1e-22, err_msg=ctx)
 
+    # the hoisted-window base tables and static remainders depend on
+    # ne mod 8 (rr = ne%8 + 15 − i; dnw/revw alignment) — cover a multiple
+    # of 8, a ≡2 and a ≡7 grid, not just ne=9 (≡1)
+    for ne2 in (10, 15, 16):
+        E2, dE2 = build_energy_grid(180.0, 1.0, 4.0, ne2)
+        pm2 = build_phonon_frequency_map(E2)
+        rho2 = dynes_density_of_states(E2, 180.0, 0.0)
+        Ks2 = scattering_kernel_base(E2, 180.0, 440.0, 1.2)
+        Kr2 = recombination_kernel_base(E2, 180.0, 520.0, 1.2)
+        q0b = jnp.asarray(rng.uniform(0, 1e-4, (ne2, ny, nx)) * rho2[:, None, None])
+        ph0b = jnp.asarray(
+            np.broadcast_to(
+                thermal_phonon_occupation(pm2.omega_bins, 0.25)[:, None, None],
+                (pm2.num_omega, ny, nx),
+            ).copy()
+        )
+        plan = build_collision_plan_arrays(
+            dE=dE2, rho_by_gap=rho2[None], K_r0_by_gap=Kr2[None],
+            K_s0_by_gap=Ks2[None], gap_id=np.zeros((ny, nx), np.int32),
+            pmap=pm2, enable_recombination=True, enable_scattering=True,
+            update_phonons=True)
+        xla = make_collision_step(plan, 0.02)
+        pal = build_pallas_collision_step_blocked(
+            E_bins=E2, dE=dE2, rho=rho2, K_s0=Ks2, K_r0=Kr2, pmap=pm2,
+            dt=0.02, update_phonons=True, tile=128, block=8,
+            hoist_loads=True, interpret=True)
+        assert pal is not None, f"ne={ne2}"
+        q1, p1 = xla(q0b, ph0b)
+        q2, p2 = pal(q0b, ph0b)
+        np.testing.assert_allclose(
+            np.asarray(q2), np.asarray(q1), rtol=1e-12, atol=1e-22,
+            err_msg=f"ne={ne2}")
+        np.testing.assert_allclose(
+            np.asarray(p2), np.asarray(p1), rtol=1e-9, atol=1e-22,
+            err_msg=f"ne={ne2}")
+
 
 def test_pallas_blocked_multi_gap_matches_xla_interpret():
     from qpsim_tpu.ops.pallas_collisions_blocked import (

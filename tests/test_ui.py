@@ -538,23 +538,33 @@ def test_tk_modal_dialogs_open_and_cancel():
 
     root = tk.Tk()
     try:
+        attempts = [0]
 
         def cancel_when_open():
+            attempts[0] += 1
             for w in _tk_walk(root):
                 if isinstance(w, tk.Toplevel) and w.winfo_exists():
                     btn = _tk_find_button(w, "Cancel")
                     if btn is not None:
                         btn.invoke()
                         return
-            root.after(100, cancel_when_open)
+                    if attempts[0] > 50:  # bound: fail, don't hang CI
+                        w.destroy()
+                        return
+            if attempts[0] <= 50:
+                root.after(100, cancel_when_open)
 
-        root.after(200, cancel_when_open)
+        def arm():
+            attempts[0] = 0
+            root.after(200, cancel_when_open)
+
+        arm()
         assert dialogs.ask_boundary_condition(root, None) is None
 
-        root.after(200, cancel_when_open)
+        arm()
         assert dialogs.ask_initial_condition(root, default_initial_condition()) is None
 
-        root.after(200, cancel_when_open)
+        arm()
         assert dialogs.ask_external_generation(root, ExternalGenerationSpec()) is None
 
         dialogs.show_material_reference(root)  # non-modal table
