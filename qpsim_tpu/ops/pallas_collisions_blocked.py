@@ -106,6 +106,7 @@ def build_pallas_collision_step_blocked(
     interpret: bool = False,
     gap_id: np.ndarray | None = None,
     hoist_loads: bool = True,
+    row_gating: bool = False,
     _analytic: dict | None = None,
 ):
     """Build ``(n_qp, n_ph) -> (n_qp, n_ph)`` for one collision substep.
@@ -345,14 +346,18 @@ def build_pallas_collision_step_blocked(
         revw_ref = next(it)
         q_out = next(it)
         ph_out = next(it)
-        qq_ref = next(it)       # (2·ne_pad, T) doubled q
-        pp_ref = next(it)       # (2·ne_pad, T) doubled partner
-        qqr_ref = next(it)      # (2·ne_pad, T) doubled reversed q
-        ppr_ref = next(it)      # (2·ne_pad, T) doubled reversed partner
+        qq_ref = next(it)       # (2·ne_pad+8, T) doubled q
+        pp_ref = next(it)       # (2·ne_pad+8, T) doubled partner
+        qqr_ref = next(it)      # (3·ne_pad+8, T) tripled reversed q
+        ppr_ref = next(it)      # (3·ne_pad+8, T) tripled reversed partner
         loss_ref = next(it)
         gain_ref = next(it)
         a_ref = next(it)
         b_ref = next(it)
+        if row_gating:
+            # per-run phonon partial rows (one per offset / anti-diagonal)
+            pem_ref, pab_ref = next(it), next(it)
+            prec_ref, ppb_ref = next(it), next(it)
 
         kb = pl.program_id(1)
         gid = gid_ref[:1, :] if multi_gap else None  # (1, T) int32
@@ -450,8 +455,9 @@ def build_pallas_collision_step_blocked(
                 ]
             )
 
-        loss = loss_ref[:]
-        gain = gain_ref[:]
+        if not row_gating:  # gated mode RMWs the scratch chunks directly
+            loss = loss_ref[:]
+            gain = gain_ref[:]
 
         def shifted(ref, base, rem):
             # rows [base+rem, base+rem+ne_pad) via an aligned dynamic load
@@ -508,7 +514,194 @@ def build_pallas_collision_step_blocked(
                 b_ref[pl.ds(ms, 1), :] += 0.5 * (p_rec - p_pb)
             return loss, gain
 
-        if hoist_loads:
+        if row_gating:
+            # Chunk-gated walk: for offset k every term is valid on at most
+            # (ne−k)-ish rows (gains/absorption-losses on the low rows,
+            # emission-losses/absorption-gains on rows ≥ k, anti-diagonal s
+            # on [s−ne+1, s+1)), but the straight-line walk above computes
+            # full ne_pad-height ops regardless — ~2× the valid work at the
+            # triangle midpoint.  Here each term class walks 8-row chunks
+            # under a run-granularity ``pl.when``: a chunk executes only if
+            # the run's WEAKEST offset still has valid rows there (≤7 rows
+            # of zero-coefficient slack at the boundary), so executed row
+            # work tracks the triangles.  All reads are aligned 16/32-row
+            # loads + static sub-slices; accumulators are chunk-RMWs on the
+            # persistent scratch.
+            nchunks = ne_pad // 8
+            zrow8 = jnp.zeros((8, q.shape[1]), dtype=q.dtype)
+            for g_run in range(B // 8):
+                k0 = kb * B + 8 * g_run
+                if update_phonons:
+                    if scattering:
+                        pem_ref[:] = zrow8
+                        pab_ref[:] = zrow8
+                    if recombination:
+                        z16 = jnp.zeros((16, q.shape[1]), dtype=q.dtype)
+                        prec_ref[:] = z16
+                        ppb_ref[:] = z16
+                s_cols = []
+                if scattering:
+                    base_up = 8 * up_ref[k0]
+                    base_dn = 8 * dnw_ref[k0]
+                    for e in range(8):
+                        k = k0 + e
+                        Dk = ph_ref[pl.ds(drow_ref[k], 1), :]
+                        if analytic:
+                            s_cols.append(dict(
+                                euA=col(eup_ref, lanes_k, k),
+                                euB=col(eBup_ref, lanes_k, k),
+                                edA=col(edn_ref, lanes_k, k),
+                                edB=col(eBdn_ref, lanes_k, k),
+                                Dk=Dk, dk=drow_ref[k],
+                            ))
+                        else:
+                            eu = col(eup_ref, lanes_k, k)
+                            ed = col(edn_ref, lanes_k, k)
+                            s_cols.append(dict(
+                                eu=eu, ed=ed,
+                                au=eu if sym_ks else col(aup_ref, lanes_k, k),
+                                ad=ed if sym_ks else col(adn_ref, lanes_k, k),
+                                Dk=Dk, dk=drow_ref[k],
+                            ))
+
+                def eu_au_chunk(e, c8):
+                    sc = s_cols[e]
+                    if analytic:
+                        euc = jnp.maximum(
+                            sc["euA"][c8 : c8 + 8] - sc["euB"][c8 : c8 + 8] * g2, 0.0
+                        )
+                        return euc, euc
+                    return sc["eu"][c8 : c8 + 8], sc["au"][c8 : c8 + 8]
+
+                def ed_ad_chunk(e, c8):
+                    sc = s_cols[e]
+                    if analytic:
+                        edc = jnp.maximum(
+                            sc["edA"][c8 : c8 + 8] - sc["edB"][c8 : c8 + 8] * g2, 0.0
+                        )
+                        return edc, edc
+                    return sc["ed"][c8 : c8 + 8], sc["ad"][c8 : c8 + 8]
+
+                r_cols = []
+                if recombination:
+                    base_rev = 8 * revw_ref[k0]
+                    for e in range(8):
+                        for p_ in (0, 1):
+                            k = k0 + e
+                            s = 2 * k0 + 2 * e + p_
+                            even = p_ == 0
+                            rc = col(rev_ref_t if even else rod_ref_t, lanes_k, k)
+                            rB = (
+                                col(rBev_ref if even else rBod_ref, lanes_k, k)
+                                if analytic
+                                else None
+                            )
+                            r_cols.append(dict(
+                                rc=rc, rB=rB, ms=srow_ref[s],
+                                Ss=ph_ref[pl.ds(srow_ref[s], 1), :],
+                                rr=(ne % 8) + 15 - (2 * e + p_),
+                            ))
+
+                for c in range(nchunks):
+                    c8 = 8 * c
+
+                    if scattering:
+
+                        @pl.when(k0 < ne - c8)
+                        def _lo(c8=c8):
+                            # emission gain + absorption loss: rows j with
+                            # j + k < ne — valid while k0 < ne − c8
+                            accl = zrow8
+                            accg = zrow8
+                            win_q = qq_ref[pl.ds(base_up + c8, 16)]
+                            win_p = pp_ref[pl.ds(base_up + c8, 16)]
+                            for e in range(8):
+                                qw = win_q[e : e + 8]
+                                pw = win_p[e : e + 8]
+                                euc, auc = eu_au_chunk(e, c8)
+                                Dk = s_cols[e]["Dk"]
+                                t_em = euc * qw
+                                t_ab = auc * pw
+                                accg = accg + t_em + Dk * t_em
+                                accl = accl + Dk * t_ab
+                                if update_phonons:
+                                    pem_ref[e : e + 1] += jnp.sum(
+                                        t_em * partner[c8 : c8 + 8], axis=0, keepdims=True
+                                    )
+                                    pab_ref[e : e + 1] += jnp.sum(
+                                        t_ab * q[c8 : c8 + 8], axis=0, keepdims=True
+                                    )
+                            loss_ref[c8 : c8 + 8] += accl
+                            gain_ref[c8 : c8 + 8] += accg
+
+                        @pl.when(k0 < c8 + 8)
+                        def _hi(c8=c8):
+                            # emission loss + absorption gain: rows i ≥ k —
+                            # the run intersects the chunk iff its smallest
+                            # offset k0 is ≤ c8+7
+                            accl = zrow8
+                            accg = zrow8
+                            win_q = qq_ref[pl.ds(base_dn + c8, 16)]
+                            win_p = pp_ref[pl.ds(base_dn + c8, 16)]
+                            for e in range(8):
+                                q_dn = win_q[8 - e : 16 - e]
+                                p_dn = win_p[8 - e : 16 - e]
+                                edc, adc = ed_ad_chunk(e, c8)
+                                Dk = s_cols[e]["Dk"]
+                                em_loss = edc * p_dn
+                                accl = accl + em_loss + Dk * em_loss
+                                accg = accg + Dk * (adc * q_dn)
+                            loss_ref[c8 : c8 + 8] += accl
+                            gain_ref[c8 : c8 + 8] += accg
+
+                    if recombination:
+
+                        @pl.when((c8 + 8 > 2 * k0 - (ne - 1)) & (c8 < 2 * k0 + 16))
+                        def _rec(c8=c8):
+                            # anti-diagonal s valid on [s−ne+1, min(ne, s+1))
+                            accl = zrow8
+                            accg = zrow8
+                            win_q = qqr_ref[pl.ds(base_rev + c8, 32)]
+                            win_p = ppr_ref[pl.ds(base_rev + c8, 32)]
+                            for i_idx in range(16):
+                                rcol = r_cols[i_idx]
+                                rc = rcol["rc"][c8 : c8 + 8]
+                                if analytic:
+                                    rc = rc + rcol["rB"][c8 : c8 + 8] * g2
+                                rr = rcol["rr"]
+                                q_s = win_q[rr : rr + 8]
+                                p_s = win_p[rr : rr + 8]
+                                Ss = rcol["Ss"]
+                                t_rec = rc * q_s
+                                t_pb = rc * p_s
+                                accl = accl + t_rec + Ss * t_rec
+                                accg = accg + Ss * t_pb
+                                if update_phonons:
+                                    prec_ref[i_idx : i_idx + 1] += jnp.sum(
+                                        t_rec * q[c8 : c8 + 8], axis=0, keepdims=True
+                                    )
+                                    ppb_ref[i_idx : i_idx + 1] += jnp.sum(
+                                        t_pb * partner[c8 : c8 + 8], axis=0, keepdims=True
+                                    )
+                            loss_ref[c8 : c8 + 8] += accl
+                            gain_ref[c8 : c8 + 8] += accg
+
+                if update_phonons:
+                    if scattering:
+                        for e in range(8):
+                            dk = s_cols[e]["dk"]
+                            pe = pem_ref[e : e + 1]
+                            a_ref[pl.ds(dk, 1), :] += pe
+                            b_ref[pl.ds(dk, 1), :] += pe - pab_ref[e : e + 1]
+                    if recombination:
+                        for i_idx in range(16):
+                            ms = r_cols[i_idx]["ms"]
+                            pr = prec_ref[i_idx : i_idx + 1]
+                            a_ref[pl.ds(ms, 1), :] += 0.5 * pr
+                            b_ref[pl.ds(ms, 1), :] += 0.5 * (
+                                pr - ppb_ref[i_idx : i_idx + 1]
+                            )
+        elif hoist_loads:
             # One aligned window load per 8-offset run instead of per-offset
             # dynamic loads: within a run the up-shift base is CONSTANT
             # (k − e is a multiple of 8, so aligned(k % ne_pad) doesn't move
@@ -587,8 +780,9 @@ def build_pallas_collision_step_blocked(
                             gain,
                         )
 
-        loss_ref[:] = loss
-        gain_ref[:] = gain
+        if not row_gating:
+            loss_ref[:] = loss
+            gain_ref[:] = gain
 
         @pl.when(kb == nkb - 1)
         def _finish():
@@ -732,7 +926,17 @@ def build_pallas_collision_step_blocked(
                 pltpu.VMEM((ne_pad, tile), dtype),
                 pltpu.VMEM((nw_pad, tile), dtype),
                 pltpu.VMEM((nw_pad, tile), dtype),
-            ],
+            ]
+            + (
+                [
+                    pltpu.VMEM((8, tile), dtype),    # per-run phonon partials
+                    pltpu.VMEM((8, tile), dtype),
+                    pltpu.VMEM((16, tile), dtype),
+                    pltpu.VMEM((16, tile), dtype),
+                ]
+                if row_gating
+                else []
+            ),
             interpret=interpret,
         )(*args)
         q_out = q_new[:ne_, :p_live].reshape(ne_, ny, nx)
@@ -762,6 +966,7 @@ def build_pallas_collision_step_blocked_analytic(
     block: int = _DEFAULT_BLOCK,
     interpret: bool = False,
     hoist_loads: bool = True,
+    row_gating: bool = False,
 ):
     """Analytic-gap variant of the block-gridded kernel (NE > 64).
 
@@ -796,6 +1001,7 @@ def build_pallas_collision_step_blocked_analytic(
         block=block,
         interpret=interpret,
         hoist_loads=hoist_loads,
+        row_gating=row_gating,
         _analytic=dict(
             gap_plane=gap_plane,
             tau_s=tau_s,

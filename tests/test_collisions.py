@@ -477,13 +477,17 @@ def test_pallas_blocked_matches_xla_interpret():
             (pm.num_omega, ny, nx),
         ).copy()
     )
-    for use_s, use_r, phon, blk, hoist in (
-        (True, True, True, 8, True), (True, False, True, 8, True),
-        (False, True, True, 8, True), (True, True, False, 8, True),
-        (True, True, True, 4, True), (True, True, True, 16, True),
+    for use_s, use_r, phon, blk, hoist, gated in (
+        (True, True, True, 8, True, False), (True, False, True, 8, True, False),
+        (False, True, True, 8, True, False), (True, True, False, 8, True, False),
+        (True, True, True, 4, True, False), (True, True, True, 16, True, False),
         # per-offset load path (the fallback if Mosaic ever rejects the
         # hoisted block windows on hardware) stays correct too
-        (True, True, True, 8, False), (True, True, True, 16, False),
+        (True, True, True, 8, False, False), (True, True, True, 16, False, False),
+        # chunk-gated walk (row_gating): every channel combination + B=16
+        (True, True, True, 8, True, True), (True, False, True, 8, True, True),
+        (False, True, True, 8, True, True), (True, True, False, 8, True, True),
+        (True, True, True, 16, True, True),
     ):
         plan = build_collision_plan_arrays(
             dE=dE, rho_by_gap=rho[None],
@@ -497,11 +501,11 @@ def test_pallas_blocked_matches_xla_interpret():
             E_bins=E, dE=dE, rho=rho,
             K_s0=Ks if use_s else None, K_r0=Kr if use_r else None,
             pmap=pm, dt=0.02, update_phonons=phon, tile=128, block=blk,
-            hoist_loads=hoist, interpret=True)
+            hoist_loads=hoist, row_gating=gated, interpret=True)
         assert pal is not None
         q1, p1 = xla(q0, ph0)
         q2, p2 = pal(q0, ph0)
-        ctx = f"s={use_s} r={use_r} ph={phon} blk={blk} hoist={hoist}"
+        ctx = f"s={use_s} r={use_r} ph={phon} blk={blk} hoist={hoist} gated={gated}"
         np.testing.assert_allclose(
             np.asarray(q2), np.asarray(q1), rtol=1e-12, atol=1e-22, err_msg=ctx)
         np.testing.assert_allclose(
@@ -509,7 +513,8 @@ def test_pallas_blocked_matches_xla_interpret():
 
     # the hoisted-window base tables and static remainders depend on
     # ne mod 8 (rr = ne%8 + 15 − i; dnw/revw alignment) — cover a multiple
-    # of 8, a ≡2 and a ≡7 grid, not just ne=9 (≡1)
+    # of 8, a ≡2 and a ≡7 grid, not just ne=9 (≡1); the chunk-gated walk
+    # shares those tables and its validity predicates depend on ne too
     for ne2 in (10, 15, 16):
         E2, dE2 = build_energy_grid(180.0, 1.0, 4.0, ne2)
         pm2 = build_phonon_frequency_map(E2)
@@ -529,19 +534,20 @@ def test_pallas_blocked_matches_xla_interpret():
             pmap=pm2, enable_recombination=True, enable_scattering=True,
             update_phonons=True)
         xla = make_collision_step(plan, 0.02)
-        pal = build_pallas_collision_step_blocked(
-            E_bins=E2, dE=dE2, rho=rho2, K_s0=Ks2, K_r0=Kr2, pmap=pm2,
-            dt=0.02, update_phonons=True, tile=128, block=8,
-            hoist_loads=True, interpret=True)
-        assert pal is not None, f"ne={ne2}"
         q1, p1 = xla(q0b, ph0b)
-        q2, p2 = pal(q0b, ph0b)
-        np.testing.assert_allclose(
-            np.asarray(q2), np.asarray(q1), rtol=1e-12, atol=1e-22,
-            err_msg=f"ne={ne2}")
-        np.testing.assert_allclose(
-            np.asarray(p2), np.asarray(p1), rtol=1e-9, atol=1e-22,
-            err_msg=f"ne={ne2}")
+        for gated in (False, True):
+            pal = build_pallas_collision_step_blocked(
+                E_bins=E2, dE=dE2, rho=rho2, K_s0=Ks2, K_r0=Kr2, pmap=pm2,
+                dt=0.02, update_phonons=True, tile=128, block=8,
+                hoist_loads=True, row_gating=gated, interpret=True)
+            assert pal is not None, f"ne={ne2}"
+            q2, p2 = pal(q0b, ph0b)
+            np.testing.assert_allclose(
+                np.asarray(q2), np.asarray(q1), rtol=1e-12, atol=1e-22,
+                err_msg=f"ne={ne2} gated={gated}")
+            np.testing.assert_allclose(
+                np.asarray(p2), np.asarray(p1), rtol=1e-9, atol=1e-22,
+                err_msg=f"ne={ne2} gated={gated}")
 
 
 def test_pallas_blocked_multi_gap_matches_xla_interpret():
@@ -562,10 +568,6 @@ def test_pallas_blocked_multi_gap_matches_xla_interpret():
         dE=dE, rho_by_gap=rho, K_r0_by_gap=Kr, K_s0_by_gap=Ks, gap_id=gid, pmap=pm,
         enable_recombination=True, enable_scattering=True, update_phonons=True)
     xla = make_collision_step(plan, 0.01)
-    pal = build_pallas_collision_step_blocked(
-        E_bins=E, dE=dE, rho=rho, K_s0=Ks, K_r0=Kr, pmap=pm, dt=0.01,
-        update_phonons=True, tile=128, interpret=True, gap_id=gid)
-    assert pal is not None
     q0 = jnp.asarray(rng.uniform(0, 1e-4, (10, ny, nx)) * rho[gid].transpose(2, 0, 1))
     ph0 = jnp.asarray(
         np.broadcast_to(
@@ -574,9 +576,19 @@ def test_pallas_blocked_multi_gap_matches_xla_interpret():
         ).copy()
     )
     q1, p1 = xla(q0, ph0)
-    q2, p2 = pal(q0, ph0)
-    np.testing.assert_allclose(np.asarray(q2), np.asarray(q1), rtol=1e-12, atol=1e-22)
-    np.testing.assert_allclose(np.asarray(p2), np.asarray(p1), rtol=1e-9, atol=1e-22)
+    for gated in (False, True):
+        pal = build_pallas_collision_step_blocked(
+            E_bins=E, dE=dE, rho=rho, K_s0=Ks, K_r0=Kr, pmap=pm, dt=0.01,
+            update_phonons=True, tile=128, interpret=True, gap_id=gid,
+            row_gating=gated)
+        assert pal is not None
+        q2, p2 = pal(q0, ph0)
+        np.testing.assert_allclose(
+            np.asarray(q2), np.asarray(q1), rtol=1e-12, atol=1e-22,
+            err_msg=f"gated={gated}")
+        np.testing.assert_allclose(
+            np.asarray(p2), np.asarray(p1), rtol=1e-9, atol=1e-22,
+            err_msg=f"gated={gated}")
 
 
 def test_pallas_blocked_asymmetric_ks_interpret():
@@ -608,14 +620,20 @@ def test_pallas_blocked_asymmetric_ks_interpret():
         gap_id=np.zeros((ny, nx), np.int32), pmap=pm,
         enable_recombination=True, enable_scattering=True, update_phonons=True)
     xla = make_collision_step(plan, 0.02)
-    pal = build_pallas_collision_step_blocked(
-        E_bins=E, dE=dE, rho=rho, K_s0=Ks, K_r0=Kr, pmap=pm, dt=0.02,
-        update_phonons=True, tile=128, block=8, interpret=True)
-    assert pal is not None
     q1, p1 = xla(q0, ph0)
-    q2, p2 = pal(q0, ph0)
-    np.testing.assert_allclose(np.asarray(q2), np.asarray(q1), rtol=1e-12, atol=1e-22)
-    np.testing.assert_allclose(np.asarray(p2), np.asarray(p1), rtol=1e-9, atol=1e-22)
+    for gated in (False, True):
+        pal = build_pallas_collision_step_blocked(
+            E_bins=E, dE=dE, rho=rho, K_s0=Ks, K_r0=Kr, pmap=pm, dt=0.02,
+            update_phonons=True, tile=128, block=8, row_gating=gated,
+            interpret=True)
+        assert pal is not None
+        q2, p2 = pal(q0, ph0)
+        np.testing.assert_allclose(
+            np.asarray(q2), np.asarray(q1), rtol=1e-12, atol=1e-22,
+            err_msg=f"gated={gated}")
+        np.testing.assert_allclose(
+            np.asarray(p2), np.asarray(p1), rtol=1e-9, atol=1e-22,
+            err_msg=f"gated={gated}")
 
 
 def test_pallas_blocked_envelope_refusals():
@@ -725,6 +743,17 @@ def test_pallas_blocked_analytic_matches_analytic_and_xla_interpret():
             np.asarray(q3), np.asarray(q1), rtol=1e-9, atol=1e-22, err_msg=ctx)
         np.testing.assert_allclose(
             np.asarray(p3), np.asarray(p1), rtol=1e-7, atol=1e-22, err_msg=ctx)
+        # chunk-gated walk: per-pixel analytic coefficients evaluated only
+        # on valid (8-row) chunks — must still match exactly
+        blk_g = build_pallas_collision_step_blocked_analytic(
+            E_bins=E, dE=dE, gap_plane=gap_plane, pmap=pm, dt=0.015,
+            tau_s=tau_s, tau_r=tau_r, T_c=tc, dynes_gamma=gamma,
+            update_phonons=True, tile=128, row_gating=True, interpret=True)
+        q4, p4 = blk_g(q0, ph0)
+        np.testing.assert_allclose(
+            np.asarray(q4), np.asarray(q3), rtol=1e-13, atol=1e-26, err_msg=ctx)
+        np.testing.assert_allclose(
+            np.asarray(p4), np.asarray(p3), rtol=1e-13, atol=1e-26, err_msg=ctx)
 
     # arg-mode: the plane arrives at call time (sharded-caller contract)
     blk_arg = build_pallas_collision_step_blocked_analytic(
