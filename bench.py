@@ -10,8 +10,11 @@ Timing methodology: the axon TPU tunnel's ``block_until_ready`` does not
 reliably synchronise, so every timed region ends by forcing a scalar value
 off the device.  Work is issued as one fused ``lax.scan`` chunk per timing
 bracket (per-dispatch tunnel latency is ~30 ms and would otherwise dominate);
-chunk lengths are sized so that amortized tunnel latency stays well under 5%
-of the reported per-step number (measured: ~29 ms fixed per bracket).
+chunk lengths are sized so that amortized tunnel latency stays under ~2%
+of the reported per-step number (measured: ~29 ms fixed per bracket, so
+L ≳ 29 ms / (0.02 · t_step) — e.g. 20000 steps for the ~76 µs scalar ADI
+step).  Wall-clock metrics (MKID pulse, engine store runs) keep the fixed
+cost: a real user's single dispatch pays it too.
 
 Baselines (``vs_baseline`` denominators) measured against the reference
 implementation on this machine (scipy SuperLU CN + per-pixel Python
@@ -116,7 +119,7 @@ def _best_diffusion(op, dtype):
     return ADIDiffusion(op, dtype)
 
 
-def bench_scalar_cn_1024(n=1024, length=2000) -> float:
+def bench_scalar_cn_1024(n=1024, length=20000) -> float:
     """Headline: 2D CN (fused Pallas PR-ADI on TPU) on a full 1024² film."""
     import jax
     import jax.numpy as jnp
@@ -193,7 +196,7 @@ def _coupled_pieces(ny, nx, ne, dt, dtype):
     return diff_step, diff_aux, col_half, q0, ph0
 
 
-def bench_coupled_2d(ny=256, nx=256, ne=16, length=1000) -> dict:
+def bench_coupled_2d(ny=256, nx=256, ne=16, length=6000) -> dict:
     """Full Strang step (pallas collisions + ADI diffusion), 2D energy-resolved."""
     import jax
     import jax.numpy as jnp
@@ -222,7 +225,7 @@ def bench_coupled_2d(ny=256, nx=256, ne=16, length=1000) -> dict:
     }
 
 
-def bench_masked_512(n: int = 512, length: int = 2000) -> dict:
+def bench_masked_512(n: int = 512, length: int = 80000) -> dict:
     """Driver config #3: ADI CN on a masked 512² donut, absorbing/reflective."""
     import jax
     import jax.numpy as jnp
@@ -258,7 +261,7 @@ def bench_masked_512(n: int = 512, length: int = 2000) -> dict:
     return {"masked_512_cell_steps_per_s": n * n / per_step}
 
 
-def bench_coupled_full_scale(length: int = 200, n: int = 1024, ne: int = 16) -> dict:
+def bench_coupled_full_scale(length: int = 600, n: int = 1024, ne: int = 16) -> dict:
     """Driver config #5 scale: full coupled physics at 1024² × 16 bins,
     WITH external generation active (the pulse-injection workloads that
     care about speed, VERDICT r2 item 2).
@@ -336,7 +339,7 @@ def bench_coupled_full_scale(length: int = 200, n: int = 1024, ne: int = 16) -> 
     }
 
 
-def bench_rooflines(n=1024, ne=16, length=400) -> dict:
+def bench_rooflines(n=1024, ne=16, length=1200, adi_length=2400) -> dict:
     """Standalone collision-substep and fused-ADI timings at 1024²×16 with
     machine-checked roofline fractions (VERDICT r1 item 6: the peak-fraction
     claims must be reproducible from bench output, not prose)."""
@@ -361,11 +364,11 @@ def bench_rooflines(n=1024, ne=16, length=400) -> dict:
     @jax.jit
     def adi_chunk_a(u, daux):
         return jax.lax.scan(
-            lambda c, _: (diff_step(c, daux), None), u, None, length=length, unroll=32
+            lambda c, _: (diff_step(c, daux), None), u, None, length=adi_length, unroll=32
         )[0]
 
     adi_chunk = lambda u: adi_chunk_a(u, diff_aux)
-    per_adi, _ = _timed_chunk(adi_chunk, q0, length, f"fused ADI {n}^2x{ne}")
+    per_adi, _ = _timed_chunk(adi_chunk, q0, adi_length, f"fused ADI {n}^2x{ne}")
     bps = adi_traffic_bytes_model(ne, n, n) / per_adi
     out = {
         "collision_substep_1024_ms": per_sub * 1e3,
@@ -382,7 +385,7 @@ def bench_rooflines(n=1024, ne=16, length=400) -> dict:
     return out
 
 
-def bench_sharded_overhead_1dev(ny=256, nx=256, ne=16, length=1000) -> dict:
+def bench_sharded_overhead_1dev(ny=256, nx=256, ne=16, length=6000) -> dict:
     """shard_map + collective lowering overhead on REAL hardware (VERDICT r2
     item 6): the mesh-path coupled step on a 1-device TPU mesh vs the plain
     single-chip composition at 256²×16.  The only honest multi-chip perf
@@ -462,7 +465,7 @@ def bench_sharded_overhead_1dev(ny=256, nx=256, ne=16, length=1000) -> dict:
     return out
 
 
-def bench_collisions_50bin(ny=256, nx=256, ne=50, length=200) -> dict:
+def bench_collisions_50bin(ny=256, nx=256, ne=50, length=3000) -> dict:
     """Reference-default energy resolution (50 bins, solver.py:999 defaults):
     collision substeps via the pair-unrolled Pallas kernel (cap 64 bins)."""
     import jax
@@ -509,7 +512,7 @@ def bench_collisions_50bin(ny=256, nx=256, ne=50, length=200) -> dict:
     }
 
 
-def bench_collisions_100bin(ny=256, nx=256, ne=100, length=200) -> dict:
+def bench_collisions_100bin(ny=256, nx=256, ne=100, length=300) -> dict:
     """Beyond the pair-unroll envelope (VERDICT r1 item 7): 100 bins rides
     the block-gridded kernel — NE-independent Mosaic compile (~6 s warm vs
     61 s fori_loop) at 1.7x the fori_loop kernel's throughput."""
@@ -555,7 +558,7 @@ def bench_collisions_100bin(ny=256, nx=256, ne=100, length=200) -> dict:
     return {"collisions_100bin_ms_per_substep": per_step * 1e3}
 
 
-def bench_analytic_gap_100bin(ny=256, nx=256, ne=100, length=200) -> dict:
+def bench_analytic_gap_100bin(ny=256, nx=256, ne=100, length=240) -> dict:
     """Continuous gap map beyond the pair-unroll cap: the blocked analytic
     kernel evaluates exact per-pixel kernels from Δ² on the sequential
     Pallas grid — the only fast path there (per-unique-gap stacks are
@@ -598,7 +601,7 @@ def bench_analytic_gap_100bin(ny=256, nx=256, ne=100, length=200) -> dict:
     return {"analytic_gap_100bin_ms_per_substep": per_step * 1e3}
 
 
-def bench_analytic_gap(ny=256, nx=256, ne=16, length=1000) -> dict:
+def bench_analytic_gap(ny=256, nx=256, ne=16, length=16000) -> dict:
     """Continuous gap map (every pixel a distinct gap): the analytic-gap
     kernel evaluates exact per-pixel kernels from Δ² — no per-gap tables."""
     import jax
@@ -637,7 +640,7 @@ def bench_analytic_gap(ny=256, nx=256, ne=16, length=1000) -> dict:
     return {"analytic_gap_ms_per_substep": per_step * 1e3}
 
 
-def bench_1d_64bin(nx=4096, ne=64, length=200) -> dict:
+def bench_1d_64bin(nx=4096, ne=64, length=8000) -> dict:
     """Driver config #4: energy-resolved collision integrals, 64 bins × 1D
     space (loop-kernel collisions + ADI diffusion, coupled phonons)."""
     import jax
@@ -664,7 +667,7 @@ def bench_1d_64bin(nx=4096, ne=64, length=200) -> dict:
     }
 
 
-def bench_ensemble_sweep(n_members=32, member=(64, 64), ne=8, length=1000) -> dict:
+def bench_ensemble_sweep(n_members=32, member=(64, 64), ne=8, length=2500) -> dict:
     """32-member coupled parameter sweep as one super-grid (pallas collisions)."""
     import jax
     import jax.numpy as jnp
@@ -898,7 +901,7 @@ def main() -> None:
         "masked_512": dict(n=64, length=8),
         "coupled_2d": dict(ny=16, nx=16, ne=6, length=4),
         "coupled_full_scale": dict(n=32, ne=6, length=4),
-        "rooflines": dict(n=32, ne=6, length=4),
+        "rooflines": dict(n=32, ne=6, length=4, adi_length=4),
         "sharded_overhead": dict(ny=16, nx=16, ne=4, length=4),
         "collisions_50bin": dict(ny=8, nx=8, ne=12, length=3),
         "collisions_100bin": dict(ny=8, nx=8, ne=72, length=2),
