@@ -162,6 +162,32 @@ def _cmd_export_gds(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_view(args: argparse.Namespace) -> int:
+    from .io.storage import load_simulation
+    from .ui.playback import export_simulation_images
+
+    sim_path = Path(args.simulation)
+    result = load_simulation(sim_path)
+    out_dir = Path(args.out) if args.out else sim_path.parent / (sim_path.stem + "_frames")
+    written = export_simulation_images(
+        result,
+        out_dir,
+        frames=args.frames,
+        phonons=args.phonons,
+        energy_bin=args.bin,
+        mass=not args.no_mass,
+        cmap=args.cmap,
+        dpi=args.dpi,
+    )
+    print(
+        f"simulation '{result.setup_name}' ({result.simulation_id}): "
+        f"{len(result.frames)} stored frames, t = {result.times[0]:.6g}"
+        f"..{result.times[-1]:.6g} ns"
+    )
+    print(f"wrote {len(written)} images -> {out_dir}")
+    return 0
+
+
 def _cmd_bench(args: argparse.Namespace) -> int:
     repo_root = Path(__file__).resolve().parent.parent
     sys.path.insert(0, str(repo_root))
@@ -242,6 +268,32 @@ def build_parser() -> argparse.ArgumentParser:
     eg.add_argument("output", help="output .gds path")
     eg.add_argument("--layer", type=int, default=1)
     eg.set_defaults(fn=_cmd_export_gds)
+
+    vw = sub.add_parser(
+        "view",
+        help="render a saved simulation to PNG images (headless viewer)",
+    )
+    vw.add_argument("simulation", help="path to a simulation .json")
+    vw.add_argument("--out", help="output directory (default: <sim>_frames/)")
+    vw.add_argument(
+        "--frames",
+        default="all",
+        help="which stored frames: 'all', 'last', 'first', '0,3,-1', or a "
+        "start:stop:step slice (default: all)",
+    )
+    vw.add_argument(
+        "--phonons", action="store_true", help="also render phonon frames"
+    )
+    vw.add_argument(
+        "--bin",
+        type=int,
+        default=None,
+        help="also render one energy bin's spectral-density frames",
+    )
+    vw.add_argument("--no-mass", action="store_true", help="skip the mass-trace plot")
+    vw.add_argument("--cmap", default="inferno")
+    vw.add_argument("--dpi", type=int, default=110)
+    vw.set_defaults(fn=_cmd_view)
 
     b = sub.add_parser("bench", help="run the headline benchmark (prints one JSON line)")
     b.set_defaults(fn=_cmd_bench)

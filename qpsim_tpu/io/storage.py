@@ -83,8 +83,9 @@ def _coerce_bool(val: Any) -> bool:
     return bool(val)
 
 
-def _write_json(path: Path, payload: dict[str, Any]) -> Path:
+def _write_json(path: Path | str, payload: dict[str, Any]) -> Path:
     ensure_data_dirs()
+    path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
     path.write_text(json.dumps(payload, indent=2), encoding="utf-8")
     return path

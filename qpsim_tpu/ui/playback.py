@@ -13,7 +13,16 @@ import numpy as np
 from ..io.storage import frame_from_jsonable
 from ..models.params import SimulationResultData, TestCaseResultData
 
-__all__ = ["PlaybackState", "render_heatmap", "render_line1d", "render_timeseries", "result_frames"]
+__all__ = [
+    "PlaybackState",
+    "export_simulation_images",
+    "render_heatmap",
+    "render_line1d",
+    "render_mass_trace",
+    "render_timeseries",
+    "result_frames",
+    "select_frame_indices",
+]
 
 
 @dataclass
@@ -91,3 +100,135 @@ def render_timeseries(ax, case: TestCaseResultData):
     ax.set_title(case.title)
     ax.legend(loc="best")
     return ax
+
+
+def render_mass_trace(ax, result: SimulationResultData):
+    """Total QP mass Σn·dx² over the stored times."""
+    ax.clear()
+    ax.plot(np.asarray(result.times), np.asarray(result.mass_over_time), "-", lw=1.5)
+    ax.set_xlabel("t [ns]")
+    ax.set_ylabel("total mass")
+    ax.set_title(f"{result.setup_name}: mass over time")
+    return ax
+
+
+def select_frame_indices(num_frames: int, spec: str) -> list[int]:
+    """Resolve a frame-selection spec against ``num_frames`` stored frames.
+
+    Accepted forms: ``all``, ``last``, ``first``, a comma list of indices
+    (negatives count from the end), or a ``start:stop:step`` slice with
+    python semantics (any part may be empty).
+    """
+    spec = (spec or "all").strip()
+    if num_frames <= 0:
+        return []
+    if spec == "all":
+        return list(range(num_frames))
+    if spec == "last":
+        return [num_frames - 1]
+    if spec == "first":
+        return [0]
+    if ":" in spec:
+        parts = spec.split(":")
+        if len(parts) > 3:
+            raise ValueError(f"bad frame slice {spec!r}")
+        ints = [int(p) if p.strip() else None for p in parts]
+        while len(ints) < 3:
+            ints.append(None)
+        return list(range(num_frames))[slice(*ints)]
+    out = []
+    for tok in spec.split(","):
+        idx = int(tok)
+        if idx < 0:
+            idx += num_frames
+        if not 0 <= idx < num_frames:
+            raise ValueError(f"frame index {tok} out of range (0..{num_frames - 1})")
+        out.append(idx)
+    return out
+
+
+def export_simulation_images(
+    result: SimulationResultData,
+    out_dir,
+    *,
+    frames: str = "all",
+    phonons: bool = False,
+    energy_bin: int | None = None,
+    mass: bool = True,
+    cmap: str = "inferno",
+    dpi: int = 110,
+) -> list:
+    """Render a saved simulation to PNG files — the headless counterpart of
+    the Tk viewers (SimulationViewer / PhononViewer playback windows).
+
+    Writes ``frame_NNNN.png`` per selected stored frame (color scale fixed
+    to the run's ``color_limits``, like the GUI viewer), optionally
+    ``phonon_NNNN.png`` (energy-integrated phonon frames), optionally
+    ``bin<B>_NNNN.png`` (one energy bin's spectral density from
+    ``energy_frames``), and ``mass.png``. Returns the written paths.
+
+    Uses matplotlib's object API directly (no pyplot, no backend state), so
+    it works on displayless TPU hosts.
+    """
+    from pathlib import Path
+
+    from matplotlib.figure import Figure
+
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    written: list = []
+
+    def _save(draw, path):
+        fig = Figure(figsize=(6.0, 4.8))
+        draw(fig.add_subplot(111))
+        fig.savefig(path, dpi=dpi, bbox_inches="tight")
+        written.append(path)
+
+    idxs = select_frame_indices(len(result.frames), frames)
+    clim = tuple(result.color_limits) if result.color_limits else None
+    decoded = result_frames(result)
+    for i in idxs:
+        title = f"t = {result.times[i]:.6g} ns"
+        _save(
+            lambda ax, f=decoded[i], t=title: render_heatmap(
+                ax, f, clim=clim, title=t, cmap=cmap
+            ),
+            out / f"frame_{i:04d}.png",
+        )
+
+    if energy_bin is not None:
+        if not result.energy_frames:
+            raise ValueError("simulation stores no energy-resolved frames")
+        nbins = len(result.energy_frames[0])
+        if not 0 <= energy_bin < nbins:
+            raise ValueError(f"energy bin {energy_bin} out of range (0..{nbins - 1})")
+        e_label = (
+            f"E = {result.energy_bins[energy_bin]:.4g} µeV"
+            if result.energy_bins
+            else f"bin {energy_bin}"
+        )
+        for i in idxs:
+            fr = frame_from_jsonable(result.energy_frames[i][energy_bin])
+            _save(
+                lambda ax, f=fr, t=f"{e_label}, t = {result.times[i]:.6g} ns": render_heatmap(
+                    ax, f, title=t, cmap=cmap
+                ),
+                out / f"bin{energy_bin}_{i:04d}.png",
+            )
+
+    if phonons:
+        if not result.phonon_frames:
+            raise ValueError("simulation stores no phonon frames")
+        ph_idxs = select_frame_indices(len(result.phonon_frames), frames)
+        for i in ph_idxs:
+            fr = frame_from_jsonable(result.phonon_frames[i])
+            _save(
+                lambda ax, f=fr, t=f"phonons, t = {result.times[i]:.6g} ns": render_heatmap(
+                    ax, f, title=t, cmap="viridis"
+                ),
+                out / f"phonon_{i:04d}.png",
+            )
+
+    if mass:
+        _save(lambda ax: render_mass_trace(ax, result), out / "mass.png")
+    return written

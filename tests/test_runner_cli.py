@@ -144,3 +144,68 @@ def test_cli_export_gds_round_trip(tmp_path, capsys):
         (np.arange(mask.shape[0]) + 0.5) * dx,
     )
     np.testing.assert_array_equal(back, mask)
+
+
+def test_select_frame_indices_specs():
+    from qpsim_tpu.ui.playback import select_frame_indices
+
+    assert select_frame_indices(5, "all") == [0, 1, 2, 3, 4]
+    assert select_frame_indices(5, "last") == [4]
+    assert select_frame_indices(5, "first") == [0]
+    assert select_frame_indices(5, "0,2,-1") == [0, 2, 4]
+    assert select_frame_indices(5, "1:4") == [1, 2, 3]
+    assert select_frame_indices(5, "::2") == [0, 2, 4]
+    assert select_frame_indices(0, "all") == []
+    with pytest.raises(ValueError):
+        select_frame_indices(5, "7")
+    with pytest.raises(ValueError):
+        select_frame_indices(5, "1:2:3:4")
+
+
+def test_cli_view_renders_pngs(tmp_path, capsys):
+    setup = _setup(export_phonons=True)
+    setup_path = save_setup(setup, tmp_path / "s.json")
+    sim_path = tmp_path / "sim.json"
+    rc = cli_main(["run", str(setup_path), "--output", str(sim_path)])
+    assert rc == 0
+    capsys.readouterr()
+
+    out_dir = tmp_path / "imgs"
+    rc = cli_main([
+        "view", str(sim_path), "--out", str(out_dir),
+        "--frames", "0,-1", "--phonons", "--bin", "0",
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0 and "wrote" in out
+    result = load_simulation(sim_path)
+    last = len(result.frames) - 1
+    expected = {
+        f"frame_{0:04d}.png", f"frame_{last:04d}.png",
+        f"phonon_{0:04d}.png", f"phonon_{last:04d}.png",
+        f"bin0_{0:04d}.png", f"bin0_{last:04d}.png",
+        "mass.png",
+    }
+    assert {p.name for p in out_dir.iterdir()} == expected
+    for p in out_dir.iterdir():
+        assert p.read_bytes()[:8] == b"\x89PNG\r\n\x1a\n", p
+
+    # default output dir + frame subset, no phonons/mass
+    rc = cli_main(["view", str(sim_path), "--frames", "last", "--no-mass"])
+    assert rc == 0
+    default_dir = sim_path.parent / "sim_frames"
+    assert sorted(p.name for p in default_dir.iterdir()) == [f"frame_{last:04d}.png"]
+
+
+def test_cli_view_errors(tmp_path, capsys):
+    setup = _setup(export_phonons=False)
+    setup_path = save_setup(setup, tmp_path / "s.json")
+    sim_path = tmp_path / "sim.json"
+    assert cli_main(["run", str(setup_path), "--output", str(sim_path)]) == 0
+    capsys.readouterr()
+    # no phonon frames stored -> clean CLI error, not a traceback
+    rc = cli_main(["view", str(sim_path), "--out", str(tmp_path / "o"), "--phonons"])
+    assert rc == 2
+    assert "phonon" in capsys.readouterr().err
+    rc = cli_main(["view", str(sim_path), "--out", str(tmp_path / "o2"), "--bin", "99"])
+    assert rc == 2
+    assert "bin" in capsys.readouterr().err
