@@ -914,21 +914,28 @@ def main() -> None:
     }
 
     errors: dict[str, str] = {}
+    # Stage ORDER is evidence priority, not logical grouping: if the tunnel
+    # is slow enough that the watchdog fires mid-run, the partial payload
+    # should already hold the driver-contract metrics (headline cell-steps/s,
+    # MKID pulse wall-clock — BASELINE.json) and the VERDICT done-criteria
+    # (flagship coupled step, roofline witnesses, sharded overhead, snapshot
+    # overlap) before the long-compile tails (NE=64 Mosaic ~2 min cold,
+    # ensembles) get their turn.
     stages = [
         ("scalar_cn_1024", _headline),
-        ("masked_512", bench_masked_512),
-        ("coupled_2d", bench_coupled_2d),
+        ("mkid_pulse", bench_mkid_pulse),
         ("coupled_full_scale", bench_coupled_full_scale),
         ("rooflines", bench_rooflines),
         ("sharded_overhead", bench_sharded_overhead_1dev),
-        ("collisions_50bin", bench_collisions_50bin),
+        ("snapshot_overlap", bench_engine_snapshot_overlap),
         ("collisions_100bin", bench_collisions_100bin),
+        ("collisions_50bin", bench_collisions_50bin),
+        ("coupled_2d", bench_coupled_2d),
+        ("masked_512", bench_masked_512),
         ("analytic_gap", bench_analytic_gap),
         ("analytic_gap_100bin", bench_analytic_gap_100bin),
         ("coupled_1d_64bin", bench_1d_64bin),
         ("ensemble_sweep", bench_ensemble_sweep),
-        ("mkid_pulse", bench_mkid_pulse),
-        ("snapshot_overlap", bench_engine_snapshot_overlap),
     ]
     for name, fn in stages:
         try:
