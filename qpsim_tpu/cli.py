@@ -188,6 +188,35 @@ def _cmd_view(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_view_tests(args: argparse.Namespace) -> int:
+    from .io.storage import load_test_geometry_group, load_test_suite
+    from .ui.playback import export_case_images
+
+    manifest = Path(args.manifest)
+    suite = load_test_suite(manifest, load_group_cases=False)
+    out_root = Path(args.out) if args.out else manifest.parent / (manifest.stem + "_images")
+    total = 0
+    for group in suite.geometry_groups:
+        if args.group and group.geometry_id != args.group:
+            continue
+        cases = group.cases or load_test_geometry_group(manifest, group.geometry_id).cases
+        for case in cases:
+            if args.case and args.case.lower() not in case.title.lower() \
+                    and args.case != case.case_id:
+                continue
+            dest = out_root / group.geometry_id / case.case_id
+            written = export_case_images(case, dest, frames=args.frames, dpi=args.dpi)
+            total += len(written)
+            print(f"  {group.geometry_id}/{case.case_id}: {len(written)} images")
+    if not total:
+        raise ValueError(
+            f"no cases matched (group={args.group!r}, case={args.case!r}); "
+            f"groups: {[g.geometry_id for g in suite.geometry_groups]}"
+        )
+    print(f"wrote {total} images -> {out_root}")
+    return 0
+
+
 def _cmd_bench(args: argparse.Namespace) -> int:
     repo_root = Path(__file__).resolve().parent.parent
     sys.path.insert(0, str(repo_root))
@@ -294,6 +323,18 @@ def build_parser() -> argparse.ArgumentParser:
     vw.add_argument("--cmap", default="inferno")
     vw.add_argument("--dpi", type=int, default=110)
     vw.set_defaults(fn=_cmd_view)
+
+    vt = sub.add_parser(
+        "view-tests",
+        help="render analytic-suite cases (simulated vs analytic) to PNGs",
+    )
+    vt.add_argument("manifest", help="test-suite manifest .json (see gen-tests)")
+    vt.add_argument("--out", help="output root (default: <manifest>_images/)")
+    vt.add_argument("--group", help="only this geometry_id")
+    vt.add_argument("--case", help="only cases whose title contains this (or exact case_id)")
+    vt.add_argument("--frames", default="last", help="frame selection per case (default: last)")
+    vt.add_argument("--dpi", type=int, default=110)
+    vt.set_defaults(fn=_cmd_view_tests)
 
     b = sub.add_parser("bench", help="run the headline benchmark (prints one JSON line)")
     b.set_defaults(fn=_cmd_bench)

@@ -15,6 +15,7 @@ from ..models.params import SimulationResultData, TestCaseResultData
 
 __all__ = [
     "PlaybackState",
+    "export_case_images",
     "export_simulation_images",
     "render_heatmap",
     "render_line1d",
@@ -231,4 +232,61 @@ def export_simulation_images(
 
     if mass:
         _save(lambda ax: render_mass_trace(ax, result), out / "mass.png")
+    return written
+
+
+def export_case_images(
+    case: TestCaseResultData,
+    out_dir,
+    *,
+    frames: str = "all",
+    dpi: int = 110,
+) -> list:
+    """Render one analytic test case to PNGs — headless counterpart of the
+    suite case viewers.  Dispatches on the case's ``view_mode`` metadata:
+    ``timeseries`` writes a single n(t) comparison, ``heatmap2d`` writes
+    per-frame simulated|analytic panel pairs on a shared color scale (the
+    reference's HeatmapTestSuiteViewer layout, main_app.py:754-757), and
+    ``line1d`` (default) writes per-frame profile comparisons."""
+    from pathlib import Path
+
+    from matplotlib.figure import Figure
+
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    written: list = []
+    view_mode = str(case.metadata.get("view_mode", "line1d"))
+
+    if view_mode == "timeseries":
+        fig = Figure(figsize=(6.0, 4.8))
+        render_timeseries(fig.add_subplot(111), case)
+        path = out / "timeseries.png"
+        fig.savefig(path, dpi=dpi, bbox_inches="tight")
+        return [path]
+
+    idxs = select_frame_indices(len(case.times), frames)
+    if view_mode == "heatmap2d":
+        sim_frames = [frame_from_jsonable(case.simulated[i]) for i in idxs]
+        ana_frames = [frame_from_jsonable(case.analytic[i]) for i in idxs]
+        finite = [f[np.isfinite(f)] for f in (*sim_frames, *ana_frames)]
+        vals = np.concatenate([f for f in finite if f.size]) if finite else np.zeros(1)
+        clim = (float(vals.min()), float(vals.max())) if vals.size else None
+        for k, i in enumerate(idxs):
+            fig = Figure(figsize=(9.6, 4.2))
+            t = f"t = {case.times[i]:.4g} ns"
+            render_heatmap(fig.add_subplot(121), sim_frames[k], clim=clim,
+                           title=f"simulated — {t}")
+            render_heatmap(fig.add_subplot(122), ana_frames[k], clim=clim,
+                           title=f"analytic — {t}")
+            path = out / f"frame_{i:04d}.png"
+            fig.savefig(path, dpi=dpi, bbox_inches="tight")
+            written.append(path)
+        return written
+
+    for i in idxs:
+        fig = Figure(figsize=(6.0, 4.8))
+        render_line1d(fig.add_subplot(111), case, i)
+        path = out / f"frame_{i:04d}.png"
+        fig.savefig(path, dpi=dpi, bbox_inches="tight")
+        written.append(path)
     return written

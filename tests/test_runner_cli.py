@@ -209,3 +209,91 @@ def test_cli_view_errors(tmp_path, capsys):
     rc = cli_main(["view", str(sim_path), "--out", str(tmp_path / "o2"), "--bin", "99"])
     assert rc == 2
     assert "bin" in capsys.readouterr().err
+
+
+def _tiny_suite():
+    from qpsim_tpu.models.params import (
+        TestCaseResultData,
+        TestGeometryGroupData,
+        TestSuiteData,
+    )
+
+    def case(cid, mode, simulated, analytic, x, times):
+        return TestCaseResultData(
+            case_id=cid, title=f"case {cid}", boundary_label="reflective",
+            formula_latex="n(x,t)", initial_condition_latex="n_0",
+            description="tiny", x=x, times=times,
+            simulated=simulated, analytic=analytic,
+            metadata={"view_mode": mode},
+        )
+
+    line = case(
+        "line_a", "line1d",
+        [[1.0, 2.0, 1.0], [0.5, 1.0, 0.5]], [[1.0, 2.0, 1.0], [0.5, 1.0, 0.5]],
+        [0.0, 1.0, 2.0], [0.0, 1.0],
+    )
+    heat = case(
+        "heat_a", "heatmap2d",
+        [[[1.0, None], [2.0, 3.0]], [[0.5, None], [1.0, 1.5]]],
+        [[[1.0, None], [2.0, 3.0]], [[0.5, None], [1.0, 1.5]]],
+        [0.0, 1.0], [0.0, 1.0],
+    )
+    ts = case(
+        "ts_a", "timeseries",
+        [[3.0, 2.0, 1.5, 1.2]], [[3.0, 2.0, 1.5, 1.2]],
+        [0.0, 0.5, 1.0, 1.5], [1.5],
+    )
+    groups = [
+        TestGeometryGroupData(
+            geometry_id="strip", title="strip", description="", view_mode="line1d",
+            preview_mask=[[1]], cases=[line], case_count=1,
+        ),
+        TestGeometryGroupData(
+            geometry_id="rect", title="rect", description="", view_mode="heatmap2d",
+            preview_mask=[[1]], cases=[heat], case_count=1,
+        ),
+        TestGeometryGroupData(
+            geometry_id="ode", title="ode", description="", view_mode="timeseries",
+            preview_mask=[[1]], cases=[ts], case_count=1,
+        ),
+    ]
+    return TestSuiteData(
+        suite_id="abc123def456", created_at="2026-08-18T00:00:00+00:00",
+        cases=[line, heat, ts], geometry_groups=groups,
+    )
+
+
+def test_cli_view_tests_renders_all_modes(tmp_path, capsys):
+    from qpsim_tpu.io.storage import save_test_suite
+
+    manifest = save_test_suite(_tiny_suite(), tmp_path / "suite.json")
+    out = tmp_path / "imgs"
+    rc = cli_main(["view-tests", str(manifest), "--out", str(out), "--frames", "all"])
+    assert rc == 0
+    assert "wrote" in capsys.readouterr().out
+    names = {str(p.relative_to(out)) for p in out.rglob("*.png")}
+    assert names == {
+        "strip/line_a/frame_0000.png", "strip/line_a/frame_0001.png",
+        "rect/heat_a/frame_0000.png", "rect/heat_a/frame_0001.png",
+        "ode/ts_a/timeseries.png",
+    }
+    for p in out.rglob("*.png"):
+        assert p.read_bytes()[:8] == b"\x89PNG\r\n\x1a\n"
+
+    # group + case filters; lazy group loading path (load_group_cases=False)
+    out2 = tmp_path / "imgs2"
+    rc = cli_main([
+        "view-tests", str(manifest), "--out", str(out2),
+        "--group", "rect", "--case", "heat_a",
+    ])
+    capsys.readouterr()
+    assert rc == 0
+    assert {str(p.relative_to(out2)) for p in out2.rglob("*.png")} == {
+        "rect/heat_a/frame_0001.png"  # default --frames last
+    }
+
+    # non-matching filter -> clean CLI error
+    rc = cli_main(["view-tests", str(manifest), "--out", str(tmp_path / "x"),
+                   "--group", "nope"])
+    assert rc == 2
+    assert "no cases matched" in capsys.readouterr().err
