@@ -13,11 +13,10 @@ x = (col + 0.5)/nx, y = (row + 0.5)/ny.
 
 from __future__ import annotations
 
-from typing import Any, Callable
+from typing import Any
 
 import numpy as np
 
-from .constants import K_B_UEV_PER_K, OCCUPATION_EXP_CLIP
 from .expr.safe_eval import compile_safe_expression
 from .models.params import InitialConditionSpec
 from .ops.dos import bose_einstein_occupation, thermal_qp_weights

@@ -37,7 +37,6 @@ K^s_eff dresses the base kernel with the *local, dynamic* phonon occupation:
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 
 import jax
 import jax.numpy as jnp

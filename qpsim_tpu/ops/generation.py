@@ -15,7 +15,7 @@ Two evaluation strategies (reference behaviour:
 
 from __future__ import annotations
 
-from typing import Any, Callable
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

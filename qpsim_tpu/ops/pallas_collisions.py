@@ -34,7 +34,6 @@ module's docstring); parity is tested in interpret mode and on hardware.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 
 import jax
 import jax.numpy as jnp

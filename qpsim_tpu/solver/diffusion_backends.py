@@ -26,7 +26,6 @@ Both backends treat masked-out cells as inert identity rows.
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

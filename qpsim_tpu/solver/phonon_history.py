@@ -7,7 +7,6 @@ aligned to the stored times (reference ``/root/reference/qpsim/solver.py:373-426
 
 from __future__ import annotations
 
-from typing import Any
 
 import numpy as np
 

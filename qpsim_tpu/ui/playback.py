@@ -6,7 +6,7 @@ viewers (TkAgg) and headless tests (Agg).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

@@ -9,7 +9,6 @@ live preview.
 
 from __future__ import annotations
 
-import queue
 import tkinter as tk
 from pathlib import Path
 from tkinter import filedialog, messagebox, simpledialog
@@ -36,7 +35,7 @@ from .dialogs import (
     show_material_reference,
 )
 from .run_worker import SimulationWorker
-from .theme import FONT_TITLE, PALETTE
+from .theme import PALETTE
 from .viewers import PhononViewer, SimulationViewer
 
 __all__ = ["SetupEditor"]
