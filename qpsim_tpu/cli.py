@@ -179,6 +179,12 @@ def _cmd_view(args: argparse.Namespace) -> int:
         cmap=args.cmap,
         dpi=args.dpi,
     )
+    if args.gif:
+        from .ui.playback import write_gif
+
+        frame_pngs = sorted(p for p in written if p.name.startswith("frame_"))
+        gif = write_gif(frame_pngs, out_dir / "movie.gif", fps=args.fps)
+        written.append(gif)
     print(
         f"simulation '{result.setup_name}' ({result.simulation_id}): "
         f"{len(result.frames)} stored frames, t = {result.times[0]:.6g}"
@@ -320,6 +326,10 @@ def build_parser() -> argparse.ArgumentParser:
         help="also render one energy bin's spectral-density frames",
     )
     vw.add_argument("--no-mass", action="store_true", help="skip the mass-trace plot")
+    vw.add_argument(
+        "--gif", action="store_true", help="also assemble frames into movie.gif"
+    )
+    vw.add_argument("--fps", type=float, default=8.0, help="GIF frame rate")
     vw.add_argument("--cmap", default="inferno")
     vw.add_argument("--dpi", type=int, default=110)
     vw.set_defaults(fn=_cmd_view)

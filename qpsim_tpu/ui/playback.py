@@ -17,6 +17,7 @@ __all__ = [
     "PlaybackState",
     "export_case_images",
     "export_simulation_images",
+    "write_gif",
     "render_heatmap",
     "render_line1d",
     "render_mass_trace",
@@ -233,6 +234,27 @@ def export_simulation_images(
     if mass:
         _save(lambda ax: render_mass_trace(ax, result), out / "mass.png")
     return written
+
+
+def write_gif(image_paths, out_path, *, fps: float = 8.0):
+    """Assemble already-rendered PNGs into a looping animated GIF."""
+    from pathlib import Path
+
+    from PIL import Image
+
+    paths = [Path(p) for p in image_paths]
+    if not paths:
+        raise ValueError("no frames to animate")
+    frames = [Image.open(p).convert("P", palette=Image.ADAPTIVE) for p in paths]
+    out_path = Path(out_path)
+    frames[0].save(
+        out_path,
+        save_all=True,
+        append_images=frames[1:],
+        duration=max(1, int(round(1000.0 / fps))),
+        loop=0,
+    )
+    return out_path
 
 
 def export_case_images(

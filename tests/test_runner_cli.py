@@ -297,3 +297,20 @@ def test_cli_view_tests_renders_all_modes(tmp_path, capsys):
                    "--group", "nope"])
     assert rc == 2
     assert "no cases matched" in capsys.readouterr().err
+
+
+def test_cli_view_gif(tmp_path, capsys):
+    setup = _setup()
+    setup_path = save_setup(setup, tmp_path / "s.json")
+    sim_path = tmp_path / "sim.json"
+    assert cli_main(["run", str(setup_path), "--output", str(sim_path)]) == 0
+    out = tmp_path / "imgs"
+    rc = cli_main(["view", str(sim_path), "--out", str(out), "--gif", "--no-mass"])
+    capsys.readouterr()
+    assert rc == 0
+    gif = out / "movie.gif"
+    assert gif.exists() and gif.read_bytes()[:6] in (b"GIF87a", b"GIF89a")
+    from PIL import Image
+
+    with Image.open(gif) as im:
+        assert getattr(im, "n_frames", 1) == len(load_simulation(sim_path).frames)
