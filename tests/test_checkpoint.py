@@ -138,3 +138,29 @@ def test_phase_timer_and_trace(tmp_path):
         (x @ x).block_until_ready()
     # a trace directory with at least one event file appears
     assert any((tmp_path / "trace").rglob("*"))
+
+
+def test_mesh_path_resume_reproduces_uninterrupted_run(tmp_path):
+    """Checkpoint/resume composes with the multi-chip mesh= hot loop: a
+    preempted sharded run must resume to the same results (production
+    preemption-recovery story for multi-chip runs)."""
+    import jax
+
+    from qpsim_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(n_space=2, devices=jax.devices()[:2])
+    kw = {**_problem(), "strang_mode": "exact", "mesh": mesh}
+    baseline = run_2d_crank_nicolson(**kw)
+    # the mesh route matches the single-chip engine at the established
+    # equivalence tier (reduction order differs at the last ulp)
+    single = run_2d_crank_nicolson(**{k: v for k, v in kw.items() if k != "mesh"})
+    np.testing.assert_allclose(baseline[2], single[2], rtol=1e-12)
+
+    ck = SimulationCheckpointer(tmp_path / "ck")
+    run_2d_crank_nicolson(**{**kw, "total_time": 0.3}, checkpointer=ck)
+    assert ck.all_steps() == [0, 1, 2]
+
+    ck2 = SimulationCheckpointer(tmp_path / "ck")
+    resumed = run_2d_crank_nicolson(**kw, checkpointer=ck2)
+    _compare(baseline, resumed)
+    assert ck2.all_steps() == [0, 1, 2, 3, 4]
