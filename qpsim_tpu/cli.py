@@ -162,6 +162,47 @@ def _cmd_export_gds(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_profile(args: argparse.Namespace) -> int:
+    import time as _time
+
+    from .io.storage import load_setup
+    from .runner import run_setup
+
+    setup = load_setup(args.setup)
+    if args.steps is not None:
+        if args.steps < 1:
+            raise ValueError("--steps must be >= 1")
+        setup.parameters.total_time = setup.parameters.dt * args.steps
+    n_steps = max(1, round(setup.parameters.total_time / setup.parameters.dt))
+
+    t0 = _time.time()
+    run_setup(setup, save=False)
+    first = _time.time() - t0
+
+    def timed_run():
+        t0 = _time.time()
+        run_setup(setup, save=False)
+        return _time.time() - t0
+
+    if args.trace_dir:
+        from .utils.profiling import trace
+
+        with trace(args.trace_dir):
+            steady = timed_run()
+    else:
+        steady = timed_run()
+
+    print(f"profiled '{setup.name}': {n_steps} steps of dt={setup.parameters.dt} ns")
+    print(f"first run (incl. compile): {first:.3f} s")
+    print(
+        f"second run (cached programs): {steady:.3f} s "
+        f"({steady / n_steps * 1e3:.3f} ms/step); compile+warmup ~{first - steady:.3f} s"
+    )
+    if args.trace_dir:
+        print(f"device trace -> {args.trace_dir} (open with TensorBoard/xprof)")
+    return 0
+
+
 def _cmd_view(args: argparse.Namespace) -> int:
     from .io.storage import load_simulation
     from .ui.playback import export_simulation_images
@@ -303,6 +344,18 @@ def build_parser() -> argparse.ArgumentParser:
     eg.add_argument("output", help="output .gds path")
     eg.add_argument("--layer", type=int, default=1)
     eg.set_defaults(fn=_cmd_export_gds)
+
+    pr = sub.add_parser(
+        "profile",
+        help="time a setup's run (compile vs steady-state) and optionally "
+        "capture an xprof/TensorBoard device trace",
+    )
+    pr.add_argument("setup", help="path to a setup .json")
+    pr.add_argument("--steps", type=int, help="override the horizon to N steps")
+    pr.add_argument(
+        "--trace-dir", dest="trace_dir", help="write a jax.profiler trace here"
+    )
+    pr.set_defaults(fn=_cmd_profile)
 
     vw = sub.add_parser(
         "view",

@@ -314,3 +314,17 @@ def test_cli_view_gif(tmp_path, capsys):
 
     with Image.open(gif) as im:
         assert getattr(im, "n_frames", 1) == len(load_simulation(sim_path).frames)
+
+
+def test_cli_profile(tmp_path, capsys):
+    setup_path = save_setup(_setup(), tmp_path / "s.json")
+    rc = cli_main([
+        "profile", str(setup_path), "--steps", "4",
+        "--trace-dir", str(tmp_path / "trace"),
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "ms/step" in out and "compile" in out
+    assert any((tmp_path / "trace").rglob("*"))  # trace events landed
+    # bad --steps -> clean CLI error
+    assert cli_main(["profile", str(setup_path), "--steps", "0"]) == 2
