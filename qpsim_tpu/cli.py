@@ -162,6 +162,59 @@ def _cmd_export_gds(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_compare(args: argparse.Namespace) -> int:
+    import numpy as np
+
+    from .io.storage import load_simulation
+    from .ui.playback import result_frames
+
+    a = load_simulation(args.a)
+    b = load_simulation(args.b)
+    failures = []
+
+    def check(name, xs, ys, *, rtol):
+        xs, ys = np.asarray(xs, dtype=np.float64), np.asarray(ys, dtype=np.float64)
+        if xs.shape != ys.shape:
+            failures.append(name)
+            print(f"  {name}: SHAPE {xs.shape} vs {ys.shape}")
+            return
+        if (np.isnan(xs) != np.isnan(ys)).any():
+            failures.append(name)
+            print(f"  {name}: NaN masks differ")
+            return
+        xs, ys = np.nan_to_num(xs), np.nan_to_num(ys)
+        scale = max(np.abs(xs).max(), np.abs(ys).max(), 1e-300)
+        err = float(np.abs(xs - ys).max() / scale)
+        status = "ok" if err <= rtol else "DIFF"
+        if err > rtol:
+            failures.append(name)
+        print(f"  {name}: max rel err {err:.3e} ({status})")
+
+    print(f"A: '{a.setup_name}' ({a.simulation_id}), {len(a.frames)} frames")
+    print(f"B: '{b.setup_name}' ({b.simulation_id}), {len(b.frames)} frames")
+    check("times", a.times, b.times, rtol=0.0)
+    check("mass_over_time", a.mass_over_time, b.mass_over_time, rtol=args.rtol)
+    if len(a.frames) == len(b.frames):
+        fa, fb = result_frames(a), result_frames(b)
+        check("frames", fa, fb, rtol=args.rtol)
+    else:
+        failures.append("frames")
+        print(f"  frames: COUNT {len(a.frames)} vs {len(b.frames)}")
+    for attr in ("energy_frames", "phonon_frames"):
+        va, vb = getattr(a, attr), getattr(b, attr)
+        if (va is None) != (vb is None):
+            failures.append(attr)
+            print(f"  {attr}: present in only one result")
+        elif va is not None:
+            # None encodes NaN in stored frames; float64 coercion restores it
+            check(attr, va, vb, rtol=args.rtol)
+    if failures:
+        print(f"DIFFER beyond rtol={args.rtol}: {', '.join(failures)}")
+        return 1
+    print(f"MATCH within rtol={args.rtol}")
+    return 0
+
+
 def _cmd_profile(args: argparse.Namespace) -> int:
     import time as _time
 
@@ -344,6 +397,15 @@ def build_parser() -> argparse.ArgumentParser:
     eg.add_argument("output", help="output .gds path")
     eg.add_argument("--layer", type=int, default=1)
     eg.set_defaults(fn=_cmd_export_gds)
+
+    cp = sub.add_parser(
+        "compare",
+        help="compare two saved simulations field by field (max rel err)",
+    )
+    cp.add_argument("a", help="simulation .json (e.g. reference-produced)")
+    cp.add_argument("b", help="simulation .json to compare against")
+    cp.add_argument("--rtol", type=float, default=1e-6)
+    cp.set_defaults(fn=_cmd_compare)
 
     pr = sub.add_parser(
         "profile",

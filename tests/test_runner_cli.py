@@ -328,3 +328,28 @@ def test_cli_profile(tmp_path, capsys):
     assert any((tmp_path / "trace").rglob("*"))  # trace events landed
     # bad --steps -> clean CLI error
     assert cli_main(["profile", str(setup_path), "--steps", "0"]) == 2
+
+
+def test_cli_compare(tmp_path, capsys):
+    setup = _setup(export_phonons=True)
+    setup_path = save_setup(setup, tmp_path / "s.json")
+    a_path, b_path = tmp_path / "a.json", tmp_path / "b.json"
+    assert cli_main(["run", str(setup_path), "--output", str(a_path)]) == 0
+    assert cli_main(["run", str(setup_path), "--output", str(b_path)]) == 0
+    capsys.readouterr()
+
+    rc = cli_main(["compare", str(a_path), str(b_path)])
+    out = capsys.readouterr().out
+    assert rc == 0 and "MATCH" in out and "energy_frames" in out
+
+    # perturb one stored frame -> mismatch reported, nonzero exit
+    import json as _json
+    payload = _json.loads(b_path.read_text())
+    for row in payload["frames"][-1]:
+        for i, v in enumerate(row):
+            if v is not None:
+                row[i] = v * 1.5
+    b_path.write_text(_json.dumps(payload))
+    rc = cli_main(["compare", str(a_path), str(b_path)])
+    out = capsys.readouterr().out
+    assert rc == 1 and "DIFFER" in out and "frames" in out
