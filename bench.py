@@ -277,12 +277,36 @@ def bench_coupled_full_scale(length: int = 600, n: int = 1024, ne: int = 16) -> 
     dt, rate = 0.05, 1e-7
     diff_step, diff_aux, col_half, q0, ph0 = _coupled_pieces(n, n, ne, dt, jnp.float32)
 
+    from qpsim_tpu.ops.dos import dynes_density_of_states
+    from qpsim_tpu.ops.energy_grid import build_energy_grid
+    from qpsim_tpu.ops.kernels import recombination_kernel_base, scattering_kernel_base
+    from qpsim_tpu.ops.pallas_collisions import build_pallas_collision_step
+    from qpsim_tpu.ops.phonon_map import build_phonon_frequency_map
+
+    gap, tau, tc = 180.0, 440.0, 1.2
+    E, dE = build_energy_grid(gap, 1.0, 4.0, ne)
+    col_kw = dict(
+        E_bins=E,
+        dE=dE,
+        rho=dynes_density_of_states(E, gap, 0.0),
+        K_s0=scattering_kernel_base(E, gap, tau, tc),
+        K_r0=recombination_kernel_base(E, gap, tau, tc),
+        pmap=build_phonon_frequency_map(E),
+        update_phonons=True,
+        interpret=jax.default_backend() != "tpu",
+    )
+    # generation fuses into the collision kernels' VMEM pre-add — the
+    # engine's composition (solver/engine.py gen_fused_plane); the plane is
+    # a scalar fill, so it constant-folds on device
+    col_half_gen = build_pallas_collision_step(dt=0.5 * dt, gen_input=True, **col_kw)
+    col_full_gen = build_pallas_collision_step(dt=dt, gen_input=True, **col_kw)
+
     @jax.jit
     def chunk_exact_a(state, daux):
         def step(state, _):
             q, ph = state
-            q = q + dt * rate  # constant-mode g_ext, forward Euler
-            q, ph = col_half(q, ph)
+            grow = jnp.full((n, n), dt * rate, jnp.float32)
+            q, ph = col_half_gen(q, ph, grow)  # g_ext fused into C(dt/2)
             q = diff_step(q, daux)
             q, ph = col_half(q, ph)
             return (q, ph), None
@@ -292,40 +316,20 @@ def bench_coupled_full_scale(length: int = 600, n: int = 1024, ne: int = 16) -> 
     chunk = lambda state: chunk_exact_a(state, diff_aux)
     per_exact, _ = _timed_chunk(chunk, (q0, ph0), length, f"coupled {n}^2 x {ne} exact+gen")
 
-    from qpsim_tpu.ops.dos import dynes_density_of_states
-    from qpsim_tpu.ops.energy_grid import build_energy_grid
-    from qpsim_tpu.ops.kernels import recombination_kernel_base, scattering_kernel_base
-    from qpsim_tpu.ops.pallas_collisions import build_pallas_collision_step
-    from qpsim_tpu.ops.phonon_map import build_phonon_frequency_map
-
-    gap, tau, tc = 180.0, 440.0, 1.2
-    E, dE = build_energy_grid(gap, 1.0, 4.0, ne)
-    col_full = build_pallas_collision_step(
-        E_bins=E,
-        dE=dE,
-        rho=dynes_density_of_states(E, gap, 0.0),
-        K_s0=scattering_kernel_base(E, gap, tau, tc),
-        K_r0=recombination_kernel_base(E, gap, tau, tc),
-        pmap=build_phonon_frequency_map(E),
-        dt=dt,
-        update_phonons=True,
-        interpret=jax.default_backend() != "tpu",
-    )
-
     @jax.jit
     def chunk_m_a(state, daux):
         # default (auto→merged) composition with generation at the seams:
-        # g C(dt/2) [D g C(dt)]^(L-1) D C(dt/2) — engine segment_runner
+        # gC(dt/2) [D gC(dt)]^(L-1) D C(dt/2) — engine segment_runner
+        grow = jnp.full((n, n), dt * rate, jnp.float32)
+
         def step_m(state, _):
             q, ph = state
             q = diff_step(q, daux)
-            q = q + dt * rate
-            q, ph = col_full(q, ph)
+            q, ph = col_full_gen(q, ph, grow)
             return (q, ph), None
 
         q, ph = state
-        q = q + dt * rate
-        q, ph = col_half(q, ph)
+        q, ph = col_half_gen(q, ph, grow)
         (q, ph), _ = jax.lax.scan(step_m, (q, ph), None, length=length - 1, unroll=32)
         q = diff_step(q, daux)
         q, ph = col_half(q, ph)

@@ -29,17 +29,26 @@ __all__ = ["GenerationProgram", "build_generation_program", "evaluate_generation
 
 
 class GenerationProgram:
-    """Either a traced ``fn(t) -> (NE, Ny, Nx)`` or a host-mode marker."""
+    """Either a traced ``fn(t) -> (NE, Ny, Nx)`` or a host-mode marker.
+
+    ``scalar_amp_fn`` is set for the spatially/spectrally uniform modes
+    (constant, pulse): ``fn(t) -> scalar`` with g(E, x, y, t) = amp(t)
+    on every masked pixel.  Consumers (the engine's Pallas collision
+    kernels) can then fuse the forward-Euler injection into the collision
+    pass instead of paying a full state HBM round-trip on an XLA add.
+    """
 
     def __init__(
         self,
         traced_fn: Callable[[jax.Array], jax.Array] | None,
         host_mode: bool,
         spec: ExternalGenerationSpec | None,
+        scalar_amp_fn: Callable[[jax.Array], jax.Array] | None = None,
     ):
         self.traced_fn = traced_fn
         self.host_mode = host_mode
         self.spec = spec
+        self.scalar_amp_fn = scalar_amp_fn
 
     @property
     def active(self) -> bool:
@@ -67,17 +76,22 @@ def build_generation_program(
         def const_fn(t):
             return jnp.full((ne, ny, nx), rate, dtype=dtype) * mask_dev
 
-        return GenerationProgram(const_fn, False, spec)
+        return GenerationProgram(
+            const_fn, False, spec,
+            scalar_amp_fn=lambda t: jnp.asarray(rate, dtype=dtype),
+        )
 
     if mode == "pulse":
         start, duration, rate = float(spec.pulse_start), float(spec.pulse_duration), float(spec.pulse_rate)
 
-        def pulse_fn(t):
+        def pulse_amp(t):
             inside = (t >= start) & (t < start + duration)
-            amp = jnp.where(inside, rate, 0.0).astype(dtype)
-            return amp * jnp.ones((ne, ny, nx), dtype=dtype) * mask_dev
+            return jnp.where(inside, rate, 0.0).astype(dtype)
 
-        return GenerationProgram(pulse_fn, False, spec)
+        def pulse_fn(t):
+            return pulse_amp(t) * jnp.ones((ne, ny, nx), dtype=dtype) * mask_dev
+
+        return GenerationProgram(pulse_fn, False, spec, scalar_amp_fn=pulse_amp)
 
     # custom: attempt a traced program, falling back to host evaluation.
     body = spec.custom_body.strip() or "0.0"

@@ -151,7 +151,7 @@ class _Physics:
     update_phonons: bool
 
 
-def _make_kernel(phys: _Physics, dt: float):
+def _make_kernel(phys: _Physics, dt: float, gen_input: bool = False):
     ne = phys.ne
     dE = phys.dE
     G = phys.n_gaps
@@ -160,12 +160,18 @@ def _make_kernel(phys: _Physics, dt: float):
     dt = float(dt)
 
     def kernel(*refs):
+        gen_ref = None
         if G > 1:
-            q_ref, ph_ref, gid_ref, q_out, ph_out = refs
+            if gen_input:
+                q_ref, ph_ref, gid_ref, gen_ref, q_out, ph_out = refs
+            else:
+                q_ref, ph_ref, gid_ref, q_out, ph_out = refs
             gm = gid_ref[0]
             # per-tile gap masks, computed ONCE; the last gap is the
             # fallback branch of every blend
             masks = [gm == g for g in range(G - 1)]
+        elif gen_input:
+            q_ref, ph_ref, gen_ref, q_out, ph_out = refs
         else:
             q_ref, ph_ref, q_out, ph_out = refs
 
@@ -182,7 +188,15 @@ def _make_kernel(phys: _Physics, dt: float):
                 acc = jnp.where(masks[g], vals[g], acc)
             return acc
 
-        q = [q_ref[i] for i in range(ne)]
+        if gen_ref is not None:
+            # fused forward-Euler generation: n += dt·g(t) lands on the
+            # VMEM-resident tile before the pair walk, replacing a full
+            # state HBM round-trip (a standalone XLA add costs ~0.27 ms at
+            # 1024²×16 — ~8% of the merged flagship step)
+            g_add = gen_ref[0]
+            q = [q_ref[i] + g_add for i in range(ne)]
+        else:
+            q = [q_ref[i] for i in range(ne)]
         partner = []
         for i in range(ne):
             rg = [rho[g][i] for g in range(G)]
@@ -604,6 +618,7 @@ def build_pallas_collision_step(
     interpret: bool = False,
     gap_id: np.ndarray | None = None,
     block3d: bool = False,
+    gen_input: bool = False,
 ):
     """Build ``(n_qp, n_ph) -> (n_qp, n_ph)`` backed by the Pallas kernel.
 
@@ -615,6 +630,16 @@ def build_pallas_collision_step(
     dense ``gap_id`` plane — the pair walk blends the per-gap tables with
     G−1 lane selects per constant (G ≤ 8); larger G dispatches to the
     fori_loop kernel.
+
+    With ``gen_input=True`` the returned step takes a third argument:
+    ``step(n_qp, n_ph, gen_plane)`` where ``gen_plane`` is a dense
+    (Ny, Nx) array of per-pixel forward-Euler increments dt·g (the
+    reference's external-generation injection, solver.py:1459-1464,
+    bin-uniform modes).  The add happens on the VMEM-resident tile before
+    the pair walk — bit-identical to adding in XLA first, minus the state
+    HBM round-trip.  The returned step carries ``takes_gen=True``; when
+    the configuration dispatches to the block-gridded kernel instead, the
+    fallback step does NOT fuse generation (callers check ``takes_gen``).
     """
     e = np.asarray(E_bins, dtype=np.float64)
     ne = int(e.size)
@@ -659,8 +684,8 @@ def build_pallas_collision_step(
     nw = pmap.num_omega
     nw_pad = ((nw + 7) // 8) * 8
     multi_gap = n_gaps > 1
-    if multi_gap:
-        block3d = False  # experimental layout not wired for the gid plane
+    if multi_gap or gen_input:
+        block3d = False  # experimental layout not wired for gid/gen planes
 
     to_tuple3 = lambda M: tuple(
         tuple(tuple(float(v) for v in row) for row in tab)
@@ -681,13 +706,15 @@ def build_pallas_collision_step(
         idx_sum=idx_sum,
         update_phonons=bool(update_phonons),
     )
-    kernel = _make_kernel(phys, dt)
+    kernel = _make_kernel(phys, dt, gen_input=gen_input)
     if multi_gap:
         gid_row = np.zeros((8, int(np.asarray(gap_id).size)), np.int32)
         gid_row[:] = np.asarray(gap_id, np.int32).reshape(1, -1)
 
-    def step(n_qp: jax.Array, n_ph: jax.Array):
+    def step(n_qp: jax.Array, n_ph: jax.Array, gen_plane: jax.Array | None = None):
         if phys.Ks is None and phys.Kr is None:
+            if gen_plane is not None:
+                return n_qp + gen_plane[None].astype(n_qp.dtype), n_ph
             return n_qp, n_ph
         ne_, ny, nx = n_qp.shape
         p_live = ny * nx
@@ -736,6 +763,17 @@ def build_pallas_collision_step(
             in_specs.append(
                 pl.BlockSpec((8, tile), lambda t: (0, t), memory_space=pltpu.VMEM)
             )
+        if gen_input:
+            g8 = jnp.broadcast_to(
+                jnp.asarray(gen_plane, dtype=n_qp.dtype).reshape(1, p_live),
+                (8, p_live),
+            )
+            if pad_cols:
+                g8 = jnp.pad(g8, ((0, 0), (0, pad_cols)))
+            args.append(g8)
+            in_specs.append(
+                pl.BlockSpec((8, tile), lambda t: (0, t), memory_space=pltpu.VMEM)
+            )
         q_new, ph_new = pl.pallas_call(
             kernel,
             grid=grid,
@@ -754,4 +792,8 @@ def build_pallas_collision_step(
         ph_out = ph_new[:nw, :p_live].reshape(nw, ny, nx)
         return q_out, ph_out
 
-    return step
+    if gen_input:
+        run_gen = lambda n_qp, n_ph, gen_plane: step(n_qp, n_ph, gen_plane)
+        run_gen.takes_gen = True
+        return run_gen
+    return lambda n_qp, n_ph: step(n_qp, n_ph)

@@ -844,8 +844,17 @@ def _build_engine_program(
             "host boundary to evaluate it at.  Use strang_mode='exact' (or a "
             "traceable expression)."
         )
+    # Spatially/spectrally uniform traced generation (constant/pulse) fuses
+    # into the pallas collision kernel's VMEM pre-add (gen_input=True):
+    # the reference's forward-Euler n += dt·g (solver.py:1459-1464) lands on
+    # the already-resident tile instead of paying a full state HBM
+    # round-trip as a standalone XLA add (~0.27 ms at 1024²×16).
+    fuse_gen_wanted = (
+        gen.scalar_amp_fn is not None and collisions_on and use_pallas_collisions
+    )
+    gen_mask_plane = jnp.asarray(mask, dtype=dtype)
 
-    def make_col(dt_col: float):
+    def make_col(dt_col: float, gen_input: bool = False):
         if not collisions_on:
             return None
         if use_pallas_collisions:
@@ -871,6 +880,7 @@ def _build_engine_program(
                 update_phonons=not freeze_phonon_dynamics,
                 interpret=jax.default_backend() != "tpu",
                 gap_id=None if single else gap_id,
+                gen_input=gen_input,
             )
             if step is not None:
                 return step
@@ -1056,6 +1066,16 @@ def _build_engine_program(
             return seg_cache[key]
         col_half = make_col(0.5 * seg_dt)
         col_full = make_col(seg_dt)
+        col_half_gen = make_col(0.5 * seg_dt, gen_input=True) if fuse_gen_wanted else None
+        col_full_gen = make_col(seg_dt, gen_input=True) if fuse_gen_wanted else None
+        # fusion only holds if the gen-enabled builds stayed on the unrolled
+        # kernel (NE beyond the pair-unroll cap dispatches to the blocked
+        # kernel, which takes no gen input)
+        fuse_gen = (
+            fuse_gen_wanted
+            and getattr(col_half_gen, "takes_gen", False)
+            and getattr(col_full_gen, "takes_gen", False)
+        )
         if backend is not None:
             # aux holds backend data too large for the compile payload
             # (e.g. prefactored solves); it crosses the jit boundary as an
@@ -1079,6 +1099,15 @@ def _build_engine_program(
             negative = jnp.any(g_masked < 0)
             return qq + seg_dt * g, nonfinite, negative
 
+        def gen_fused_plane(t):
+            """dt·g as a (Ny, Nx) plane for the kernel pre-add + flags.
+
+            Scalar-mode flags are equivalent to the array-mode ones: the
+            masked array is amp·mask, so any nonfinite/negative masked cell
+            ⇔ nonfinite/negative amp (the mask is never empty)."""
+            amp = jnp.asarray(seg_dt, dtype) * gen.scalar_amp_fn(t)
+            return amp * gen_mask_plane, ~jnp.isfinite(amp), amp < 0
+
         def run(qq, pp, t_start, daux, paux):
             global _TRACE_EVENTS
             _TRACE_EVENTS += 1
@@ -1087,6 +1116,16 @@ def _build_engine_program(
                 t = t0 + idx.astype(t0.dtype) * seg_dt
                 gen_nonfinite = jnp.asarray(False)
                 gen_negative = jnp.asarray(False)
+                if fuse_gen:
+                    grow, gen_nonfinite, gen_negative = gen_fused_plane(t)
+                    if diff_step is not None:
+                        qq, pp = col_half_gen(qq, pp, grow)
+                        qq = diff_step(qq, daux)
+                        qq, pp = col_half(qq, pp)
+                    else:
+                        qq, pp = col_full_gen(qq, pp, grow)
+                    stats = pauli_stats_fn(qq, paux)
+                    return (qq, pp, t0), stats + (gen_nonfinite, gen_negative)
                 if gen.traced_fn is not None:
                     qq, gen_nonfinite, gen_negative = gen_apply(qq, t)
                 if collisions_on and diff_step is not None:
@@ -1109,18 +1148,29 @@ def _build_engine_program(
                 # an O(dt²) reordering of the same operators.
                 no = jnp.asarray(False)
                 gnf0 = gng0 = no
-                if gen.traced_fn is not None:
+                if fuse_gen:
+                    grow0, gnf0, gng0 = gen_fused_plane(t_start)
+                    qq, pp = col_half_gen(qq, pp, grow0)
+                elif gen.traced_fn is not None:
                     qq, gnf0, gng0 = gen_apply(qq, t_start)
-                qq, pp = col_half(qq, pp)
+                    qq, pp = col_half(qq, pp)
+                else:
+                    qq, pp = col_half(qq, pp)
 
                 def body_m(carry, idx):
                     qq, pp, t0 = carry
                     qq = diff_step(qq, daux)
                     gnf = gng = no
-                    if gen.traced_fn is not None:
+                    if fuse_gen:
+                        t = t0 + (idx + 1).astype(t0.dtype) * seg_dt
+                        grow, gnf, gng = gen_fused_plane(t)
+                        qq, pp = col_full_gen(qq, pp, grow)
+                    elif gen.traced_fn is not None:
                         t = t0 + (idx + 1).astype(t0.dtype) * seg_dt
                         qq, gnf, gng = gen_apply(qq, t)
-                    qq, pp = col_full(qq, pp)
+                        qq, pp = col_full(qq, pp)
+                    else:
+                        qq, pp = col_full(qq, pp)
                     stats = pauli_stats_fn(qq, paux)
                     return (qq, pp, t0), stats + (gnf, gng)
 

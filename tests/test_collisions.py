@@ -776,3 +776,74 @@ def test_pallas_blocked_analytic_matches_analytic_and_xla_interpret():
     qb, pb = blk_baked(q0, ph0)
     np.testing.assert_allclose(np.asarray(qa), np.asarray(qb), rtol=0, atol=0)
     np.testing.assert_allclose(np.asarray(pa), np.asarray(pb), rtol=0, atol=0)
+
+
+def test_pallas_gen_input_fuses_forward_euler_bit_exact():
+    # gen_input=True pre-adds dt·g on the VMEM tile; must be bit-identical
+    # to adding in XLA first, and a zero plane must equal the plain step
+    from qpsim_tpu.ops.pallas_collisions import build_pallas_collision_step
+
+    E, dE = build_energy_grid(180.0, 1.0, 4.0, 10)
+    pm = build_phonon_frequency_map(E)
+    rho = dynes_density_of_states(E, 180.0, 0.0)
+    kw = dict(
+        E_bins=E, dE=dE, rho=rho,
+        K_s0=scattering_kernel_base(E, 180.0, 440.0, 1.2),
+        K_r0=recombination_kernel_base(E, 180.0, 440.0, 1.2),
+        pmap=pm, dt=0.02, update_phonons=True, tile=128, interpret=True,
+    )
+    plain = build_pallas_collision_step(**kw)
+    fused = build_pallas_collision_step(**kw, gen_input=True)
+    assert getattr(fused, "takes_gen", False)
+    assert not getattr(plain, "takes_gen", False)
+    ny, nx = 4, 32
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.uniform(0, 1e-4, (10, ny, nx)) * rho[:, None, None])
+    ph = jnp.asarray(
+        np.broadcast_to(
+            thermal_phonon_occupation(pm.omega_bins, 0.2)[:, None, None],
+            (pm.num_omega, ny, nx),
+        ).copy()
+    )
+    grow = jnp.asarray(rng.uniform(0, 1e-6, (ny, nx)))
+    qa, pa = plain(q + grow[None], ph)
+    qb, pb = fused(q, ph, grow)
+    np.testing.assert_array_equal(np.asarray(qa), np.asarray(qb))
+    np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
+    qc, pc = fused(q, ph, jnp.zeros((ny, nx)))
+    qd, pd = plain(q, ph)
+    np.testing.assert_array_equal(np.asarray(qc), np.asarray(qd))
+    np.testing.assert_array_equal(np.asarray(pc), np.asarray(pd))
+
+
+def test_pallas_gen_input_multigap_bit_exact():
+    from qpsim_tpu.ops.pallas_collisions import build_pallas_collision_step
+
+    E, dE = build_energy_grid(180.0, 1.0, 4.0, 8)
+    pm = build_phonon_frequency_map(E)
+    gaps = np.array([180.0, 150.0])
+    rho = np.stack([dynes_density_of_states(E, g, 0.0) for g in gaps])
+    Ks = np.stack([scattering_kernel_base(E, g, 440.0, 1.2) for g in gaps])
+    Kr = np.stack([recombination_kernel_base(E, g, 440.0, 1.2) for g in gaps])
+    ny, nx = 2, 16
+    gid = (np.arange(ny * nx).reshape(ny, nx) % 2).astype(np.int32)
+    kw = dict(
+        E_bins=E, dE=dE, rho=rho, K_s0=Ks, K_r0=Kr, pmap=pm, dt=0.02,
+        update_phonons=True, tile=128, interpret=True, gap_id=gid,
+    )
+    plain = build_pallas_collision_step(**kw)
+    fused = build_pallas_collision_step(**kw, gen_input=True)
+    assert getattr(fused, "takes_gen", False)
+    rng = np.random.default_rng(1)
+    q = jnp.asarray(rng.uniform(0, 1e-4, (8, ny, nx)))
+    ph = jnp.asarray(
+        np.broadcast_to(
+            thermal_phonon_occupation(pm.omega_bins, 0.2)[:, None, None],
+            (pm.num_omega, ny, nx),
+        ).copy()
+    )
+    grow = jnp.asarray(rng.uniform(0, 1e-6, (ny, nx)))
+    qa, pa = plain(q + grow[None], ph)
+    qb, pb = fused(q, ph, grow)
+    np.testing.assert_array_equal(np.asarray(qa), np.asarray(qb))
+    np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))

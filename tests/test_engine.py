@@ -738,3 +738,69 @@ def test_continuous_gap_stack_explosion_refused_with_guidance():
             collision_backend="xla",
             gap_expression="return 120.0 + 60.0 * x + 0.3 * y",
         )
+
+
+def test_fused_generation_engages_and_matches_xla_path():
+    """Constant/pulse generation fuses into the pallas collision kernel:
+    the XLA array path (gen.traced_fn) must never be traced on a fusable
+    config, and results must match the XLA collision backend."""
+    import qpsim_tpu.solver.engine as eng
+    from qpsim_tpu.geometry.mask import create_intrinsic_geometry, mask_from_lists
+
+    geo = create_intrinsic_geometry(width=18, height=9)
+    mask = mask_from_lists(geo.mask)
+    bcs = {e.edge_id: BoundaryCondition(kind="reflective") for e in geo.edges}
+    init = np.zeros(mask.shape)
+    init[mask] = 1e-5
+    gen = ExternalGenerationSpec(
+        mode="pulse", pulse_start=0.1, pulse_duration=0.2, pulse_rate=2e-5
+    )
+    kw = dict(
+        mask=mask, edges=geo.edges, edge_conditions=bcs, initial_field=init,
+        diffusion_coefficient=6.0, dt=0.05, total_time=0.5, dx=1.0, store_every=5,
+        energy_gap=180.0, energy_min_factor=1.0, energy_max_factor=4.0,
+        num_energy_bins=9, enable_recombination=True, enable_scattering=True,
+        bath_temperature=0.2, external_generation=gen,
+    )
+
+    real_builder = eng.build_generation_program
+    trips = []
+
+    def trapped_builder(*a, **k):
+        prog = real_builder(*a, **k)
+        if prog.traced_fn is not None:
+            orig = prog.traced_fn
+
+            def boom(t):
+                trips.append(t)
+                return orig(t)
+
+            prog.traced_fn = boom
+        return prog
+
+    eng.clear_engine_program_cache()
+    try:
+        eng.build_generation_program, saved = trapped_builder, real_builder
+        for sm in ("exact", "merged"):
+            out_pallas = run_2d_crank_nicolson(
+                **kw, strang_mode=sm, collision_backend="pallas"
+            )
+            assert not trips, f"XLA gen path traced under fusion ({sm})"
+    finally:
+        eng.build_generation_program = saved
+        eng.clear_engine_program_cache()
+
+    out_xla = run_2d_crank_nicolson(
+        **kw, strang_mode="merged", collision_backend="xla"
+    )
+    out_fused = run_2d_crank_nicolson(
+        **kw, strang_mode="merged", collision_backend="pallas"
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_fused[2]), np.asarray(out_xla[2]), rtol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.nan_to_num(np.asarray(out_fused[1])),
+        np.nan_to_num(np.asarray(out_xla[1])),
+        atol=1e-15,
+    )
