@@ -361,7 +361,7 @@ class _AnalyticPhysics:
     update_phonons: bool
 
 
-def _make_analytic_kernel(phys: _AnalyticPhysics, dt: float):
+def _make_analytic_kernel(phys: _AnalyticPhysics, dt: float, gen_input: bool = False):
     ne = phys.ne
     gamma = phys.gamma
     scattering = phys.dEa_s is not None
@@ -369,9 +369,18 @@ def _make_analytic_kernel(phys: _AnalyticPhysics, dt: float):
     idx_diff, idx_sum = phys.idx_diff, phys.idx_sum
     dt = float(dt)
 
-    def kernel(q_ref, ph_ref, g2_ref, q_out, ph_out):
+    def kernel(*refs):
+        if gen_input:
+            q_ref, ph_ref, g2_ref, gen_ref, q_out, ph_out = refs
+        else:
+            q_ref, ph_ref, g2_ref, q_out, ph_out = refs
         g2 = g2_ref[0]  # Δ²(px)
-        q = [q_ref[i] for i in range(ne)]
+        if gen_input:
+            # fused forward-Euler generation (see _make_kernel)
+            g_add = gen_ref[0]
+            q = [q_ref[i] + g_add for i in range(ne)]
+        else:
+            q = [q_ref[i] for i in range(ne)]
 
         # per-bin DOS and its reciprocal from Δ²(px), in closed form
         partner = []
@@ -493,6 +502,7 @@ def build_pallas_collision_step_analytic(
     update_phonons: bool = True,
     tile: int = _DEFAULT_TILE,
     interpret: bool = False,
+    gen_input: bool = False,
 ):
     """Analytic-gap collision substep: exact per-pixel kernels from Δ(x, y).
 
@@ -525,6 +535,14 @@ def build_pallas_collision_step_analytic(
     scattering = tau_s is not None
     recombination = tau_r is not None
     if not (scattering or recombination):
+        if gen_input:  # nothing to fuse into: apply the add in XLA
+            add = lambda q, g: q + jnp.asarray(g, dtype=q.dtype)[None]
+            if gap_plane is None:
+                fn = lambda n_qp, n_ph, gp, gen_plane: (add(n_qp, gen_plane), n_ph)
+            else:
+                fn = lambda n_qp, n_ph, gen_plane: (add(n_qp, gen_plane), n_ph)
+            fn.takes_gen = True
+            return fn
         if gap_plane is None:  # arg-mode steps take (and ignore) the plane
             return lambda n_qp, n_ph, gp: (n_qp, n_ph)
         return lambda n_qp, n_ph: (n_qp, n_ph)
@@ -556,14 +574,19 @@ def build_pallas_collision_step_analytic(
         idx_sum=idx_sum,
         update_phonons=bool(update_phonons),
     )
-    kernel = _make_analytic_kernel(phys, dt)
+    kernel = _make_analytic_kernel(phys, dt, gen_input=gen_input)
     if gap_plane is not None:
         g2_row = np.zeros((8, int(np.asarray(gap_plane).size)), np.float64)
         g2_row[:] = (np.asarray(gap_plane, np.float64) ** 2).reshape(1, -1)
     else:
         g2_row = None
 
-    def run(n_qp: jax.Array, n_ph: jax.Array, gp: jax.Array | None):
+    def run(
+        n_qp: jax.Array,
+        n_ph: jax.Array,
+        gp: jax.Array | None,
+        gen_plane: jax.Array | None = None,
+    ):
         ne_, ny, nx = n_qp.shape
         p_live = ny * nx
         q = n_qp.reshape(ne_, p_live)
@@ -584,21 +607,39 @@ def build_pallas_collision_step_analytic(
         p_pad = q.shape[1]
         grid = (p_pad // tile,)
         spec = lambda r: pl.BlockSpec((r, tile), lambda t: (0, t), memory_space=pltpu.VMEM)
+        args = [q, ph, g2]
+        in_specs = [spec(ne_), spec(nw_pad), spec(8)]
+        if gen_input:
+            g8 = jnp.broadcast_to(
+                jnp.asarray(gen_plane, dtype=n_qp.dtype).reshape(1, p_live),
+                (8, p_live),
+            )
+            if pad_cols:
+                g8 = jnp.pad(g8, ((0, 0), (0, pad_cols)))
+            args.append(g8)
+            in_specs.append(spec(8))
         q_new, ph_new = pl.pallas_call(
             kernel,
             grid=grid,
-            in_specs=[spec(ne_), spec(nw_pad), spec(8)],
+            in_specs=in_specs,
             out_specs=(spec(ne_), spec(nw_pad)),
             out_shape=(
                 jax.ShapeDtypeStruct((ne_, p_pad), n_qp.dtype),
                 jax.ShapeDtypeStruct((nw_pad, p_pad), n_ph.dtype),
             ),
             interpret=interpret,
-        )(q, ph, g2)
+        )(*args)
         q_out = q_new[:, :p_live].reshape(ne_, ny, nx)
         ph_out = ph_new[:nw, :p_live].reshape(nw, ny, nx)
         return q_out, ph_out
 
+    if gen_input:
+        if gap_plane is None:
+            fn = lambda n_qp, n_ph, gp, gen_plane: run(n_qp, n_ph, gp, gen_plane)
+        else:
+            fn = lambda n_qp, n_ph, gen_plane: run(n_qp, n_ph, None, gen_plane)
+        fn.takes_gen = True
+        return fn
     if gap_plane is None:
         return lambda n_qp, n_ph, gp: run(n_qp, n_ph, gp)
     return lambda n_qp, n_ph: run(n_qp, n_ph, None)

@@ -850,7 +850,9 @@ def _build_engine_program(
     # the already-resident tile instead of paying a full state HBM
     # round-trip as a standalone XLA add (~0.27 ms at 1024²×16).
     fuse_gen_wanted = (
-        gen.scalar_amp_fn is not None and collisions_on and use_pallas_collisions
+        gen.scalar_amp_fn is not None
+        and collisions_on
+        and (use_pallas_collisions or use_analytic_collisions)
     )
     gen_mask_plane = jnp.asarray(mask, dtype=dtype)
 
@@ -901,6 +903,7 @@ def _build_engine_program(
                 dynes_gamma=dynes_gamma,
                 update_phonons=not freeze_phonon_dynamics,
                 interpret=jax.default_backend() != "tpu",
+                gen_input=gen_input,
             )
             if step is not None:
                 return step

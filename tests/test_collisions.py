@@ -847,3 +847,34 @@ def test_pallas_gen_input_multigap_bit_exact():
     qb, pb = fused(q, ph, grow)
     np.testing.assert_array_equal(np.asarray(qa), np.asarray(qb))
     np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
+
+
+def test_pallas_analytic_gen_input_bit_exact():
+    # fused generation on the analytic-gap kernel (continuous gap maps)
+    from qpsim_tpu.ops.pallas_collisions import build_pallas_collision_step_analytic
+
+    E, dE = build_energy_grid(180.0, 1.0, 4.0, 8)
+    pm = build_phonon_frequency_map(E)
+    ny, nx = 2, 24
+    gap_plane = 150.0 + 40.0 * np.random.default_rng(2).random((ny, nx))
+    kw = dict(
+        E_bins=E, dE=dE, gap_plane=gap_plane, pmap=pm, dt=0.02,
+        tau_s=440.0, tau_r=440.0, T_c=1.2, dynes_gamma=0.0,
+        update_phonons=True, tile=128, interpret=True,
+    )
+    plain = build_pallas_collision_step_analytic(**kw)
+    fused = build_pallas_collision_step_analytic(**kw, gen_input=True)
+    assert getattr(fused, "takes_gen", False)
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(rng.uniform(0, 1e-4, (8, ny, nx)))
+    ph = jnp.asarray(
+        np.broadcast_to(
+            thermal_phonon_occupation(pm.omega_bins, 0.2)[:, None, None],
+            (pm.num_omega, ny, nx),
+        ).copy()
+    )
+    grow = jnp.asarray(rng.uniform(0, 1e-6, (ny, nx)))
+    qa, pa = plain(q + grow[None], ph)
+    qb, pb = fused(q, ph, grow)
+    np.testing.assert_array_equal(np.asarray(qa), np.asarray(qb))
+    np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))

@@ -804,3 +804,30 @@ def test_fused_generation_engages_and_matches_xla_path():
         np.nan_to_num(np.asarray(out_xla[1])),
         atol=1e-15,
     )
+
+
+def test_fused_generation_on_analytic_gap_path():
+    """Pulse generation fuses into the analytic-gap kernel too (continuous
+    gap map, G == Npix): pallas vs xla collision backends agree."""
+    mask = np.ones((2, 12), dtype=bool)
+    edges = extract_edge_segments(mask)
+    bcs = {e.edge_id: BoundaryCondition(kind="reflective") for e in edges}
+    kw = dict(
+        mask=mask, edges=edges, edge_conditions=bcs,
+        initial_field=np.full(mask.shape, 1e-5),
+        diffusion_coefficient=6.0, dt=0.05, total_time=0.4, dx=1.0,
+        store_every=4, energy_gap=180.0, num_energy_bins=6,
+        energy_max_factor=3.0, enable_recombination=True,
+        enable_scattering=True, bath_temperature=0.2,
+        gap_expression="return 130.0 + 60.0 * x + 5.0 * y",  # G == Npix
+        external_generation=ExternalGenerationSpec(
+            mode="pulse", pulse_start=0.05, pulse_duration=0.2, pulse_rate=2e-5
+        ),
+    )
+    for sm in ("exact", "merged"):
+        a = run_2d_crank_nicolson(**kw, strang_mode=sm, collision_backend="pallas")
+        b = run_2d_crank_nicolson(**kw, strang_mode=sm, collision_backend="xla")
+        np.testing.assert_allclose(np.asarray(a[2]), np.asarray(b[2]), rtol=1e-11)
+        np.testing.assert_allclose(
+            np.nan_to_num(np.asarray(a[1])), np.nan_to_num(np.asarray(b[1])), atol=1e-15
+        )
