@@ -192,7 +192,9 @@ def _cmd_compare(args: argparse.Namespace) -> int:
 
     print(f"A: '{a.setup_name}' ({a.simulation_id}), {len(a.frames)} frames")
     print(f"B: '{b.setup_name}' ({b.simulation_id}), {len(b.frames)} frames")
-    check("times", a.times, b.times, rtol=0.0)
+    # times are producer arithmetic (t += dt vs k·dt), not physics: compare
+    # at --rtol, not exactly, so cross-producer runs don't fail on the ulp
+    check("times", a.times, b.times, rtol=args.rtol)
     check("mass_over_time", a.mass_over_time, b.mass_over_time, rtol=args.rtol)
     if len(a.frames) == len(b.frames):
         fa, fb = result_frames(a), result_frames(b)
@@ -216,10 +218,17 @@ def _cmd_compare(args: argparse.Namespace) -> int:
 
 
 def _cmd_profile(args: argparse.Namespace) -> int:
+    import os
+    import tempfile
     import time as _time
 
     from .io.storage import load_setup
     from .runner import run_setup
+
+    if args.fresh_cache:
+        # honest first-compile numbers need a cache miss (CLAUDE.md rule);
+        # must happen before the engine enables the persistent cache
+        os.environ["QPSIM_COMPILE_CACHE_DIR"] = tempfile.mkdtemp(prefix="qpsim-xla-")
 
     setup = load_setup(args.setup)
     if args.steps is not None:
@@ -246,7 +255,9 @@ def _cmd_profile(args: argparse.Namespace) -> int:
         steady = timed_run()
 
     print(f"profiled '{setup.name}': {n_steps} steps of dt={setup.parameters.dt} ns")
-    print(f"first run (incl. compile): {first:.3f} s")
+    cache_note = "" if args.fresh_cache else \
+        " (persistent compile cache may absorb the compile; --fresh-cache for a cold number)"
+    print(f"first run (incl. compile): {first:.3f} s{cache_note}")
     print(
         f"second run (cached programs): {steady:.3f} s "
         f"({steady / n_steps * 1e3:.3f} ms/step); compile+warmup ~{first - steady:.3f} s"
@@ -416,6 +427,13 @@ def build_parser() -> argparse.ArgumentParser:
     pr.add_argument("--steps", type=int, help="override the horizon to N steps")
     pr.add_argument(
         "--trace-dir", dest="trace_dir", help="write a jax.profiler trace here"
+    )
+    pr.add_argument(
+        "--fresh-cache",
+        dest="fresh_cache",
+        action="store_true",
+        help="point the persistent XLA compile cache at a temp dir so the "
+        "first-run number includes a genuinely cold compile",
     )
     pr.set_defaults(fn=_cmd_profile)
 

@@ -1069,16 +1069,13 @@ def _build_engine_program(
             return seg_cache[key]
         col_half = make_col(0.5 * seg_dt)
         col_full = make_col(seg_dt)
+        # fusion only holds if the gen-enabled build stays on a kernel that
+        # takes a gen input (NE beyond the pair-unroll cap dispatches to the
+        # blocked kernel, which doesn't) — probe with the half-step build
+        # before paying for the full-step variant
         col_half_gen = make_col(0.5 * seg_dt, gen_input=True) if fuse_gen_wanted else None
-        col_full_gen = make_col(seg_dt, gen_input=True) if fuse_gen_wanted else None
-        # fusion only holds if the gen-enabled builds stayed on the unrolled
-        # kernel (NE beyond the pair-unroll cap dispatches to the blocked
-        # kernel, which takes no gen input)
-        fuse_gen = (
-            fuse_gen_wanted
-            and getattr(col_half_gen, "takes_gen", False)
-            and getattr(col_full_gen, "takes_gen", False)
-        )
+        fuse_gen = fuse_gen_wanted and getattr(col_half_gen, "takes_gen", False)
+        col_full_gen = make_col(seg_dt, gen_input=True) if fuse_gen else None
         if backend is not None:
             # aux holds backend data too large for the compile payload
             # (e.g. prefactored solves); it crosses the jit boundary as an
@@ -1102,16 +1099,19 @@ def _build_engine_program(
             negative = jnp.any(g_masked < 0)
             return qq + seg_dt * g, nonfinite, negative
 
-        def gen_fused_plane(t):
+        def gen_fused_plane(t, gplane):
             """dt·g as a (Ny, Nx) plane for the kernel pre-add + flags.
 
+            ``gplane`` is the mask plane, passed as a jit ARGUMENT (closing
+            over it would embed ~4 MB at 1024² as an MLIR constant and pay
+            a host fetch per segment compile — the CLAUDE.md aux rule).
             Scalar-mode flags are equivalent to the array-mode ones: the
             masked array is amp·mask, so any nonfinite/negative masked cell
             ⇔ nonfinite/negative amp (the mask is never empty)."""
             amp = jnp.asarray(seg_dt, dtype) * gen.scalar_amp_fn(t)
-            return amp * gen_mask_plane, ~jnp.isfinite(amp), amp < 0
+            return amp * gplane, ~jnp.isfinite(amp), amp < 0
 
-        def run(qq, pp, t_start, daux, paux):
+        def run(qq, pp, t_start, daux, paux, gaux):
             global _TRACE_EVENTS
             _TRACE_EVENTS += 1
             def body(carry, idx):
@@ -1120,7 +1120,7 @@ def _build_engine_program(
                 gen_nonfinite = jnp.asarray(False)
                 gen_negative = jnp.asarray(False)
                 if fuse_gen:
-                    grow, gen_nonfinite, gen_negative = gen_fused_plane(t)
+                    grow, gen_nonfinite, gen_negative = gen_fused_plane(t, gaux)
                     if diff_step is not None:
                         qq, pp = col_half_gen(qq, pp, grow)
                         qq = diff_step(qq, daux)
@@ -1152,7 +1152,7 @@ def _build_engine_program(
                 no = jnp.asarray(False)
                 gnf0 = gng0 = no
                 if fuse_gen:
-                    grow0, gnf0, gng0 = gen_fused_plane(t_start)
+                    grow0, gnf0, gng0 = gen_fused_plane(t_start, gaux)
                     qq, pp = col_half_gen(qq, pp, grow0)
                 elif gen.traced_fn is not None:
                     qq, gnf0, gng0 = gen_apply(qq, t_start)
@@ -1166,7 +1166,7 @@ def _build_engine_program(
                     gnf = gng = no
                     if fuse_gen:
                         t = t0 + (idx + 1).astype(t0.dtype) * seg_dt
-                        grow, gnf, gng = gen_fused_plane(t)
+                        grow, gnf, gng = gen_fused_plane(t, gaux)
                         qq, pp = col_full_gen(qq, pp, grow)
                     elif gen.traced_fn is not None:
                         t = t0 + (idx + 1).astype(t0.dtype) * seg_dt
@@ -1203,7 +1203,9 @@ def _build_engine_program(
             return qq, pp, stats
 
         jit_run = jax.jit(run)
-        seg_cache[key] = lambda qq, pp, t: jit_run(qq, pp, t, diff_aux, pauli_aux)
+        seg_cache[key] = lambda qq, pp, t: jit_run(
+            qq, pp, t, diff_aux, pauli_aux, gen_mask_plane
+        )
         return seg_cache[key]
 
     single_step_cache: dict[float, Callable] = {}

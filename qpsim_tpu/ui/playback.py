@@ -291,7 +291,8 @@ def export_case_images(
         sim_frames = [frame_from_jsonable(case.simulated[i]) for i in idxs]
         ana_frames = [frame_from_jsonable(case.analytic[i]) for i in idxs]
         finite = [f[np.isfinite(f)] for f in (*sim_frames, *ana_frames)]
-        vals = np.concatenate([f for f in finite if f.size]) if finite else np.zeros(1)
+        finite = [f for f in finite if f.size]
+        vals = np.concatenate(finite) if finite else np.zeros(0)
         clim = (float(vals.min()), float(vals.max())) if vals.size else None
         for k, i in enumerate(idxs):
             fig = Figure(figsize=(9.6, 4.2))
