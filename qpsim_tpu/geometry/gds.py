@@ -187,6 +187,13 @@ def read_gds_library(path: str | Path) -> GdsLibrary:
     data = Path(path).read_bytes()
     if len(data) < 4 or struct.unpack_from(">HBB", data, 0)[1] != _HEADER:
         raise ValueError(f"Not a GDSII stream file (missing HEADER record): {path}")
+    try:
+        return _parse_library(path, data)
+    except struct.error as exc:  # truncated/corrupt records -> clean error
+        raise ValueError(f"Corrupt GDSII stream in {path}: {exc}") from exc
+
+
+def _parse_library(path, data: bytes) -> GdsLibrary:
     lib_name = ""
     unit_user, unit_meters = 1e-3, 1e-9
     cells: dict[str, GdsCell] = {}

@@ -252,3 +252,36 @@ def test_negative_width_is_absolute(tmp_path):
     path = write_gds(tmp_path / "neg.gds", {"TOP": [(1, line, -4.0)]})
     (poly,) = read_gds_polygons(path)
     np.testing.assert_allclose(sorted(poly.points[:, 1]), [-2, -2, 2, 2], atol=1e-9)
+
+
+def test_corrupt_stream_raises_value_error(tmp_path):
+    # truncated/garbled records must surface as ValueError (the CLI's
+    # clean-error contract), never raw struct.error
+    import random
+
+    import numpy as np
+
+    from qpsim_tpu.geometry.gds import read_gds_library, write_gds
+
+    sq = np.array([[0.0, 0.0], [4.0, 0.0], [4.0, 3.0], [0.0, 3.0]])
+    base = write_gds(tmp_path / "base.gds", {"CELL": [(1, sq)]})
+    data = base.read_bytes()
+    rng = random.Random(7)
+    failures = 0
+    for trial in range(300):
+        b = bytearray(data)
+        mode = trial % 3
+        if mode == 0:
+            b = b[: rng.randrange(5, len(b))]
+        elif mode == 1:
+            i = rng.randrange(len(b))
+            b[i : i + 8] = rng.randbytes(8)
+        else:
+            b = bytearray(rng.randbytes(rng.randrange(5, 200)))
+        (tmp_path / "fuzz.gds").write_bytes(bytes(b))
+        try:
+            read_gds_library(tmp_path / "fuzz.gds")
+        except ValueError:
+            failures += 1
+        # any other exception type fails the test by propagating
+    assert failures > 20  # the mutations genuinely exercise error paths
