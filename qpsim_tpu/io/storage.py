@@ -223,8 +223,29 @@ def save_setup(setup: SetupData, path: Path | None = None) -> Path:
     return _write_json(path, serialize_setup(setup))
 
 
+
+
+def _deserialize_file(path: Path, what: str, fn):
+    """Run a deserializer, reporting structural damage as ValueError.
+
+    Hand-edited or corrupt files otherwise leak KeyError/TypeError/
+    AttributeError through the loaders (found by mutation fuzzing), which
+    callers with clean-error contracts (the CLI) don't catch.
+    """
+    try:
+        return fn(_read_json(path))
+    except ValueError:
+        raise
+    except (KeyError, TypeError, AttributeError, IndexError) as exc:
+        raise ValueError(
+            f"Corrupt or invalid {what} file {path}: {type(exc).__name__}: {exc}"
+        ) from exc
+
+
+
+
 def load_setup(path: str | Path) -> SetupData:
-    return deserialize_setup(_read_json(Path(path)))
+    return _deserialize_file(Path(path), "setup", deserialize_setup)
 
 
 def create_setup_id() -> str:
@@ -295,7 +316,7 @@ def save_simulation(result: SimulationResultData, path: Path | None = None) -> P
 
 
 def load_simulation(path: str | Path) -> SimulationResultData:
-    return deserialize_simulation(_read_json(Path(path)))
+    return _deserialize_file(Path(path), "simulation", deserialize_simulation)
 
 
 def list_simulation_files() -> list[Path]:
@@ -467,8 +488,12 @@ def save_test_suite(suite: TestSuiteData, path: Path | None = None) -> Path:
 
 def load_test_suite(path: str | Path, load_group_cases: bool = True) -> TestSuiteData:
     path = Path(path)
-    return deserialize_test_suite(
-        _read_json(path), manifest_path=path, load_group_cases=load_group_cases
+    return _deserialize_file(
+        path,
+        "test-suite manifest",
+        lambda payload: deserialize_test_suite(
+            payload, manifest_path=path, load_group_cases=load_group_cases
+        ),
     )
 
 

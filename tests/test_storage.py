@@ -223,3 +223,54 @@ def test_estimate_precompute_memory_accounting():
     # per-pixel kernels dominate: 2·P·NE² + 2·P·NE floats
     assert nonuni == base + 8 * (2 * 100 * 64 + 2 * 100 * 8)
     assert nonuni > uni
+
+
+def test_corrupt_setup_json_raises_value_error(tmp_path):
+    """Structural damage (missing keys, wrong types) surfaces as ValueError
+    — the CLI's clean-error contract — not KeyError/TypeError (mutation
+    fuzz found those leaking through the raw deserializers)."""
+    import copy
+    import json
+    import random
+
+    setup = _setup()
+    path = storage.save_setup(setup, tmp_path / "s.json")
+    payload = json.loads(path.read_text())
+    rng = random.Random(7)
+
+    def mutate(obj):
+        o = copy.deepcopy(obj)
+        paths = []
+
+        def rec(y, p):
+            if isinstance(y, dict):
+                for k, v in y.items():
+                    paths.append(p + [k])
+                    rec(v, p + [k])
+            elif isinstance(y, list) and y:
+                paths.append(p + [0])
+                rec(y[0], p + [0])
+
+        rec(o, [])
+        sel = rng.choice(paths)
+        target = o
+        for k in sel[:-1]:
+            target = target[k]
+        action = rng.randrange(3)
+        if action == 0 and isinstance(target, dict):
+            del target[sel[-1]]
+        elif action == 1:
+            target[sel[-1]] = rng.choice([None, "xyz", [1, 2], {"a": 1}])
+        else:
+            target[sel[-1]] = "X"
+        return o
+
+    failures = 0
+    for _ in range(150):
+        (tmp_path / "m.json").write_text(json.dumps(mutate(payload)))
+        try:
+            storage.load_setup(tmp_path / "m.json")
+        except ValueError:
+            failures += 1
+        # any other exception type propagates and fails the test
+    assert failures > 20
