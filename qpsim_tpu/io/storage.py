@@ -266,7 +266,15 @@ def save_precomputed(setup_path: Path, arrays: dict) -> Path:
 
 
 def load_precomputed(setup_path: Path) -> dict:
-    return dict(np.load(str(precompute_npz_path(setup_path)), allow_pickle=False))
+    npz_path = precompute_npz_path(setup_path)
+    try:
+        return dict(np.load(str(npz_path), allow_pickle=False))
+    except ValueError:
+        raise
+    except Exception as exc:  # truncated zip etc. (zipfile.BadZipFile, OSError)
+        raise ValueError(
+            f"Corrupt precompute sidecar {npz_path}: {type(exc).__name__}: {exc}"
+        ) from exc
 
 
 def precomputed_exists(setup_path: Path) -> bool:

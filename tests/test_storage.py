@@ -274,3 +274,15 @@ def test_corrupt_setup_json_raises_value_error(tmp_path):
             failures += 1
         # any other exception type propagates and fails the test
     assert failures > 20
+
+
+def test_corrupt_precompute_sidecar_raises_value_error(tmp_path):
+    import numpy as np
+
+    sp = tmp_path / "x.json"
+    sp.write_text("{}")
+    storage.save_precomputed(sp, {"a": np.ones(3)})
+    npz = tmp_path / "x.precompute.npz"
+    npz.write_bytes(npz.read_bytes()[:17])  # truncated zip
+    with pytest.raises(ValueError, match="Corrupt precompute sidecar"):
+        storage.load_precomputed(sp)
