@@ -156,6 +156,7 @@ class FilmEnsemble:
     E_bins: np.ndarray
     omega_bins: np.ndarray
     dE: float
+    dt: float = 0.0
 
     @property
     def _stride(self) -> int:
@@ -190,23 +191,79 @@ class FilmEnsemble:
             out[m] = thermal_phonon_occupation(self.omega_bins, float(t))[:, None, None]
         return out
 
-    def make_chunk(self, n_steps: int, *, unroll: int = 8):
-        """Jitted ``(q, ph) -> (q, ph)`` advancing n_steps with an unrolled
-        scan — amortizes the TPU while-loop back-edge cost on big carries."""
+    def generation_plane(self, rates: np.ndarray) -> np.ndarray:
+        """(B,) per-member injection rates → a (Y, nx) super-grid plane
+        (zeros on the separator rows) for :meth:`make_chunk`."""
+        out = np.zeros(self.super_shape, dtype=np.float64)
+        for m, r in enumerate(np.broadcast_to(np.asarray(rates), (self.n_members,))):
+            out[self._member_rows(m), :] = float(r)
+        return out
+
+    def make_chunk(
+        self,
+        n_steps: int,
+        *,
+        unroll: int = 8,
+        gen_plane: np.ndarray | None = None,
+        pulse_window: tuple[float, float] | None = None,
+    ):
+        """Jitted chunk advancing n_steps with an unrolled scan — amortizes
+        the TPU while-loop back-edge cost on big carries.
+
+        With ``gen_plane`` (a (Y, nx) per-pixel rate plane, see
+        :meth:`generation_plane`) each step injects dt·g forward-Euler
+        before the Strang step (the reference's external-generation
+        contract, solver.py:1459-1464) — e.g. a per-member pulse-energy
+        sweep.  ``pulse_window=(start, duration)`` gates the source in
+        time; the returned chunk then takes ``(q, ph, t0_ns)`` and the
+        plane rides the jit boundary as an argument (never a baked
+        constant).  Without ``gen_plane`` the chunk is ``(q, ph)`` as
+        before."""
         import jax
+        import jax.numpy as jnp
 
         step = self.step
 
+        if gen_plane is None:
+
+            @jax.jit
+            def chunk(q, ph):
+                def body(carry, _):
+                    return step(*carry), None
+
+                return jax.lax.scan(
+                    body, (q, ph), None, length=n_steps, unroll=min(unroll, n_steps)
+                )[0]
+
+            return chunk
+
+        if not self.dt:
+            raise ValueError("generation chunks need the ensemble dt (build_film_ensemble sets it)")
+        dt = float(self.dt)
+        gp_host = np.asarray(gen_plane, dtype=np.float64)
+
         @jax.jit
-        def chunk(q, ph):
-            def body(carry, _):
-                return step(*carry), None
+        def chunk_gen(q, ph, t0, gpa):
+            def body(carry, k):
+                q, ph = carry
+                if pulse_window is not None:
+                    t = t0 + k.astype(q.dtype) * dt
+                    start, duration = float(pulse_window[0]), float(pulse_window[1])
+                    amp = jnp.where((t >= start) & (t < start + duration), dt, 0.0)
+                else:
+                    amp = dt
+                q = q + amp * gpa
+                return step(q, ph), None
 
             return jax.lax.scan(
-                body, (q, ph), None, length=n_steps, unroll=min(unroll, n_steps)
+                body, (q, ph), jnp.arange(n_steps), unroll=min(unroll, n_steps)
             )[0]
 
-        return chunk
+        def run(q, ph, t0=0.0):
+            gpa = jnp.asarray(gp_host, dtype=q.dtype)
+            return chunk_gen(q, ph, jnp.asarray(t0, dtype=q.dtype), gpa)
+
+        return run
 
 
 def build_film_ensemble(
@@ -357,4 +414,5 @@ def build_film_ensemble(
         E_bins=E_bins,
         omega_bins=pmap.omega_bins,
         dE=dE,
+        dt=float(dt),
     )

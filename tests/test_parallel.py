@@ -624,3 +624,47 @@ def test_engine_mesh_gap_map_and_generation_match_single_chip():
     for a, b in zip(f_m, f_ref):
         np.testing.assert_allclose(np.nan_to_num(a), np.nan_to_num(b), atol=1e-12)
     np.testing.assert_allclose(m_m, m_ref, rtol=1e-11)
+
+
+def test_film_ensemble_pulse_energy_sweep():
+    """Per-member pulse injection: the docstring's '32 pulse energies' use
+    case.  Injected totals scale with the per-member rate, the window
+    gates in time, separator rows stay empty."""
+    import jax.numpy as jnp
+
+    from qpsim_tpu.parallel.ensemble import build_film_ensemble
+
+    ens = build_film_ensemble(
+        n_members=3, member_shape=(8, 12), num_energy_bins=5, dt=0.05,
+        dtype=jnp.float64,
+    )
+    rates = np.array([1e-6, 2e-6, 4e-6])
+    plane = ens.generation_plane(rates)
+    # plane: member rows hold the member rate, separators zero
+    assert plane[ens._member_rows(1), :].max() == rates[1]
+    stride = ens.member_shape[0]
+    assert plane[stride, :].max() == 0.0  # first separator row
+
+    q0 = np.zeros((3, 5, 8, 12))
+    ph0 = ens.thermal_phonons(np.full(3, 0.2))
+    q, ph = ens.pack(q0, ph0)
+    q, ph = jnp.asarray(q), jnp.asarray(ph)
+
+    chunk = ens.make_chunk(8, gen_plane=plane, pulse_window=(0.0, 0.2))
+    q1, ph1 = chunk(q, ph, 0.0)        # 4 steps inside the window
+    q2, ph2 = chunk(q1, ph1, 8 * 0.05)  # window over: no further injection
+
+    qm1, _ = ens.unpack(q1, ph1)
+    m1 = qm1.sum(axis=(1, 2, 3)) * ens.dE
+    # injection scales with rate (collisions cause only tiny deviations)
+    np.testing.assert_allclose(m1 / m1[0], rates / rates[0], rtol=1e-3)
+    # outside the window the gen chunk IS the plain chunk, bit for bit
+    # (thermal-bath equilibration still evolves the state, so compare to
+    # the no-generation composition rather than asserting monotonicity)
+    plain = ens.make_chunk(8)
+    q2p, ph2p = plain(q1, ph1)
+    np.testing.assert_array_equal(np.asarray(q2), np.asarray(q2p))
+    np.testing.assert_array_equal(np.asarray(ph2), np.asarray(ph2p))
+    # separator rows stay exactly empty
+    sep = np.asarray(q2)[:, ens.member_shape[0], :]
+    assert np.all(sep == 0.0)
