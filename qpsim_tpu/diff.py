@@ -89,10 +89,15 @@ def make_differentiable_sim(
     phonon_feedback: bool = True,
     observables: tuple[str, ...] = ("total",),
     store_every: int = 1,
+    pulse_window: tuple[float, float] | None = None,
 ) -> Callable:
     """Build ``sim(params) -> {observable: array}`` on a masked 2D geometry.
 
-    ``params``: dict with traced scalars ``D0``, ``tau_s``, ``tau_r``.
+    ``params``: dict with traced scalars ``D0``, ``tau_s``, ``tau_r``
+    (optionally ``gap``, and — with ``pulse_window=(start, duration)`` —
+    ``pulse_rate``: a window-gated uniform forward-Euler source at the
+    reference's per-step contract, so photon pulse energy becomes a
+    differentiable parameter to fit).
     Defaults to a reflective 1×nx wire when no geometry is given; pass
     ``mask``/``edges``/``edge_conditions`` for arbitrary 2D films with the
     full per-edge boundary-condition set.
@@ -245,9 +250,16 @@ def make_differentiable_sim(
             gap_t, kr_t, ks_t, rho_t = gap, kr_shape, ks_shape, rho
         K_r0 = kr_t / params["tau_r"]
         K_s0 = ks_t / params["tau_s"]
+        if pulse_window is not None:
+            start, duration = float(pulse_window[0]), float(pulse_window[1])
+            rate = params["pulse_rate"]
 
-        def step(state, _):
+        def step(state, k):
             q, ph = state
+            if pulse_window is not None:
+                t = k.astype(q.dtype) * dt
+                amp = jnp.where((t >= start) & (t < start + duration), rate, 0.0)
+                q = q + (dt * amp) * mask_dev[None]
             q, ph = collide(q, ph, K_r0, K_s0, 0.5 * dt, rho_t)
             q = diffuse(q, D0, dt, gap_t)
             q, ph = collide(q, ph, K_r0, K_s0, 0.5 * dt, rho_t)
@@ -256,7 +268,7 @@ def make_differentiable_sim(
                 out = out + (jnp.sum(q, axis=0) * dE,)
             return (q, ph), out
 
-        (q_f, ph_f), ys = jax.lax.scan(step, (q0, ph0), None, length=n_steps)
+        (q_f, ph_f), ys = jax.lax.scan(step, (q0, ph0), jnp.arange(n_steps))
         totals, ph_totals = ys[0], ys[1]
         result: dict[str, jax.Array] = {}
         if "total" in observables:
