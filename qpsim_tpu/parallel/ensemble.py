@@ -215,10 +215,11 @@ class FilmEnsemble:
         before the Strang step (the reference's external-generation
         contract, solver.py:1459-1464) — e.g. a per-member pulse-energy
         sweep.  ``pulse_window=(start, duration)`` gates the source in
-        time; the returned chunk then takes ``(q, ph, t0_ns)`` and the
-        plane rides the jit boundary as an argument (never a baked
-        constant).  Without ``gen_plane`` the chunk is ``(q, ph)`` as
-        before."""
+        time; ``start``/``duration`` may be scalars or (B,) arrays for
+        per-member photon arrival times.  The returned chunk then takes
+        ``(q, ph, t0_ns)`` and all planes ride the jit boundary as
+        arguments (never baked constants).  Without ``gen_plane`` the
+        chunk is ``(q, ph)`` as before."""
         import jax
         import jax.numpy as jnp
 
@@ -241,15 +242,28 @@ class FilmEnsemble:
             raise ValueError("generation chunks need the ensemble dt (build_film_ensemble sets it)")
         dt = float(self.dt)
         gp_host = np.asarray(gen_plane, dtype=np.float64)
+        if pulse_window is not None:
+            # scalars or (B,) per-member windows, broadcast to planes so the
+            # gate is a per-pixel compare (members fire at their own times)
+            starts = np.broadcast_to(
+                np.asarray(pulse_window[0], np.float64), (self.n_members,)
+            )
+            durations = np.broadcast_to(
+                np.asarray(pulse_window[1], np.float64), (self.n_members,)
+            )
+            start_host = self.generation_plane(starts)
+            end_host = self.generation_plane(starts + durations)
+        else:
+            start_host = end_host = None
 
         @jax.jit
-        def chunk_gen(q, ph, t0, gpa):
+        def chunk_gen(q, ph, t0, gpa, windows):
             def body(carry, k):
                 q, ph = carry
-                if pulse_window is not None:
+                if windows is not None:
+                    sp, ep = windows
                     t = t0 + k.astype(q.dtype) * dt
-                    start, duration = float(pulse_window[0]), float(pulse_window[1])
-                    amp = jnp.where((t >= start) & (t < start + duration), dt, 0.0)
+                    amp = jnp.where((t >= sp) & (t < ep), dt, 0.0)
                 else:
                     amp = dt
                 q = q + amp * gpa
@@ -261,7 +275,15 @@ class FilmEnsemble:
 
         def run(q, ph, t0=0.0):
             gpa = jnp.asarray(gp_host, dtype=q.dtype)
-            return chunk_gen(q, ph, jnp.asarray(t0, dtype=q.dtype), gpa)
+            windows = (
+                None
+                if start_host is None
+                else (
+                    jnp.asarray(start_host, dtype=q.dtype),
+                    jnp.asarray(end_host, dtype=q.dtype),
+                )
+            )
+            return chunk_gen(q, ph, jnp.asarray(t0, dtype=q.dtype), gpa, windows)
 
         return run
 

@@ -668,3 +668,36 @@ def test_film_ensemble_pulse_energy_sweep():
     # separator rows stay exactly empty
     sep = np.asarray(q2)[:, ens.member_shape[0], :]
     assert np.all(sep == 0.0)
+
+
+def test_film_ensemble_per_member_arrival_times():
+    """(B,) pulse start times: each member's source fires in its own window."""
+    import jax.numpy as jnp
+
+    from qpsim_tpu.parallel.ensemble import build_film_ensemble
+
+    ens = build_film_ensemble(
+        n_members=2, member_shape=(6, 10), num_energy_bins=5, dt=0.05,
+        dtype=jnp.float64,
+    )
+    plane = ens.generation_plane(np.array([1e-6, 1e-6]))
+    q0 = np.zeros((2, 5, 6, 10))
+    ph0 = ens.thermal_phonons(np.full(2, 0.0))
+    q, ph = ens.pack(q0, ph0)
+    q, ph = jnp.asarray(q), jnp.asarray(ph)
+
+    # member 0 fires in [0, 0.1), member 1 in [0.2, 0.3)
+    chunk = ens.make_chunk(
+        4, gen_plane=plane, pulse_window=(np.array([0.0, 0.2]), 0.1)
+    )
+    q1, ph1 = chunk(q, ph, 0.0)  # covers [0, 0.2): only member 0 fires
+    qm, _ = ens.unpack(q1, ph1)
+    m = qm.sum(axis=(1, 2, 3))
+    assert m[0] > 0 and m[1] == 0.0
+
+    q2, ph2 = chunk(q1, ph1, 0.2)  # covers [0.2, 0.4): only member 1 fires
+    qm2, _ = ens.unpack(q2, ph2)
+    m2 = qm2.sum(axis=(1, 2, 3))
+    assert m2[1] > 0
+    # both members got the same 2-step injection at the same rate
+    np.testing.assert_allclose(m2[1], m[0], rtol=1e-12)
