@@ -87,8 +87,9 @@ class ShardedStep:
     q_sharding: NamedSharding
     ph_sharding: NamedSharding
     grid_shape: tuple[int, int]
-    apply: Callable = None  # (q, ph, raw_arrays, src) -> (q, ph, mass)
+    apply: Callable = None  # (q, ph[, grow], raw_arrays, src) -> (q, ph, mass)
     aux: tuple = ()  # (raw_arrays, src)
+    takes_gen: bool = False  # apply/step take a grow plane before aux
 
     def make_chunk(self, n_steps: int, *, unroll: int = 8) -> Callable:
         """Return jitted ``(q, ph) -> (q, ph, mass)`` advancing n_steps.
@@ -127,6 +128,7 @@ def build_sharded_step(
     dtype=jnp.float32,
     ensemble: bool = False,
     tridiag_backend: str = "auto",
+    gen_input: bool = False,
 ) -> ShardedStep:
     """Build a rows-sharded Strang step over ``mesh``'s 'space' axis.
 
@@ -140,6 +142,15 @@ def build_sharded_step(
         Optional dict with keys ``dE, rho, K_r0, K_s0, pmap`` (uniform-gap
         kernels and the static phonon map) plus toggles
         ``enable_recombination/enable_scattering/update_phonons``.
+
+    gen_input:
+        When True the step takes a per-step generation plane:
+        ``apply(q, ph, grow, raw, src)`` / ``step(q, ph, grow)`` with
+        ``grow`` a dense (Ny, Nx) array of forward-Euler increments dt·g,
+        rows-sharded like the state.  The injection happens inside the
+        shard: fused into the Pallas collision kernels where they support
+        a gen input (uniform and analytic-gap), an in-shard XLA pre-add
+        otherwise.  Not available with ``ensemble=True``.
 
         **Non-uniform gap maps**: additionally pass ``gap_plane`` (dense
         (Ny, Nx) Δ in µeV) and ``tau_s/tau_r/T_c`` (+ optional
@@ -215,6 +226,7 @@ def build_sharded_step(
 
     plan_local: CollisionPlan | None = None
     col_half = None
+    col_half_gen = None  # gen-input variant (gen_input=True builds only)
     col_mode = "baked"  # "baked" | "gap_plane" | "gap_id"
     gap_aux = None  # extra rows-sharded plane fed to the collision step
     gap_plane = None if collisions is None else collisions.get("gap_plane")
@@ -250,7 +262,7 @@ def build_sharded_step(
 
             use_analytic = pallas_analytic_collisions_supported(np.asarray(e_bins_g))
         if use_analytic:
-            col_half = build_pallas_collision_step_analytic(
+            kw_an = dict(
                 E_bins=np.asarray(e_bins_g),
                 dE=collisions["dE"],
                 gap_plane=None,  # call-time arg: each shard passes its slice
@@ -262,6 +274,11 @@ def build_sharded_step(
                 dynes_gamma=collisions.get("dynes_gamma", 0.0),
                 update_phonons=collisions.get("update_phonons", True),
             )
+            col_half = build_pallas_collision_step_analytic(**kw_an)
+            if gen_input and col_half is not None:
+                col_half_gen = build_pallas_collision_step_analytic(
+                    gen_input=True, **kw_an
+                )
         if col_half is None and on_tpu_c and dtype_ok_c and e_bins_g is not None:
             # NE > 64: the blocked analytic-gap kernel (same call-time-plane
             # contract) carries continuous maps beyond the pair-unroll cap
@@ -348,7 +365,7 @@ def build_sharded_step(
         if want_pallas and e_bins is not None:
             from ..ops.pallas_collisions import build_pallas_collision_step
 
-            col_half = build_pallas_collision_step(
+            kw_u = dict(
                 E_bins=np.asarray(e_bins),
                 dE=collisions["dE"],
                 rho=np.asarray(collisions["rho"]),
@@ -369,6 +386,10 @@ def build_sharded_step(
                 update_phonons=collisions.get("update_phonons", True),
                 interpret=not on_tpu,
             )
+            col_half = build_pallas_collision_step(**kw_u)
+            if gen_input and col_half is not None:
+                cg = build_pallas_collision_step(gen_input=True, **kw_u)
+                col_half_gen = cg if getattr(cg, "takes_gen", False) else None
             if use_pallas is True and col_half is None:
                 raise ValueError(
                     "use_pallas=True but the configuration is outside the "
@@ -456,14 +477,28 @@ def build_sharded_step(
             )
         return jax.lax.all_to_all(u_new_T, SPACE_AXIS, split_axis=1, concat_axis=2, tiled=True)
 
-    def local_step(q, ph, raw, s):
+    def local_step(q, ph, raw, s, grow=None):
         def collide(q, ph):
             if col_mode == "baked":
                 return col_half(q, ph)
             return col_half(q, ph, raw["gap_aux"])
 
+        def collide_gen(q, ph, grow):
+            # first substep with the forward-Euler injection fused in;
+            # kernels without a gen input get an in-shard XLA pre-add
+            if col_half_gen is not None:
+                if col_mode == "baked":
+                    return col_half_gen(q, ph, grow)
+                return col_half_gen(q, ph, raw["gap_aux"], grow)
+            return collide(q + grow[None].astype(q.dtype), ph)
+
         if col_half is not None:
-            q, ph = collide(q, ph)
+            if grow is not None:
+                q, ph = collide_gen(q, ph, grow)
+            else:
+                q, ph = collide(q, ph)
+        elif grow is not None:
+            q = q + grow[None].astype(q.dtype)
         q = local_diffusion(q, raw, s)
         if col_half is not None:
             q, ph = collide(q, ph)
@@ -492,6 +527,8 @@ def build_sharded_step(
     if ensemble:
         # each local shard carries a batch of independent ensemble members;
         # the 'ensemble' mesh axis shards the batch with zero communication.
+        if gen_input:
+            raise ValueError("gen_input is not supported with ensemble=True")
         from .mesh import ENSEMBLE_AXIS
 
         batched = jax.vmap(local_step, in_axes=(0, 0, None, None), out_axes=(0, 0, 0))
@@ -505,6 +542,20 @@ def build_sharded_step(
         )
         q_sh = NamedSharding(mesh, rows_b)
         ph_sh = NamedSharding(mesh, rows_b)
+    elif gen_input:
+        # grow: a dense (Ny, Nx) plane of dt·g increments, rows-sharded
+        def local_step_gen(q, ph, grow, raw, s):
+            return local_step(q, ph, raw, s, grow=grow)
+
+        sharded = shard_map(
+            local_step_gen,
+            mesh=mesh,
+            in_specs=(rows, rows, P(SPACE_AXIS, None), raw_specs, rows),
+            out_specs=(rows, rows, P()),
+            check_vma=False,
+        )
+        q_sh = NamedSharding(mesh, rows)
+        ph_sh = NamedSharding(mesh, rows)
     else:
         sharded = shard_map(
             local_step,
@@ -517,8 +568,12 @@ def build_sharded_step(
         ph_sh = NamedSharding(mesh, rows)
 
     jit_step = jax.jit(sharded)
-    step = lambda q, ph: jit_step(q, ph, raw_arrays, src)
+    if gen_input and not ensemble:
+        step = lambda q, ph, grow: jit_step(q, ph, grow, raw_arrays, src)
+    else:
+        step = lambda q, ph: jit_step(q, ph, raw_arrays, src)
     return ShardedStep(
         mesh=mesh, step=step, q_sharding=q_sh, ph_sharding=ph_sh,
         grid_shape=(ny, nx), apply=sharded, aux=(raw_arrays, src),
+        takes_gen=gen_input and not ensemble,
     )

@@ -987,11 +987,17 @@ def _build_engine_program(
             mesh_collisions = None
 
         sharded_cache: dict[float, Any] = {}
+        # uniform traced generation (constant/pulse) injects inside the
+        # shard: fused into the collision kernels where they take a gen
+        # input, an in-shard pre-add otherwise — either way the grow plane
+        # is computed from the scalar amp per step, not a full g array
+        fuse_gen_mesh = gen.scalar_amp_fn is not None
 
         def get_sharded(seg_dt: float):
             if seg_dt not in sharded_cache:
                 sharded_cache[seg_dt] = build_sharded_step(
-                    mesh, op, seg_dt, dx=dx, collisions=mesh_collisions, dtype=dtype
+                    mesh, op, seg_dt, dx=dx, collisions=mesh_collisions,
+                    dtype=dtype, gen_input=fuse_gen_mesh,
                 )
             return sharded_cache[seg_dt]
 
@@ -1001,7 +1007,7 @@ def _build_engine_program(
                 return seg_cache[key]
             sh = get_sharded(seg_dt)
 
-            def run(qq, pp, t_start, paux, shaux):
+            def run(qq, pp, t_start, paux, shaux, gaux):
                 global _TRACE_EVENTS
                 _TRACE_EVENTS += 1
 
@@ -1010,12 +1016,20 @@ def _build_engine_program(
                     t = t0 + idx.astype(t0.dtype) * seg_dt
                     gen_nonfinite = jnp.asarray(False)
                     gen_negative = jnp.asarray(False)
-                    if gen.traced_fn is not None:
-                        g = gen.traced_fn(t)
-                        gen_nonfinite = ~jnp.all(jnp.isfinite(jnp.where(mask_dev, g, 0.0)))
-                        gen_negative = jnp.any(jnp.where(mask_dev, g, 0.0) < 0)
-                        qq = qq + seg_dt * g
-                    qq, pp, _mass = sh.apply(qq, pp, *shaux)
+                    if fuse_gen_mesh:
+                        amp = jnp.asarray(seg_dt, dtype) * gen.scalar_amp_fn(t)
+                        gen_nonfinite = ~jnp.isfinite(amp)
+                        gen_negative = amp < 0
+                        qq, pp, _mass = sh.apply(qq, pp, amp * gaux, *shaux)
+                    else:
+                        if gen.traced_fn is not None:
+                            g = gen.traced_fn(t)
+                            gen_nonfinite = ~jnp.all(
+                                jnp.isfinite(jnp.where(mask_dev, g, 0.0))
+                            )
+                            gen_negative = jnp.any(jnp.where(mask_dev, g, 0.0) < 0)
+                            qq = qq + seg_dt * g
+                        qq, pp, _mass = sh.apply(qq, pp, *shaux)
                     stats = pauli_stats_fn(qq, paux)
                     return (qq, pp, t0), stats + (gen_nonfinite, gen_negative)
 
@@ -1026,7 +1040,9 @@ def _build_engine_program(
                 return qq, pp, stats
 
             jit_run = jax.jit(run)
-            seg_cache[key] = lambda qq, pp, t: jit_run(qq, pp, t, pauli_aux, sh.aux)
+            seg_cache[key] = lambda qq, pp, t: jit_run(
+                qq, pp, t, pauli_aux, sh.aux, gen_mask_plane
+            )
             return seg_cache[key]
 
         single_step_cache_m: dict[float, Callable] = {}
