@@ -255,6 +255,8 @@ def _finish_element(cell: GdsCell, element: dict, unit_user: float) -> None:
     xy = element.get("xy")
     if xy is None:
         return
+    if xy.shape[0] == 0:
+        raise ValueError("GDSII element carries an empty XY record (corrupt stream)")
     pts = xy * unit_user  # database units → user units
     if kind == _BOUNDARY:
         points = pts

@@ -269,9 +269,9 @@ def load_precomputed(setup_path: Path) -> dict:
     npz_path = precompute_npz_path(setup_path)
     try:
         return dict(np.load(str(npz_path), allow_pickle=False))
-    except ValueError:
+    except (ValueError, FileNotFoundError):
         raise
-    except Exception as exc:  # truncated zip etc. (zipfile.BadZipFile, OSError)
+    except Exception as exc:  # truncated zip etc. (zipfile.BadZipFile)
         raise ValueError(
             f"Corrupt precompute sidecar {npz_path}: {type(exc).__name__}: {exc}"
         ) from exc

@@ -226,6 +226,8 @@ class FilmEnsemble:
         step = self.step
 
         if gen_plane is None:
+            if pulse_window is not None:
+                raise ValueError("pulse_window requires gen_plane (the rate plane)")
 
             @jax.jit
             def chunk(q, ph):
@@ -273,17 +275,23 @@ class FilmEnsemble:
                 body, (q, ph), jnp.arange(n_steps), unroll=min(unroll, n_steps)
             )[0]
 
+        planes_by_dtype: dict = {}  # upload the constant planes once per dtype
+
         def run(q, ph, t0=0.0):
-            gpa = jnp.asarray(gp_host, dtype=q.dtype)
-            windows = (
-                None
-                if start_host is None
-                else (
-                    jnp.asarray(start_host, dtype=q.dtype),
-                    jnp.asarray(end_host, dtype=q.dtype),
+            key = jnp.dtype(q.dtype)
+            if key not in planes_by_dtype:
+                gpa = jnp.asarray(gp_host, dtype=key)
+                windows = (
+                    None
+                    if start_host is None
+                    else (
+                        jnp.asarray(start_host, dtype=key),
+                        jnp.asarray(end_host, dtype=key),
+                    )
                 )
-            )
-            return chunk_gen(q, ph, jnp.asarray(t0, dtype=q.dtype), gpa, windows)
+                planes_by_dtype[key] = (gpa, windows)
+            gpa, windows = planes_by_dtype[key]
+            return chunk_gen(q, ph, jnp.asarray(t0, dtype=key), gpa, windows)
 
         return run
 

@@ -92,15 +92,36 @@ class ShardedStep:
     takes_gen: bool = False  # apply/step take a grow plane before aux
 
     def make_chunk(self, n_steps: int, *, unroll: int = 8) -> Callable:
-        """Return jitted ``(q, ph) -> (q, ph, mass)`` advancing n_steps.
+        """Return a jitted chunk advancing n_steps; ``mass`` is from the
+        final step.  The scan body is unrolled (default 8 — the measured
+        optimum for 1024²-class carries; use 4 for 256²-class).
 
-        ``mass`` is from the final step.  The scan body is unrolled
-        (default 8 — the measured optimum for 1024²-class carries; use 4
-        for 256²-class).
+        Signature follows the step: ``(q, ph) -> (q, ph, mass)``, or —
+        when the step was built with ``gen_input=True`` — ``(q, ph, grow)
+        -> (q, ph, mass)`` with the same dt·g plane injected every step
+        of the chunk (a constant-rate source; time-varying windows need
+        per-step driving, e.g. the engine's segment runner).
         """
         import jax
 
         apply = self.apply
+        aux = self.aux
+
+        if self.takes_gen:
+
+            @jax.jit
+            def chunk_g(q, ph, grow, raw, src):
+                def body(carry, _):
+                    q, ph = carry
+                    q, ph, mass = apply(q, ph, grow, raw, src)
+                    return (q, ph), mass
+
+                (q, ph), masses = jax.lax.scan(
+                    body, (q, ph), None, length=n_steps, unroll=min(unroll, n_steps)
+                )
+                return q, ph, masses[-1]
+
+            return lambda q, ph, grow: chunk_g(q, ph, grow, *aux)
 
         @jax.jit
         def chunk_a(q, ph, raw, src):
@@ -114,7 +135,6 @@ class ShardedStep:
             )
             return q, ph, masses[-1]
 
-        aux = self.aux
         return lambda q, ph: chunk_a(q, ph, *aux)
 
 
@@ -143,6 +163,13 @@ def build_sharded_step(
         kernels and the static phonon map) plus toggles
         ``enable_recombination/enable_scattering/update_phonons``.
 
+        **Non-uniform gap maps**: additionally pass ``gap_plane`` (dense
+        (Ny, Nx) Δ in µeV) and ``tau_s/tau_r/T_c`` (+ optional
+        ``dynes_gamma``).  On TPU the analytic-gap Pallas kernel evaluates
+        exact per-pixel kernels from each shard's slice of Δ²; elsewhere
+        (CPU-mesh dry runs, f64) the XLA gather integrator receives each
+        shard's gap-id slice at call time.  ``rho/K_r0/K_s0`` then refer to
+        the *nominal* gap and are only used to decide which channels exist.
     gen_input:
         When True the step takes a per-step generation plane:
         ``apply(q, ph, grow, raw, src)`` / ``step(q, ph, grow)`` with
@@ -151,14 +178,6 @@ def build_sharded_step(
         shard: fused into the Pallas collision kernels where they support
         a gen input (uniform and analytic-gap), an in-shard XLA pre-add
         otherwise.  Not available with ``ensemble=True``.
-
-        **Non-uniform gap maps**: additionally pass ``gap_plane`` (dense
-        (Ny, Nx) Δ in µeV) and ``tau_s/tau_r/T_c`` (+ optional
-        ``dynes_gamma``).  On TPU the analytic-gap Pallas kernel evaluates
-        exact per-pixel kernels from each shard's slice of Δ²; elsewhere
-        (CPU-mesh dry runs, f64) the XLA gather integrator receives each
-        shard's gap-id slice at call time.  ``rho/K_r0/K_s0`` then refer to
-        the *nominal* gap and are only used to decide which channels exist.
     """
     ny, nx = op.mask.shape
     n_space = mesh.shape[SPACE_AXIS]

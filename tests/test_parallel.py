@@ -701,3 +701,47 @@ def test_film_ensemble_per_member_arrival_times():
     assert m2[1] > 0
     # both members got the same 2-step injection at the same rate
     np.testing.assert_allclose(m2[1], m[0], rtol=1e-12)
+
+
+def test_sharded_gen_chunk_matches_plain_plus_add():
+    """gen_input=True: make_chunk takes a grow plane; result equals the
+    plain sharded chunk applied to a pre-added state for one step."""
+    ny, nx = 16, 16
+    ne = 4
+    mask, edges, bcs = _geometry(ny, nx)
+    E, dE = build_energy_grid(GAP, 1.0, 3.0, ne)
+    pm = build_phonon_frequency_map(E)
+    rho = dynes_density_of_states(E, GAP, 0.0)
+    Kr = recombination_kernel_base(E, GAP, TAU, TC)
+    Ks = scattering_kernel_base(E, GAP, TAU, TC)
+    D_bins = 6.0 * np.sqrt(np.maximum(0.0, 1.0 - (GAP / E) ** 2))
+    xs, ys = build_directional_stencils(mask, edges, bcs, 1.0)
+    op = fold_diffusion(xs, ys, mask, 1.0, D_bins)
+    cols = dict(
+        dE=dE, rho=rho, K_r0=Kr, K_s0=Ks, pmap=pm,
+        enable_recombination=True, enable_scattering=True, update_phonons=True,
+    )
+    mesh = make_mesh(n_space=len(jax.devices()))
+    plain = build_sharded_step(mesh, op, 0.05, collisions=cols, dtype=jnp.float64)
+    gen = build_sharded_step(
+        mesh, op, 0.05, collisions=cols, dtype=jnp.float64, gen_input=True
+    )
+    assert gen.takes_gen and not plain.takes_gen
+
+    rng = np.random.default_rng(5)
+    q0 = rng.uniform(0, 1e-4, (ne, ny, nx))
+    ph0 = np.broadcast_to(
+        thermal_phonon_occupation(pm.omega_bins, TBATH)[:, None, None],
+        (pm.num_omega, ny, nx),
+    ).copy()
+    grow = jnp.asarray(rng.uniform(0, 1e-6, (ny, nx)))
+
+    q_g, ph_g, m_g = gen.step(jnp.asarray(q0), jnp.asarray(ph0), grow)
+    q_p, ph_p, m_p = plain.step(jnp.asarray(q0) + grow[None], jnp.asarray(ph0))
+    np.testing.assert_allclose(np.asarray(q_g), np.asarray(q_p), atol=1e-15)
+    np.testing.assert_allclose(np.asarray(ph_g), np.asarray(ph_p), atol=1e-15)
+
+    # the documented multi-step path works too (constant-rate source)
+    chunk = gen.make_chunk(3, unroll=1)
+    q_c, ph_c, m_c = chunk(jnp.asarray(q0), jnp.asarray(ph0), grow)
+    assert np.all(np.isfinite(np.asarray(q_c))) and float(m_c) > 0
