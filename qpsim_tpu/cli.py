@@ -15,18 +15,55 @@ from pathlib import Path
 
 
 def _cmd_info(args: argparse.Namespace) -> int:
-    import jax
+    import os
+    import subprocess
+
+    import jax  # importing jax does not initialize backends
 
     from . import __version__
 
     print(f"qpsim_tpu {__version__}")
-    print(f"jax {jax.__version__}, backend: {jax.default_backend()}")
-    for d in jax.devices():
-        print(f"  device: {d}")
+    print(f"jax {jax.__version__}")
+    # Backend discovery: local platforms initialize instantly, but a
+    # configured remote-TPU backend (axon) blocks in native code when its
+    # tunnel is down — probe those in a CHILD with a hard timeout so an
+    # environment-information command never hangs (bench.py's pattern).
+    ambient = str(getattr(jax.config, "jax_platforms", None) or "")
+    if "axon" not in ambient:
+        print(f"backend: {jax.default_backend()}")
+        for d in jax.devices():
+            print(f"  device: {d}")
+        _print_host_info()
+        return 0
+    timeout_s = float(os.environ.get("QPSIM_INFO_PROBE_TIMEOUT_S", "45"))
+    code = (
+        "import jax;"
+        "print('backend:', jax.default_backend());"
+        "[print('  device:', d) for d in jax.devices()]"
+    )
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code], timeout=timeout_s,
+            capture_output=True, text=True,
+        )
+        if r.returncode == 0:
+            print(r.stdout.strip())
+        else:
+            print(f"backend: UNAVAILABLE (probe rc={r.returncode}: "
+                  f"{r.stderr.strip().splitlines()[-1][:200] if r.stderr.strip() else '?'})")
+    except subprocess.TimeoutExpired:
+        print(f"backend: UNREACHABLE (device init hung > {timeout_s:.0f}s — "
+              "remote-TPU tunnel down?)")
+    _print_host_info()
+    return 0
+
+
+def _print_host_info() -> None:
     from .geometry.gds import native_raster_available
+    from .utils.compile_cache import cache_dir_configured
 
     print(f"native GDS rasterizer: {'yes' if native_raster_available() else 'no (numpy fallback)'}")
-    return 0
+    print(f"persistent compile cache: {cache_dir_configured() or 'disabled'}")
 
 
 def _cmd_validate(args: argparse.Namespace) -> int:

@@ -22,10 +22,22 @@ from __future__ import annotations
 
 import os
 
-__all__ = ["enable_persistent_cache", "maybe_enable_persistent_cache"]
+__all__ = [
+    "cache_dir_configured",
+    "enable_persistent_cache",
+    "maybe_enable_persistent_cache",
+]
 
 _DEFAULT_DIR = os.path.join(os.path.expanduser("~"), ".cache", "qpsim_tpu", "xla")
 _active_dir: str | None = None
+
+
+def cache_dir_configured() -> str | None:
+    """The directory runs will use (without enabling anything), or None
+    when opted out via QPSIM_PERSISTENT_CACHE=0."""
+    if os.environ.get("QPSIM_PERSISTENT_CACHE", "1") == "0":
+        return None
+    return _active_dir or os.environ.get("QPSIM_COMPILE_CACHE_DIR", _DEFAULT_DIR)
 
 
 def enable_persistent_cache(cache_dir: str | None = None) -> str | None:
