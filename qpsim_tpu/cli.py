@@ -66,9 +66,41 @@ def _print_host_info() -> None:
     print(f"persistent compile cache: {cache_dir_configured() or 'disabled'}")
 
 
+def _ensure_backend_alive() -> None:
+    """Fail fast when a remote-TPU platform is configured but unreachable.
+
+    Compute commands would otherwise hang forever inside backend init (a
+    dead tunnel blocks in native code).  Local platforms skip the probe.
+    """
+    import os
+    import subprocess
+
+    import jax
+
+    ambient = str(getattr(jax.config, "jax_platforms", None) or "")
+    if "axon" not in ambient:
+        return
+    timeout_s = float(os.environ.get("QPSIM_INFO_PROBE_TIMEOUT_S", "45"))
+    code = "import jax, jax.numpy as jnp; print(float(jax.jit(lambda x: x + 1)(jnp.ones(()))))"
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code], timeout=timeout_s,
+            capture_output=True, text=True,
+        )
+    except subprocess.TimeoutExpired:
+        raise ValueError(
+            f"remote-TPU backend unreachable (device init hung > {timeout_s:.0f}s"
+            " — tunnel down?); fix the tunnel or run on CPU"
+        ) from None
+    if r.returncode != 0:
+        tail = r.stderr.strip().splitlines()[-1][:200] if r.stderr.strip() else "?"
+        raise ValueError(f"remote-TPU backend failed to initialize: {tail}")
+
+
 def _cmd_validate(args: argparse.Namespace) -> int:
     from .validation import run_fast_validation_suite
 
+    _ensure_backend_alive()
     report = run_fast_validation_suite()
     payload = report.as_dict()
     if args.json:
@@ -89,6 +121,7 @@ def _cmd_run(args: argparse.Namespace) -> int:
     from .io.storage import load_setup
     from .runner import run_setup
 
+    _ensure_backend_alive()
     setup_path = Path(args.setup)
     setup = load_setup(setup_path)
     print(f"setup '{setup.name}' ({setup.setup_id}): "
@@ -155,6 +188,7 @@ def _cmd_gen_tests(args: argparse.Namespace) -> int:
     from .testcases.generator import generate_test_suite
     from .io.storage import save_test_suite
 
+    _ensure_backend_alive()
     suite = generate_test_suite(
         nx=args.nx, total_time=args.total_time, store_every=args.store_every
     )
@@ -267,6 +301,7 @@ def _cmd_profile(args: argparse.Namespace) -> int:
         # must happen before the engine enables the persistent cache
         os.environ["QPSIM_COMPILE_CACHE_DIR"] = tempfile.mkdtemp(prefix="qpsim-xla-")
 
+    _ensure_backend_alive()
     setup = load_setup(args.setup)
     if args.steps is not None:
         if args.steps < 1:
