@@ -164,3 +164,25 @@ def test_mesh_path_resume_reproduces_uninterrupted_run(tmp_path):
     resumed = run_2d_crank_nicolson(**kw, checkpointer=ck2)
     _compare(baseline, resumed)
     assert ck2.all_steps() == [0, 1, 2, 3, 4]
+
+
+def test_resume_with_fused_generation_pallas_backend(tmp_path):
+    """Resume identity holds on the fused-generation collision path
+    (collision_backend='pallas' + pulse): interrupted and uninterrupted
+    runs match bit-for-bit."""
+    from qpsim_tpu.models.params import ExternalGenerationSpec
+
+    kw = _problem()
+    kw.update(
+        collision_backend="pallas",
+        external_generation=ExternalGenerationSpec(
+            mode="pulse", pulse_start=0.1, pulse_duration=0.2, pulse_rate=2e-5
+        ),
+    )
+    baseline = run_2d_crank_nicolson(**kw)
+
+    ck = SimulationCheckpointer(tmp_path / "ck")
+    run_2d_crank_nicolson(**{**kw, "total_time": 0.3}, checkpointer=ck)
+    ck2 = SimulationCheckpointer(tmp_path / "ck")
+    resumed = run_2d_crank_nicolson(**kw, checkpointer=ck2)
+    _compare(baseline, resumed)
