@@ -140,9 +140,12 @@ def _cmd_run(args: argparse.Namespace) -> int:
         collision_backend=args.collision_backend,
         strang_mode=args.strang_mode,
         checkpoint_dir=args.checkpoint_dir,
+        stream_dir=args.stream_dir,
     )
     meta = result.metadata
     print(f"done: {len(result.times)} stored frames, final t = {result.times[-1]:.6g} ns")
+    if args.stream_dir:
+        print(f"frames streamed to: {meta['streamed_frames_dir']}")
     print(f"mass: {result.mass_over_time[0]:.6g} -> {result.mass_over_time[-1]:.6g}")
     print(f"energy diagnostics ({meta['diagnostics_mode']}): "
           f"residual range [{min(meta['energy_exchange_residual']):.3g}, "
@@ -344,8 +347,15 @@ def _cmd_view(args: argparse.Namespace) -> int:
     from .ui.playback import export_simulation_images
 
     sim_path = Path(args.simulation)
-    result = load_simulation(sim_path)
-    out_dir = Path(args.out) if args.out else sim_path.parent / (sim_path.stem + "_frames")
+    if sim_path.is_dir():
+        # a streamed-frames directory (see 'run --stream-dir')
+        from .io.stream import load_frame_stream
+
+        result = load_frame_stream(sim_path).to_result_data()
+        out_dir = Path(args.out) if args.out else sim_path.parent / (sim_path.name + "_frames")
+    else:
+        result = load_simulation(sim_path)
+        out_dir = Path(args.out) if args.out else sim_path.parent / (sim_path.stem + "_frames")
     written = export_simulation_images(
         result,
         out_dir,
@@ -450,6 +460,12 @@ def build_parser() -> argparse.ArgumentParser:
     )
     r.add_argument("--verbose", action="store_true", help="print stored-step progress")
     r.add_argument(
+        "--stream-dir",
+        dest="stream_dir",
+        help="stream stored frames to this directory as NPZ shards instead of "
+        "holding them in RAM (bounded-memory long runs; view with 'view DIR')",
+    )
+    r.add_argument(
         "--checkpoint-dir",
         dest="checkpoint_dir",
         help="orbax checkpoint directory: snapshots are saved there and an "
@@ -513,7 +529,11 @@ def build_parser() -> argparse.ArgumentParser:
         "view",
         help="render a saved simulation to PNG images (headless viewer)",
     )
-    vw.add_argument("simulation", help="path to a simulation .json")
+    vw.add_argument(
+        "simulation",
+        help="path to a simulation .json, or a streamed-frames directory "
+        "(see 'run --stream-dir')",
+    )
     vw.add_argument("--out", help="output directory (default: <sim>_frames/)")
     vw.add_argument(
         "--frames",

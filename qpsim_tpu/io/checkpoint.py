@@ -70,5 +70,16 @@ class SimulationCheckpointer:
             return None
         return self.restore(steps[-1])
 
+    def discard_from(self, stored_idx: int) -> None:
+        """Delete checkpoints at indices >= stored_idx.
+
+        Used on resume to drop snapshots the current segment plan will
+        restore differently (e.g. a shorter interrupted horizon's forced
+        final-step store) — the continuing run re-saves those indices.
+        """
+        for s in self.all_steps():
+            if s >= int(stored_idx):
+                self._mgr.delete(s)
+
     def load_through(self, stored_idx: int) -> list[dict[str, Any]]:
         return [self.restore(i) for i in self.all_steps() if i <= stored_idx]

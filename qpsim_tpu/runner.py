@@ -87,6 +87,64 @@ def _integrated_energy_total(
     return totals
 
 
+class _StreamingTotalsSink:
+    """Frame-sink wrapper that accumulates energy bookkeeping on the fly.
+
+    Streaming discards per-bin frame histories the moment they hit disk,
+    so the post-run ``_integrated_energy_total`` pass has nothing to read.
+    Instead, as each snapshot passes through, this wrapper reduces it to
+    per-bin pixel sums — an (NE,)/(nω,) vector per stored time, a few
+    hundred floats instead of gigabytes — and forwards the frames to the
+    wrapped writer untouched.  Totals are assembled after the run, when
+    the phonon ω-grid (engine-built) is known.
+    """
+
+    def __init__(self, sink, mask: np.ndarray) -> None:
+        self._sink = sink
+        self._mask = mask
+        self.qp_bin_sums: dict[int, np.ndarray] = {}
+        self.ph_bin_sums: dict[int, np.ndarray] = {}
+
+    def write(
+        self,
+        index: int,
+        time_ns: float,
+        *,
+        frame,
+        mass,
+        energy_frames=None,
+        phonon_frame=None,
+        phonon_energy_frames=None,
+    ) -> None:
+        if energy_frames is not None:
+            self.qp_bin_sums[index] = np.array(
+                [np.nansum(np.asarray(f)[self._mask]) for f in energy_frames]
+            )
+        if phonon_energy_frames is not None:
+            self.ph_bin_sums[index] = np.array(
+                [np.nansum(np.asarray(f)[self._mask]) for f in phonon_energy_frames]
+            )
+        self._sink.write(
+            index,
+            time_ns,
+            frame=frame,
+            mass=mass,
+            energy_frames=energy_frames,
+            phonon_frame=phonon_frame,
+            phonon_energy_frames=phonon_energy_frames,
+        )
+
+    def totals(self, which: str, bins, widths, area: float, n_times: int) -> list[float] | None:
+        sums = self.qp_bin_sums if which == "qp" else self.ph_bin_sums
+        if len(sums) != n_times:
+            return None
+        bins = np.asarray(bins, np.float64)
+        widths = np.asarray(widths, np.float64)
+        return [
+            float(np.sum(sums[i] * bins * widths) * area) for i in range(n_times)
+        ]
+
+
 def run_setup(
     setup: SetupData,
     *,
@@ -100,17 +158,31 @@ def run_setup(
     strang_mode: str = "auto",
     dtype=None,
     checkpoint_dir: str | Path | None = None,
+    stream_dir: str | Path | None = None,
 ) -> tuple[SimulationResultData, str | None]:
     """Run one setup end-to-end and (optionally) persist the result.
 
     Returns (result, saved-path-or-None).  Raises on physics/validation
     errors; a failed save is reported in ``result.metadata['save_error']``.
+
+    ``stream_dir`` enables bounded-memory frame streaming: every stored
+    snapshot is written to that directory as an NPZ shard the moment it
+    leaves the device (:class:`qpsim_tpu.io.stream.FrameStreamWriter`)
+    instead of accumulating in RAM.  The returned result then carries
+    empty ``frames``/``energy_frames``/phonon histories and a
+    ``metadata['streamed_frames_dir']`` pointer; energy bookkeeping
+    (QP/phonon totals, exchange residual) is computed on the fly as the
+    frames pass through and is unchanged.  Read the stream back with
+    :func:`qpsim_tpu.io.stream.load_frame_stream` or render it with the
+    ``view`` CLI.
     """
     p = setup.parameters
     mask = mask_from_lists(setup.geometry.mask)
     initial = build_initial_field(mask, setup.initial_condition)
+    sim_id = create_simulation_id()
 
     e_weights = None
+    E_bins = None
     if p.energy_gap > 0:
         E_bins, _ = build_energy_grid(
             p.energy_gap, p.energy_min_factor, p.energy_max_factor, p.num_energy_bins
@@ -137,6 +209,23 @@ def run_setup(
         from .io.checkpoint import SimulationCheckpointer
 
         checkpointer = SimulationCheckpointer(checkpoint_dir)
+
+    stream_writer = None
+    stream_sink = None
+    if stream_dir is not None:
+        from .io.stream import FrameStreamWriter
+
+        stream_writer = FrameStreamWriter(
+            stream_dir,
+            energy_bins=E_bins,
+            metadata={
+                "simulation_id": sim_id,
+                "setup_id": setup.setup_id,
+                "setup_name": setup.name,
+                "created_at": utc_now_iso(),
+            },
+        )
+        stream_sink = _StreamingTotalsSink(stream_writer, mask)
 
     times, frames, mass, color_limits, energy_frames, energy_bins = run_2d_crank_nicolson(
         mask=mask,
@@ -174,21 +263,29 @@ def run_setup(
         strang_mode=strang_mode,
         dtype=dtype,
         checkpointer=checkpointer,
+        frame_sink=stream_sink,
     )
 
     area = float(p.mesh_size * p.mesh_size)
 
     # QP energy content per stored time
-    if energy_frames is not None and energy_bins is not None and p.energy_gap > 0:
+    if energy_bins is not None and p.energy_gap > 0 and (
+        energy_frames is not None or stream_sink is not None
+    ):
         _, dE = build_energy_grid(
             p.energy_gap, p.energy_min_factor, p.energy_max_factor, p.num_energy_bins
         )
         widths = integration_widths_from_centers(
             np.asarray(energy_bins, dtype=np.float64), fallback_width=float(dE)
         )
-        energy_qp_total = _integrated_energy_total(
-            energy_frames, np.asarray(energy_bins), widths, mask, area
-        )
+        if stream_sink is not None:
+            energy_qp_total = stream_sink.totals(
+                "qp", energy_bins, widths, area, len(times)
+            ) or [float(v) for v in mass]
+        else:
+            energy_qp_total = _integrated_energy_total(
+                energy_frames, np.asarray(energy_bins), widths, mask, area
+            )
     else:
         energy_qp_total = [float(v) for v in mass]
 
@@ -203,9 +300,14 @@ def run_setup(
         ph_widths = integration_widths_from_centers(
             np.asarray(ph_bins, dtype=np.float64), fallback_width=1.0
         )
-        energy_phonon_total = _integrated_energy_total(
-            ph_energy_frames, np.asarray(ph_bins), ph_widths, mask, area
-        )
+        if stream_sink is not None:
+            energy_phonon_total = stream_sink.totals(
+                "ph", ph_bins, ph_widths, area, len(times)
+            ) or [0.0 for _ in times]
+        else:
+            energy_phonon_total = _integrated_energy_total(
+                ph_energy_frames, np.asarray(ph_bins), ph_widths, mask, area
+            )
     else:
         energy_phonon_total = [0.0 for _ in times]
 
@@ -225,9 +327,21 @@ def run_setup(
     residual = [e - total_energy[0] for e in total_energy]
     diagnostics_mode = "conservation_residual" if closed_system else "open_system"
 
+    if stream_writer is not None:
+        stream_writer.finalize(
+            phonon_energy_bins=ph_bins,
+            extra_metadata={
+                "energy_qp_total": energy_qp_total,
+                "energy_phonon_total": energy_phonon_total,
+                "energy_exchange_residual": residual,
+                "diagnostics_mode": diagnostics_mode,
+                **({"phonon_metadata": ph_meta} if ph_meta else {}),
+            },
+        )
+
     export_phonons = bool(p.export_phonon_history)
     result = SimulationResultData(
-        simulation_id=create_simulation_id(),
+        simulation_id=sim_id,
         setup_id=setup.setup_id,
         setup_name=setup.name,
         created_at=utc_now_iso(),
@@ -247,6 +361,11 @@ def run_setup(
             "energy_exchange_residual": residual,
             "diagnostics_mode": diagnostics_mode,
             **({"precompute_stale_reason": stale_reason} if stale_reason else {}),
+            **(
+                {"streamed_frames_dir": str(stream_writer.directory)}
+                if stream_writer is not None
+                else {}
+            ),
         },
         energy_frames=(
             [[frame_to_jsonable(ef) for ef in ts_] for ts_ in energy_frames]

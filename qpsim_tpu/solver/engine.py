@@ -161,6 +161,7 @@ def run_2d_crank_nicolson(
     collision_backend: str = "auto",
     strang_mode: str = "auto",
     mesh=None,
+    frame_sink=None,
 ) -> tuple:
     """Run an (optionally energy-resolved) masked 2D diffusion–collision sim.
 
@@ -200,6 +201,21 @@ def run_2d_crank_nicolson(
       ordering differs.  Host-evaluated custom expressions (the rare
       non-traceable ones) still require ``strang_mode='exact'`` and raise
       ``ValueError``.
+
+    ``frame_sink`` enables bounded-memory streaming of stored snapshots:
+    every stored frame is handed to ``frame_sink.write(index, time_ns,
+    frame=..., mass=..., energy_frames=..., phonon_frame=...,
+    phonon_energy_frames=...)`` the moment it leaves the device (see
+    :class:`qpsim_tpu.io.stream.FrameStreamWriter`) and is NOT kept in
+    host memory: the return tuple then carries ``frames=[]`` and
+    ``energy_frames=None`` (times, mass and color limits are still
+    returned — they are tiny), and ``phonon_history_out`` receives empty
+    frame lists with ``phonon_metadata['streamed']=True`` (energy-resolved
+    mode; the scalar fixed-temperature scaffold is synthetic, not evolved
+    state, and stays in the dict).  The reference
+    has no equivalent — it holds every stored frame in RAM
+    (``/root/reference/qpsim/solver.py:1479-1494``), which at production
+    sizes forbids long frequently-stored runs outright.
     """
     if dt <= 0 or total_time <= 0:
         raise ValueError("dt and total_time must be positive.")
@@ -300,6 +316,7 @@ def run_2d_crank_nicolson(
             collision_backend=collision_backend,
             strang_mode=strang_mode,
             mesh=mesh,
+            frame_sink=frame_sink,
         )
 
     return _run_scalar(
@@ -317,6 +334,7 @@ def run_2d_crank_nicolson(
         diffusion_backend=diffusion_backend,
         dtype=dtype,
         checkpointer=checkpointer,
+        frame_sink=frame_sink,
     )
 
 
@@ -335,6 +353,49 @@ def _color_limits(frames: list[np.ndarray]) -> list[float]:
     if abs(vmax - vmin) < 1e-12:
         vmax = vmin + 1e-9
     return [vmin, vmax]
+
+
+def _limits_from_running(limits: list[float]) -> list[float]:
+    """Color limits from a streaming-mode running [vmin, vmax] pair."""
+    vmin, vmax = limits
+    if abs(vmax - vmin) < 1e-12:
+        vmax = vmin + 1e-9
+    return [vmin, vmax]
+
+
+def _usable_resume_prefix(checkpointer, segments) -> list[dict]:
+    """Checkpoints this run's segment plan can replay: the aligned prefix.
+
+    A run interrupted at a horizon that is not a store_every multiple wrote
+    a forced final-step snapshot (the always-store-the-final-step contract,
+    ``/root/reference/qpsim/solver.py:1479``) at a step the longer-horizon
+    resume would never store.  Naively replaying it desynchronizes the
+    segment skip logic — snapshots land off their boundaries and part of a
+    segment is integrated twice.  Only the prefix whose steps match this
+    plan's stored boundaries is usable; everything past it is discarded
+    (and recomputed by the continuing run).
+    """
+    latest = checkpointer.latest()
+    if latest is None:
+        return []
+    boundaries = [0]
+    cum = 0
+    for seg in segments:
+        cum += seg.length
+        if seg.stored:
+            boundaries.append(cum)
+    usable: list[dict] = []
+    for i, payload in enumerate(checkpointer.load_through(latest["stored_idx"])):
+        if (
+            i < len(boundaries)
+            and payload["stored_idx"] == i
+            and payload["step"] == boundaries[i]
+        ):
+            usable.append(payload)
+        else:
+            break
+    checkpointer.discard_from(len(usable))
+    return usable
 
 
 # --------------------------------------------------------------------------
@@ -358,6 +419,7 @@ def _run_scalar(
     diffusion_backend,
     dtype,
     checkpointer=None,
+    frame_sink=None,
 ):
     interior0 = initial_field[mask].astype(np.float64)
     ny, nx = mask.shape
@@ -400,29 +462,42 @@ def _run_scalar(
     times: list[float] = []
     frames: list[np.ndarray] = []
     mass: list[float] = []
+    running_limits = [float("inf"), float("-inf")]  # streaming-mode color limits
     current_time = 0.0
     step_counter = 0
     stored_idx = 0
     completed_steps = 0
 
-    resume = checkpointer.latest() if checkpointer is not None else None
-    if resume is not None:
-        # Rebuild the stored history from checkpoints and continue from the
-        # latest one — results match an uninterrupted run exactly.
-        for payload in checkpointer.load_through(resume["stored_idx"]):
-            frame, m = snapshot(np.asarray(payload["q"], dtype=np.float64))
-            times.append(payload["time_ns"])
+    def emit(t: float, frame: np.ndarray, m: float) -> np.ndarray:
+        # one stored snapshot: stream it or keep it, never both
+        idx = len(times)
+        times.append(float(t))
+        mass.append(m)
+        if frame_sink is not None:
+            running_limits[0] = min(running_limits[0], float(np.nanmin(frame)))
+            running_limits[1] = max(running_limits[1], float(np.nanmax(frame)))
+            frame_sink.write(idx, float(t), frame=frame, mass=m)
+        else:
             frames.append(frame)
-            mass.append(m)
+        return frame
+
+    replay = _usable_resume_prefix(checkpointer, segments) if checkpointer is not None else []
+    if replay:
+        # Rebuild the stored history from checkpoints and continue from the
+        # last aligned one — results match an uninterrupted run exactly.
+        for payload in replay:
+            frame, m = snapshot(np.asarray(payload["q"], dtype=np.float64))
+            emit(payload["time_ns"], frame, m)
+        resume = replay[-1]
         state = jnp.asarray(resume["q"], dtype=dtype)
         completed_steps = resume["step"]
         step_counter = completed_steps
         current_time = resume["time_ns"]
     else:
-        times.append(0.0)
-        frames.append(reconstruct_field(mask, interior0))
-        mass.append(float(np.sum(interior0) * dx * dx))
-        _notify(progress_callback, 0.0, frames[0])
+        frame0 = emit(
+            0.0, reconstruct_field(mask, interior0), float(np.sum(interior0) * dx * dx)
+        )
+        _notify(progress_callback, 0.0, frame0)
         if checkpointer is not None:
             checkpointer.save_step(0, step=0, time_ns=0.0, q=state_np)
 
@@ -441,9 +516,7 @@ def _run_scalar(
             stored_idx += 1
             q_host = np.asarray(state, dtype=np.float64)
             frame, m = snapshot(q_host)
-            times.append(float(current_time))
-            frames.append(frame)
-            mass.append(m)
+            emit(current_time, frame, m)
             _notify(progress_callback, current_time, frame)
             if checkpointer is not None:
                 checkpointer.save_step(
@@ -454,6 +527,9 @@ def _run_scalar(
         checkpointer.finalize()
 
     if phonon_history_out is not None:
+        # the scalar scaffold is synthetic (fixed bath temperature, not
+        # evolved state) so it is never streamed — it stays in the dict
+        # even when a frame_sink is active
         ph_frames, ph_energy, ph_bins, ph_meta = build_fixed_phonon_history(
             mask=mask,
             times=times,
@@ -468,6 +544,8 @@ def _run_scalar(
                 "phonon_metadata": ph_meta,
             }
         )
+    if frame_sink is not None:
+        return times, [], mass, _limits_from_running(running_limits), None, None
     return times, frames, mass, _color_limits(frames), None, None
 
 
@@ -1303,6 +1381,7 @@ def _run_energy_resolved(
     collision_backend="auto",
     strang_mode="exact",
     mesh=None,
+    frame_sink=None,
 ):
     gap = float(energy_gap)
     ny, nx = mask.shape
@@ -1463,13 +1542,11 @@ def _run_energy_resolved(
     phonon_frames_hist: list[np.ndarray] = []
     phonon_energy_frames_hist: list[list[np.ndarray]] = []
 
-    def record_phonon_snapshot(ph_host: np.ndarray) -> None:
+    def compute_phonon_snapshot(ph_host: np.ndarray):
         interior = ph_host[:, mask]
-        phonon_energy_frames_hist.append(
-            [reconstruct_field(mask, interior[i]) for i in range(nw)]
-        )
+        eframes = [reconstruct_field(mask, interior[i]) for i in range(nw)]
         integrated_occ = np.sum(interior * phonon_widths[:, None], axis=0)
-        phonon_frames_hist.append(reconstruct_field(mask, integrated_occ))
+        return reconstruct_field(mask, integrated_occ), eframes
 
     def snapshot(q_host: np.ndarray):
         interior = q_host[:, mask]
@@ -1483,23 +1560,55 @@ def _run_energy_resolved(
     frames: list[np.ndarray] = []
     energy_frames: list[list[np.ndarray]] = []
     mass: list[float] = []
+    running_limits = [float("inf"), float("-inf")]  # streaming-mode color limits
     current_time = 0.0
     step_counter = 0
     stored_idx = 0
     completed_steps = 0
 
-    resume = checkpointer.latest() if checkpointer is not None else None
-    if resume is not None:
-        # Rebuild the stored history from checkpoints and continue the loop
-        # from the latest one — results match an uninterrupted run exactly.
-        for payload in checkpointer.load_through(resume["stored_idx"]):
-            frame, eframe, m = snapshot(np.asarray(payload["q"], dtype=np.float64))
-            times.append(payload["time_ns"])
+    def emit(t: float, q_host: np.ndarray, ph_host: np.ndarray | None) -> np.ndarray:
+        # one stored snapshot: stream it to the sink or keep it, never both
+        idx = len(times)
+        frame, energy_frame, m = snapshot(q_host)
+        times.append(float(t))
+        mass.append(m)
+        ph_frame, ph_eframes = (
+            compute_phonon_snapshot(ph_host)
+            if (record_phonons and ph_host is not None)
+            else (None, None)
+        )
+        if frame_sink is not None:
+            running_limits[0] = min(running_limits[0], float(np.nanmin(frame)))
+            running_limits[1] = max(running_limits[1], float(np.nanmax(frame)))
+            frame_sink.write(
+                idx,
+                float(t),
+                frame=frame,
+                mass=m,
+                energy_frames=energy_frame,
+                phonon_frame=ph_frame,
+                phonon_energy_frames=ph_eframes,
+            )
+        else:
             frames.append(frame)
-            energy_frames.append(eframe)
-            mass.append(m)
-            if record_phonons and "ph" in payload:
-                record_phonon_snapshot(np.asarray(payload["ph"], dtype=np.float64))
+            energy_frames.append(energy_frame)
+            if ph_frame is not None:
+                phonon_frames_hist.append(ph_frame)
+                phonon_energy_frames_hist.append(ph_eframes)
+        return frame
+
+    replay = _usable_resume_prefix(checkpointer, segments) if checkpointer is not None else []
+    if replay:
+        # Rebuild the stored history from checkpoints and continue the loop
+        # from the last aligned one — results match an uninterrupted run
+        # exactly.
+        for payload in replay:
+            emit(
+                payload["time_ns"],
+                np.asarray(payload["q"], dtype=np.float64),
+                np.asarray(payload["ph"], dtype=np.float64) if "ph" in payload else None,
+            )
+        resume = replay[-1]
         q = jnp.asarray(resume["q"], dtype=dtype)
         if "ph" in resume:
             ph = jnp.asarray(resume["ph"], dtype=dtype)
@@ -1512,14 +1621,8 @@ def _run_energy_resolved(
         # stored_idx advances through the skipped segments below, reaching
         # resume["stored_idx"] exactly when the replay is complete.
     else:
-        frame0, eframe0, mass0 = snapshot(q_np)
-        times.append(0.0)
-        frames.append(frame0)
-        energy_frames.append(eframe0)
-        mass.append(mass0)
-        if record_phonons:
-            record_phonon_snapshot(ph_np)
-        _notify(progress_callback, 0.0, frames[0])
+        frame0 = emit(0.0, q_np, ph_np)
+        _notify(progress_callback, 0.0, frame0)
         if checkpointer is not None:
             checkpointer.save_step(0, step=0, time_ns=0.0, q=q_np, ph=ph_np)
 
@@ -1542,13 +1645,7 @@ def _run_energy_resolved(
         stored_idx += 1
         q_host = np.asarray(q_dev, dtype=np.float64)
         ph_host = np.asarray(ph_dev, dtype=np.float64)
-        frame, energy_frame, m = snapshot(q_host)
-        times.append(float(t))
-        frames.append(frame)
-        energy_frames.append(energy_frame)
-        mass.append(m)
-        if record_phonons:
-            record_phonon_snapshot(ph_host)
+        frame = emit(t, q_host, ph_host)
         _notify(progress_callback, t, frame)
         if checkpointer is not None:
             checkpointer.save_step(
@@ -1654,7 +1751,10 @@ def _run_energy_resolved(
                     "mode": "dynamic_local_coupled",
                     "field_units": "integrated_occupation",
                     "energy_frame_units": "occupation",
+                    **({"streamed": True} if frame_sink is not None else {}),
                 },
             }
         )
+    if frame_sink is not None:
+        return times, [], mass, _limits_from_running(running_limits), None, E_bins
     return times, frames, mass, _color_limits(frames), energy_frames, E_bins

@@ -81,6 +81,39 @@ def test_fresh_checkpointer_records_everything(tmp_path):
     )
 
 
+def test_resume_from_unaligned_interruption(tmp_path):
+    # A run interrupted at a horizon that is NOT a store_every multiple wrote
+    # a forced final-step checkpoint (step 5 here, boundaries are 0/3/6/...).
+    # The resume must ignore that unaligned snapshot — replaying it used to
+    # desynchronize the segment skip logic (stored times drifted past
+    # total_time and part of a segment integrated twice).
+    kw = _problem()
+    baseline = run_2d_crank_nicolson(**kw)
+
+    ck = SimulationCheckpointer(tmp_path / "ck")
+    run_2d_crank_nicolson(**{**kw, "total_time": 0.25}, checkpointer=ck)
+    assert [ck.restore(i)["step"] for i in ck.all_steps()] == [0, 3, 5]
+
+    ck2 = SimulationCheckpointer(tmp_path / "ck")
+    resumed = run_2d_crank_nicolson(**kw, checkpointer=ck2)
+    _compare(baseline, resumed)
+    # the stale step-5 checkpoint was replaced by this run's aligned stores
+    assert [ck2.restore(i)["step"] for i in ck2.all_steps()] == [0, 3, 6, 9, 12]
+
+
+def test_resume_with_longer_history_replays_only_this_horizon(tmp_path):
+    # Checkpoints from a LONGER previous run: a shorter-horizon resume
+    # replays only the prefix its own plan stores and runs nothing new.
+    kw = _problem()
+    ck = SimulationCheckpointer(tmp_path / "ck")
+    run_2d_crank_nicolson(**kw, checkpointer=ck)  # full 0.6 horizon
+    short = {**kw, "total_time": 0.3}
+    baseline = run_2d_crank_nicolson(**short)
+    ck2 = SimulationCheckpointer(tmp_path / "ck")
+    resumed = run_2d_crank_nicolson(**short, checkpointer=ck2)
+    _compare(baseline, resumed)
+
+
 def test_resume_from_complete_run_is_noop(tmp_path):
     kw = _problem()
     ck = SimulationCheckpointer(tmp_path / "ck")

@@ -1,0 +1,292 @@
+"""Bounded-memory frame streaming: engine sink, writer/reader, runner, CLI."""
+
+import json
+
+import numpy as np
+import pytest
+
+from qpsim_tpu.geometry.mask import extract_edge_segments
+from qpsim_tpu.io.stream import FrameStreamReader, FrameStreamWriter, load_frame_stream
+from qpsim_tpu.models.params import BoundaryCondition
+from qpsim_tpu.solver.engine import run_2d_crank_nicolson
+
+
+def _coupled_kwargs():
+    mask = np.ones((3, 8), dtype=bool)
+    edges = extract_edge_segments(mask)
+    bcs = {e.edge_id: BoundaryCondition(kind="reflective") for e in edges}
+    init = np.zeros(mask.shape)
+    init[mask] = 1e-4
+    return dict(
+        mask=mask,
+        edges=edges,
+        edge_conditions=bcs,
+        initial_field=init,
+        diffusion_coefficient=6.0,
+        dt=0.05,
+        total_time=0.5,
+        dx=1.0,
+        store_every=3,
+        energy_gap=180.0,
+        energy_min_factor=1.0,
+        energy_max_factor=3.0,
+        num_energy_bins=5,
+        enable_recombination=True,
+        enable_scattering=True,
+        bath_temperature=0.2,
+    )
+
+
+def test_energy_resolved_stream_matches_in_memory(tmp_path):
+    kw = _coupled_kwargs()
+    ph_mem: dict = {}
+    times, frames, mass, clim, ef, eb = run_2d_crank_nicolson(**kw, phonon_history_out=ph_mem)
+
+    ph_str: dict = {}
+    writer = FrameStreamWriter(tmp_path / "stream", energy_bins=eb)
+    t2, f2, m2, clim2, ef2, eb2 = run_2d_crank_nicolson(
+        **kw, phonon_history_out=ph_str, frame_sink=writer
+    )
+    writer.finalize(phonon_energy_bins=ph_str["phonon_energy_bins"])
+
+    # streamed run returns no in-memory histories, everything else identical
+    assert f2 == [] and ef2 is None
+    assert t2 == times and m2 == mass
+    np.testing.assert_allclose(clim2, clim)
+    np.testing.assert_array_equal(eb2, eb)
+    assert ph_str["phonon_frames"] == []
+    assert ph_str["phonon_energy_frames"] == []
+    assert ph_str["phonon_metadata"]["streamed"] is True
+
+    # every streamed shard is bit-identical to the in-memory history
+    reader = load_frame_stream(tmp_path / "stream")
+    assert len(reader) == len(times)
+    assert reader.times == times
+    assert reader.mass_over_time == mass
+    np.testing.assert_allclose(reader.color_limits, clim)
+    for i in range(len(reader)):
+        np.testing.assert_array_equal(reader.frame(i), frames[i])
+        np.testing.assert_array_equal(reader.energy_frames(i), np.stack(ef[i]))
+        np.testing.assert_array_equal(reader.phonon_frame(i), ph_mem["phonon_frames"][i])
+        np.testing.assert_array_equal(
+            reader.phonon_energy_frames(i), np.stack(ph_mem["phonon_energy_frames"][i])
+        )
+    np.testing.assert_array_equal(
+        reader.phonon_energy_bins, np.asarray(ph_mem["phonon_energy_bins"])
+    )
+
+
+def test_scalar_stream_matches_in_memory(tmp_path):
+    kw = _coupled_kwargs()
+    kw.update(energy_gap=0.0, total_time=0.3, store_every=2)
+    times, frames, mass, clim, *_ = run_2d_crank_nicolson(**kw)
+    with FrameStreamWriter(tmp_path / "s") as writer:
+        t2, f2, m2, clim2, *_ = run_2d_crank_nicolson(**kw, frame_sink=writer)
+    assert f2 == [] and t2 == times and m2 == mass
+    np.testing.assert_allclose(clim2, clim)
+    reader = load_frame_stream(tmp_path / "s")
+    for i in range(len(reader)):
+        np.testing.assert_array_equal(reader.frame(i), frames[i])
+    assert reader.energy_frames(0) is None  # scalar mode records no per-bin data
+
+
+def test_stream_composes_with_checkpoint_resume(tmp_path):
+    from qpsim_tpu.io.checkpoint import SimulationCheckpointer
+
+    kw = _coupled_kwargs()
+    baseline = run_2d_crank_nicolson(**kw)
+
+    # interrupted streamed run: half the horizon, then a fresh process resumes
+    ck = SimulationCheckpointer(tmp_path / "ck")
+    w1 = FrameStreamWriter(tmp_path / "stream")
+    run_2d_crank_nicolson(**{**kw, "total_time": 0.25}, checkpointer=ck, frame_sink=w1)
+    # interrupted: never finalized -> reader refuses
+    with pytest.raises(ValueError, match="not a finalized frame stream"):
+        load_frame_stream(tmp_path / "stream")
+
+    ck2 = SimulationCheckpointer(tmp_path / "ck")
+    w2 = FrameStreamWriter(tmp_path / "stream")
+    run_2d_crank_nicolson(**kw, checkpointer=ck2, frame_sink=w2)
+    w2.finalize()
+
+    reader = load_frame_stream(tmp_path / "stream")
+    times, frames, mass, _, ef, _ = baseline
+    assert reader.times == times and reader.mass_over_time == mass
+    for i in range(len(reader)):
+        np.testing.assert_array_equal(reader.frame(i), frames[i])
+        np.testing.assert_array_equal(reader.energy_frames(i), np.stack(ef[i]))
+
+
+def test_writer_validation(tmp_path):
+    w = FrameStreamWriter(tmp_path / "v")
+    with pytest.raises(ValueError, match="empty frame stream"):
+        w.finalize()
+    frame = np.ones((2, 2))
+    w.write(0, 0.0, frame=frame, mass=1.0)
+    w.write(2, 2.0, frame=frame, mass=1.0)  # gap at index 1
+    with pytest.raises(ValueError, match="non-contiguous"):
+        w.finalize()
+    w.write(1, 1.0, frame=frame, mass=1.0)
+    w.finalize()
+    with pytest.raises(ValueError, match="finalized"):
+        w.write(3, 3.0, frame=frame, mass=1.0)
+    # exiting a writer context on an exception must NOT seal the stream
+    with pytest.raises(RuntimeError):
+        with FrameStreamWriter(tmp_path / "crash") as w2:
+            w2.write(0, 0.0, frame=frame, mass=1.0)
+            raise RuntimeError("simulated crash")
+    assert not (tmp_path / "crash" / "manifest.json").exists()
+
+
+def test_reader_validation(tmp_path):
+    with pytest.raises(ValueError, match="not a finalized frame stream"):
+        FrameStreamReader(tmp_path / "nothing")
+
+    with FrameStreamWriter(tmp_path / "ok") as w:
+        w.write(0, 0.0, frame=np.ones((2, 2)), mass=1.0)
+        w.write(1, 1.0, frame=np.ones((2, 2)), mass=1.0)
+    reader = load_frame_stream(tmp_path / "ok")
+    with pytest.raises(IndexError):
+        reader.frame(2)
+
+    # a deleted shard surfaces as ValueError naming the shard
+    (tmp_path / "ok" / "frame_000001.npz").unlink()
+    with pytest.raises(ValueError, match="missing shard"):
+        reader.frame(1)
+
+    # a damaged shard surfaces as ValueError, not a zipfile traceback
+    (tmp_path / "ok" / "frame_000000.npz").write_bytes(b"not an npz")
+    with pytest.raises(ValueError, match="damaged"):
+        reader.frame(0)
+
+    # a damaged manifest surfaces as ValueError
+    (tmp_path / "ok" / "manifest.json").write_text("{broken")
+    with pytest.raises(ValueError, match="damaged"):
+        FrameStreamReader(tmp_path / "ok")
+
+
+def test_run_setup_stream_dir_matches_in_memory(tmp_path):
+    from qpsim_tpu.fields import default_initial_condition
+    from qpsim_tpu.geometry.mask import create_intrinsic_geometry
+    from qpsim_tpu.models.params import SetupData, SimulationParameters
+
+    geo = create_intrinsic_geometry(width=12, height=8)
+    bcs = {e.edge_id: BoundaryCondition(kind="reflective") for e in geo.edges}
+    params = SimulationParameters(
+        diffusion_coefficient=6.0,
+        dt=0.05,
+        total_time=0.3,
+        mesh_size=1.0,
+        store_every=2,
+        energy_gap=180.0,
+        energy_min_factor=1.0,
+        energy_max_factor=3.0,
+        num_energy_bins=6,
+        enable_recombination=True,
+        enable_scattering=True,
+        bath_temperature=0.2,
+    )
+    ic = default_initial_condition()
+    ic.spatial_kind = "uniform"
+    ic.spatial_params = {"value": 1e-4}
+    setup = SetupData(
+        setup_id="deadbeef0002",
+        name="stream test",
+        created_at="2026-08-18T00:00:00+00:00",
+        geometry=geo,
+        boundary_conditions=bcs,
+        parameters=params,
+        initial_condition=ic,
+    )
+
+    from qpsim_tpu.runner import run_setup
+
+    plain, _ = run_setup(setup, save=False)
+    streamed, saved = run_setup(
+        setup, save=True, save_path=tmp_path / "sim.json", stream_dir=tmp_path / "frames"
+    )
+
+    # energy bookkeeping computed on the fly matches the in-memory pass
+    np.testing.assert_allclose(
+        streamed.metadata["energy_qp_total"], plain.metadata["energy_qp_total"], rtol=1e-12
+    )
+    np.testing.assert_allclose(
+        streamed.metadata["energy_phonon_total"],
+        plain.metadata["energy_phonon_total"],
+        rtol=1e-12,
+    )
+    np.testing.assert_allclose(
+        streamed.metadata["energy_exchange_residual"],
+        plain.metadata["energy_exchange_residual"],
+        atol=1e-18,
+    )
+    assert streamed.metadata["diagnostics_mode"] == plain.metadata["diagnostics_mode"]
+    assert streamed.frames == [] and streamed.energy_frames is None
+    assert streamed.metadata["streamed_frames_dir"] == str(tmp_path / "frames")
+
+    # the saved JSON is frame-free (tiny) and the stream holds the frames
+    payload = json.loads((tmp_path / "sim.json").read_text())
+    assert payload["frames"] == []
+    reader = load_frame_stream(tmp_path / "frames")
+    assert len(reader) == len(plain.times)
+    assert reader.metadata["simulation_id"] == streamed.simulation_id
+    assert reader.metadata["energy_qp_total"] == streamed.metadata["energy_qp_total"]
+    from qpsim_tpu.io.storage import frame_from_jsonable
+
+    for i in range(len(reader)):
+        np.testing.assert_array_equal(
+            np.nan_to_num(reader.frame(i)),
+            np.nan_to_num(frame_from_jsonable(plain.frames[i])),
+        )
+
+
+def test_cli_stream_run_and_view(tmp_path, capsys):
+    from qpsim_tpu.cli import main as cli_main
+    from qpsim_tpu.fields import default_initial_condition
+    from qpsim_tpu.geometry.mask import create_intrinsic_geometry
+    from qpsim_tpu.io.storage import save_setup
+    from qpsim_tpu.models.params import SetupData, SimulationParameters
+
+    geo = create_intrinsic_geometry(width=10, height=8)
+    bcs = {e.edge_id: BoundaryCondition(kind="reflective") for e in geo.edges}
+    setup = SetupData(
+        setup_id="deadbeef0003",
+        name="cli stream",
+        created_at="2026-08-18T00:00:00+00:00",
+        geometry=geo,
+        boundary_conditions=bcs,
+        parameters=SimulationParameters(
+            diffusion_coefficient=6.0,
+            dt=0.05,
+            total_time=0.2,
+            mesh_size=1.0,
+            store_every=2,
+            energy_gap=180.0,
+            energy_max_factor=3.0,
+            num_energy_bins=4,
+            enable_recombination=True,
+            enable_scattering=True,
+            bath_temperature=0.2,
+        ),
+        initial_condition=default_initial_condition(),
+    )
+    setup_path = save_setup(setup, tmp_path / "s.json")
+    stream = tmp_path / "frames"
+    rc = cli_main(
+        [
+            "run",
+            str(setup_path),
+            "--output",
+            str(tmp_path / "sim.json"),
+            "--stream-dir",
+            str(stream),
+        ]
+    )
+    out = capsys.readouterr().out
+    assert rc == 0 and "frames streamed to" in out
+    assert (stream / "manifest.json").exists()
+
+    rc = cli_main(["view", str(stream), "--out", str(tmp_path / "imgs")])
+    out = capsys.readouterr().out
+    assert rc == 0 and "wrote" in out
+    assert any((tmp_path / "imgs").glob("frame_*.png"))
