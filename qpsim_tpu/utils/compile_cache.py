@@ -20,7 +20,9 @@ Environment knobs:
 
 from __future__ import annotations
 
+import hashlib
 import os
+import platform
 
 __all__ = [
     "cache_dir_configured",
@@ -32,12 +34,39 @@ _DEFAULT_DIR = os.path.join(os.path.expanduser("~"), ".cache", "qpsim_tpu", "xla
 _active_dir: str | None = None
 
 
+def _host_fingerprint() -> str:
+    """Short hash of the host CPU's feature flags.
+
+    JAX's persistent cache keys entries on backend + compiler version but
+    NOT on the host microarchitecture: an XLA:CPU executable AOT-compiled
+    on a host with (say) AMX loads on a lesser host with a SIGILL risk
+    (observed after a VM migration — ``cpu_aot_loader`` "machine type ...
+    doesn't match" errors).  Scoping the cache directory by CPU-feature
+    hash gives each microarchitecture its own cache; a migrated VM
+    recompiles once instead of executing foreign code.
+    """
+    try:
+        with open("/proc/cpuinfo") as fh:
+            for line in fh:
+                if line.startswith(("flags", "Features")):
+                    feats = " ".join(sorted(line.split(":", 1)[1].split()))
+                    return hashlib.sha256(feats.encode()).hexdigest()[:10]
+    except OSError:
+        pass
+    return hashlib.sha256(platform.machine().encode()).hexdigest()[:10]
+
+
+def _resolved_default_dir() -> str:
+    base = os.environ.get("QPSIM_COMPILE_CACHE_DIR", _DEFAULT_DIR)
+    return os.path.join(base, f"host-{_host_fingerprint()}")
+
+
 def cache_dir_configured() -> str | None:
     """The directory runs will use (without enabling anything), or None
     when opted out via QPSIM_PERSISTENT_CACHE=0."""
     if os.environ.get("QPSIM_PERSISTENT_CACHE", "1") == "0":
         return None
-    return _active_dir or os.environ.get("QPSIM_COMPILE_CACHE_DIR", _DEFAULT_DIR)
+    return _active_dir or _resolved_default_dir()
 
 
 def enable_persistent_cache(cache_dir: str | None = None) -> str | None:
@@ -48,10 +77,16 @@ def enable_persistent_cache(cache_dir: str | None = None) -> str | None:
     coexist).  Only compiles taking >1 s are persisted — trivial test jits
     stay out of the cache.  Returns None (cache disabled) if the directory
     cannot be created.
+
+    When ``cache_dir`` is not given, the default (or ``QPSIM_COMPILE_CACHE_DIR``)
+    gains a ``host-<cpu-feature-hash>`` subdirectory so executables never
+    cross host microarchitectures (see :func:`_host_fingerprint`); an
+    explicit argument is used verbatim — such callers manage their own
+    scoping.
     """
     global _active_dir
     if cache_dir is None:
-        cache_dir = os.environ.get("QPSIM_COMPILE_CACHE_DIR", _DEFAULT_DIR)
+        cache_dir = _resolved_default_dir()
     if _active_dir == cache_dir:
         return cache_dir
 

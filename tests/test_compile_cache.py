@@ -36,15 +36,21 @@ def test_opt_out_env_var(tmp_path, monkeypatch):
     assert compile_cache.maybe_enable_persistent_cache() is None
 
 
-def test_cache_dir_env_override(tmp_path, monkeypatch):
+def test_cache_dir_env_override_is_host_scoped(tmp_path, monkeypatch):
+    # default/env dirs gain a host-<cpu-feature-hash> subdir so AOT CPU
+    # executables never cross host microarchitectures (SIGILL risk after a
+    # VM migration); explicit enable_persistent_cache(dir) stays verbatim
     target = str(tmp_path / "custom")
     monkeypatch.setenv("QPSIM_COMPILE_CACHE_DIR", target)
     monkeypatch.delenv("QPSIM_PERSISTENT_CACHE", raising=False)
     prev = jax.config.jax_compilation_cache_dir
     prev_active = compile_cache._active_dir
     try:
-        assert compile_cache.maybe_enable_persistent_cache() == target
-        assert os.path.isdir(target)
+        out = compile_cache.maybe_enable_persistent_cache()
+        assert os.path.dirname(out) == target
+        assert os.path.basename(out).startswith("host-")
+        assert os.path.isdir(out)
+        assert compile_cache.cache_dir_configured() == out
     finally:
         compile_cache._active_dir = prev_active
         jax.config.update("jax_compilation_cache_dir", prev)
