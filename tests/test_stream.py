@@ -117,6 +117,44 @@ def test_stream_composes_with_checkpoint_resume(tmp_path):
         np.testing.assert_array_equal(reader.energy_frames(i), np.stack(ef[i]))
 
 
+def test_stream_composes_with_mesh_path(tmp_path):
+    """A streamed mesh= run shards snapshots off-device identically."""
+    import jax
+
+    from qpsim_tpu.parallel.mesh import make_mesh
+
+    kw = _coupled_kwargs()
+    # mesh= needs a grid divisible by the space axis in both dimensions
+    mask = np.ones((8, 8), dtype=bool)
+    edges = extract_edge_segments(mask)
+    kw.update(
+        mask=mask,
+        edges=edges,
+        edge_conditions={e.edge_id: BoundaryCondition(kind="reflective") for e in edges},
+        initial_field=np.where(mask, 1e-4, 0.0),
+        num_energy_bins=4,
+    )
+    baseline = run_2d_crank_nicolson(
+        **kw, diffusion_backend="adi", collision_backend="xla", strang_mode="exact"
+    )
+    mesh = make_mesh(n_space=len(jax.devices()))
+    with FrameStreamWriter(tmp_path / "m") as w:
+        t2, f2, m2, clim2, *_ = run_2d_crank_nicolson(**kw, mesh=mesh, frame_sink=w)
+    times, frames, mass, clim, ef, _ = baseline
+    assert t2 == times and f2 == []
+    np.testing.assert_allclose(m2, mass, rtol=1e-12)
+    reader = load_frame_stream(tmp_path / "m")
+    for i in range(len(reader)):
+        np.testing.assert_allclose(
+            np.nan_to_num(reader.frame(i)), np.nan_to_num(frames[i]), atol=1e-12
+        )
+        np.testing.assert_allclose(
+            np.nan_to_num(reader.energy_frames(i)),
+            np.nan_to_num(np.stack(ef[i])),
+            atol=1e-12,
+        )
+
+
 def test_writer_validation(tmp_path):
     w = FrameStreamWriter(tmp_path / "v")
     with pytest.raises(ValueError, match="empty frame stream"):
