@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 from pathlib import Path
 
@@ -126,6 +127,28 @@ def _cmd_run(args: argparse.Namespace) -> int:
     setup = load_setup(setup_path)
     print(f"setup '{setup.name}' ({setup.setup_id}): "
           f"{len(setup.geometry.edges)} edges, gap={setup.parameters.energy_gap} ueV")
+
+    p = setup.parameters
+    if not args.stream_dir:
+        from .io.stream import estimate_history_memory
+
+        est = estimate_history_memory(
+            grid_shape=(len(setup.geometry.mask), len(setup.geometry.mask[0])),
+            dt=p.dt,
+            total_time=p.total_time,
+            store_every=p.store_every,
+            num_energy_bins=p.num_energy_bins if p.energy_gap > 0 else 0,
+            record_phonons=bool(p.export_phonon_history)
+            or (p.energy_gap > 0 and (p.enable_recombination or p.enable_scattering)),
+        )
+        warn_gb = float(os.environ.get("QPSIM_STREAM_WARN_GB", "4"))
+        if est > warn_gb * 2**30:
+            print(
+                f"warning: stored history needs ~{est / 2**30:.1f} GB of host RAM "
+                f"(> {warn_gb:g} GB); consider --stream-dir DIR to stream frames "
+                "to disk instead",
+                file=sys.stderr,
+            )
 
     def progress(t, frame):
         print(f"  t = {t:.6g} ns", file=sys.stderr)

@@ -40,7 +40,12 @@ from typing import Any, Sequence
 
 import numpy as np
 
-__all__ = ["FrameStreamWriter", "FrameStreamReader", "load_frame_stream"]
+__all__ = [
+    "FrameStreamWriter",
+    "FrameStreamReader",
+    "load_frame_stream",
+    "estimate_history_memory",
+]
 
 _MANIFEST = "manifest.json"
 _SHARD_FMT = "frame_{:06d}.npz"
@@ -346,3 +351,35 @@ class FrameStreamReader:
 def load_frame_stream(directory: str | Path) -> FrameStreamReader:
     """Open a finalized frame-stream directory for reading."""
     return FrameStreamReader(directory)
+
+
+def estimate_history_memory(
+    *,
+    grid_shape: tuple[int, int],
+    dt: float,
+    total_time: float,
+    store_every: int,
+    num_energy_bins: int = 0,
+    record_phonons: bool = False,
+) -> int:
+    """Bytes of host RAM an in-memory (non-streamed) run's history needs.
+
+    Counts the dense f64 per-snapshot artifacts the engine accumulates:
+    the integrated 2D frame, per-bin QP fields (energy-resolved mode) and
+    — when phonon history is recorded — per-ω phonon fields, whose bin
+    count for the uniform energy grid is ≤ 3·NE − 1 (NE distinct |Eᵢ−Eⱼ|
+    values + 2·NE−1 distinct sums; ``solver.py`` builds the exact grid).
+    The companion to :func:`qpsim_tpu.io.precompute.estimate_precompute_memory`;
+    used by the ``run`` CLI to suggest ``--stream-dir`` before a run that
+    would exhaust host memory.
+    """
+    ny, nx = grid_shape
+    steps = max(1, int(round(float(total_time) / float(dt))))
+    n_stored = steps // max(1, int(store_every)) + 2  # t=0 + forced final
+    per_snapshot = ny * nx * 8  # integrated frame
+    if num_energy_bins > 0:
+        per_snapshot += num_energy_bins * ny * nx * 8
+        if record_phonons:
+            n_omega = 3 * num_energy_bins - 1
+            per_snapshot += (n_omega + 1) * ny * nx * 8
+    return n_stored * per_snapshot

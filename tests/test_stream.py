@@ -278,6 +278,82 @@ def test_run_setup_stream_dir_matches_in_memory(tmp_path):
         )
 
 
+def test_estimate_history_memory():
+    from qpsim_tpu.io.stream import estimate_history_memory
+
+    # scalar: 5 steps / store_every 2 -> 2 stored + t=0 + forced final = 4
+    est = estimate_history_memory(
+        grid_shape=(10, 10), dt=0.1, total_time=0.5, store_every=2
+    )
+    assert est == 4 * 10 * 10 * 8
+    # energy-resolved with phonons: frame + NE bins + (3NE-1) omega + 1
+    est = estimate_history_memory(
+        grid_shape=(10, 10),
+        dt=0.1,
+        total_time=0.5,
+        store_every=2,
+        num_energy_bins=8,
+        record_phonons=True,
+    )
+    assert est == 4 * 10 * 10 * 8 * (1 + 8 + (3 * 8 - 1) + 1)
+    # the flagship production case the warning exists for: ~128 GB+
+    big = estimate_history_memory(
+        grid_shape=(1024, 1024),
+        dt=0.01,
+        total_time=100.0,
+        store_every=10,
+        num_energy_bins=16,
+    )
+    assert big > 100 * 2**30
+
+
+def test_cli_run_warns_when_history_exceeds_ram(tmp_path, capsys, monkeypatch):
+    from qpsim_tpu.cli import main as cli_main
+    from qpsim_tpu.fields import default_initial_condition
+    from qpsim_tpu.geometry.mask import create_intrinsic_geometry
+    from qpsim_tpu.io.storage import save_setup
+    from qpsim_tpu.models.params import SetupData, SimulationParameters
+
+    geo = create_intrinsic_geometry(width=10, height=8)
+    setup = SetupData(
+        setup_id="deadbeef0004",
+        name="warn test",
+        created_at="2026-08-18T00:00:00+00:00",
+        geometry=geo,
+        boundary_conditions={
+            e.edge_id: BoundaryCondition(kind="reflective") for e in geo.edges
+        },
+        parameters=SimulationParameters(
+            diffusion_coefficient=6.0,
+            dt=0.05,
+            total_time=0.2,
+            mesh_size=1.0,
+            store_every=1,
+            energy_gap=180.0,
+            energy_max_factor=3.0,
+            num_energy_bins=4,
+            enable_recombination=True,
+            enable_scattering=True,
+            bath_temperature=0.2,
+        ),
+        initial_condition=default_initial_condition(),
+    )
+    setup_path = save_setup(setup, tmp_path / "s.json")
+    # force the threshold below this tiny run's footprint -> warning fires
+    monkeypatch.setenv("QPSIM_STREAM_WARN_GB", "1e-9")
+    rc = cli_main(["run", str(setup_path), "--no-save"])
+    captured = capsys.readouterr()
+    assert rc == 0
+    assert "consider --stream-dir" in captured.err
+    # with --stream-dir the warning is moot and absent
+    rc = cli_main(
+        ["run", str(setup_path), "--no-save", "--stream-dir", str(tmp_path / "f")]
+    )
+    captured = capsys.readouterr()
+    assert rc == 0
+    assert "consider --stream-dir" not in captured.err
+
+
 def test_cli_stream_run_and_view(tmp_path, capsys):
     from qpsim_tpu.cli import main as cli_main
     from qpsim_tpu.fields import default_initial_condition
