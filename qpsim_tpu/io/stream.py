@@ -110,12 +110,18 @@ class FrameStreamWriter:
         energy_frames: Sequence[np.ndarray] | None = None,
         phonon_frame: np.ndarray | None = None,
         phonon_energy_frames: Sequence[np.ndarray] | None = None,
+        energy_bin_sums: np.ndarray | None = None,
+        phonon_bin_sums: np.ndarray | None = None,
     ) -> None:
         """Persist one stored snapshot as ``frame_<index>.npz``.
 
         ``frame`` is the NaN-padded energy-integrated 2D field; per-bin
         QP/phonon histories arrive as sequences of 2D fields and are
-        stacked to ``(n_bins, ny, nx)`` on disk.
+        stacked to ``(n_bins, ny, nx)`` on disk.  Light
+        (``snapshot_detail="integrated"``) runs send per-bin pixel-sum
+        VECTORS (``energy_bin_sums``/``phonon_bin_sums``) instead of
+        per-bin frames — enough for energy bookkeeping at a millionth of
+        the bytes.
         """
         if self._finalized:
             raise ValueError("FrameStreamWriter is finalized; no further writes allowed.")
@@ -139,6 +145,10 @@ class FrameStreamWriter:
                 [np.asarray(f, np.float64) for f in phonon_energy_frames]
             )
             self._has_phonons = True
+        if energy_bin_sums is not None:
+            arrays["energy_bin_sums"] = np.asarray(energy_bin_sums, np.float64)
+        if phonon_bin_sums is not None:
+            arrays["phonon_bin_sums"] = np.asarray(phonon_bin_sums, np.float64)
         dest = _shard_path(self.directory, index)
         tmp = dest.with_suffix(".npz.tmp")
         with open(tmp, "wb") as fh:
@@ -280,6 +290,14 @@ class FrameStreamReader:
 
     def phonon_energy_frames(self, index: int) -> np.ndarray | None:
         return self._load(index).get("phonon_energy_frames")
+
+    def energy_bin_sums(self, index: int) -> np.ndarray | None:
+        """(NE,) per-bin pixel sums (light-snapshot runs), or None."""
+        return self._load(index).get("energy_bin_sums")
+
+    def phonon_bin_sums(self, index: int) -> np.ndarray | None:
+        """(nω,) per-bin pixel sums (light-snapshot runs), or None."""
+        return self._load(index).get("phonon_bin_sums")
 
     def iter_frames(self):
         """Yield (time_ns, integrated 2D frame) pairs, one shard in memory at a time."""

@@ -162,6 +162,7 @@ def run_2d_crank_nicolson(
     strang_mode: str = "auto",
     mesh=None,
     frame_sink=None,
+    snapshot_detail: str = "full",
 ) -> tuple:
     """Run an (optionally energy-resolved) masked 2D diffusion–collision sim.
 
@@ -216,6 +217,22 @@ def run_2d_crank_nicolson(
     has no equivalent — it holds every stored frame in RAM
     (``/root/reference/qpsim/solver.py:1479-1494``), which at production
     sizes forbids long frequently-stored runs outright.
+
+    ``snapshot_detail="integrated"`` (energy-resolved mode) computes each
+    stored snapshot's observables ON DEVICE — the energy-integrated 2D
+    frame, per-bin pixel sums and the width-weighted phonon occupation
+    frame — and pulls only those to the host instead of the full
+    ``(NE, ny, nx)`` state (+ phonons): ~NE× less device→host traffic per
+    snapshot (64 MB → ~8 MB at 1024²×16), which is what makes
+    ``store_every=1`` live monitoring viable over slow links.  Per-bin
+    frame histories are then not recorded (``energy_frames`` returns
+    ``None``; ``phonon_history_out`` carries integrated frames only,
+    ``phonon_metadata['detail']='integrated'``); a ``frame_sink`` receives
+    ``energy_bin_sums``/``phonon_bin_sums`` vectors in place of per-bin
+    frames, which is exactly what energy bookkeeping needs.  Values match
+    the ``"full"`` snapshot reduction to f64 roundoff (the reduction
+    order differs).  Checkpointing still pulls the full state — it IS the
+    resume data.
     """
     if dt <= 0 or total_time <= 0:
         raise ValueError("dt and total_time must be positive.")
@@ -228,6 +245,10 @@ def run_2d_crank_nicolson(
     if strang_mode not in ("auto", "exact", "merged"):
         raise ValueError(
             f"Unknown strang_mode: {strang_mode!r} (use 'auto', 'exact' or 'merged')"
+        )
+    if snapshot_detail not in ("full", "integrated"):
+        raise ValueError(
+            f"Unknown snapshot_detail: {snapshot_detail!r} (use 'full' or 'integrated')"
         )
     # explicit merged + host-evaluated generation is rejected at program
     # build time (only there is it known whether a custom expression traces);
@@ -317,8 +338,11 @@ def run_2d_crank_nicolson(
             strang_mode=strang_mode,
             mesh=mesh,
             frame_sink=frame_sink,
+            snapshot_detail=snapshot_detail,
         )
 
+    # scalar mode: the state IS the integrated field, so "integrated" and
+    # "full" coincide — the flag is validated above and needs no plumbing
     return _run_scalar(
         mask=mask,
         edges=edges,
@@ -1382,6 +1406,7 @@ def _run_energy_resolved(
     strang_mode="exact",
     mesh=None,
     frame_sink=None,
+    snapshot_detail="full",
 ):
     gap = float(energy_gap)
     ny, nx = mask.shape
@@ -1566,8 +1591,88 @@ def _run_energy_resolved(
     stored_idx = 0
     completed_steps = 0
 
+    # --- light ("integrated") snapshots -----------------------------------------
+    # the stored observables are reduced ON DEVICE and only the reductions
+    # cross to the host: integrated 2D frame (already ×dE), per-bin pixel
+    # sums, and — when recorded — the width-weighted phonon occupation
+    # frame + per-ω pixel sums.  The mask rides along as a jit ARGUMENT
+    # (a closed-over device array would be fetched back to host at
+    # .lower() time — minutes over a remote tunnel).
+    light = snapshot_detail == "integrated"
+    if light:
+        mask_f = jnp.asarray(mask, dtype=dtype)
+        phw_f = (
+            jnp.asarray(phonon_widths, dtype=dtype)[:, None, None] if record_phonons else None
+        )
+
+        @jax.jit
+        def light_stats(q_dev, ph_dev, mask_a, phw_a):
+            qm = q_dev * mask_a  # anything outside the mask must not leak in
+            integrated = jnp.sum(qm, axis=0) * dE
+            bin_sums = jnp.sum(qm, axis=(1, 2))
+            if phw_a is None:
+                return integrated, bin_sums, None, None
+            phm = ph_dev * mask_a
+            ph_int = jnp.sum(phm * phw_a, axis=0)
+            ph_bin_sums = jnp.sum(phm, axis=(1, 2))
+            return integrated, bin_sums, ph_int, ph_bin_sums
+
+        def light_from_device(q_dev, ph_dev):
+            return light_stats(q_dev, ph_dev, mask_f, phw_f)
+
+        def light_from_host(q_host, ph_host):
+            interior = q_host[:, mask]
+            integrated = reconstruct_field(mask, np.sum(interior, axis=0) * dE)
+            bin_sums = np.sum(interior, axis=1)
+            ph_int = ph_bin_sums = None
+            if record_phonons and ph_host is not None:
+                ph_interior = ph_host[:, mask]
+                ph_int = reconstruct_field(
+                    mask, np.sum(ph_interior * phonon_widths[:, None], axis=0)
+                )
+                ph_bin_sums = np.sum(ph_interior, axis=1)
+            return integrated, bin_sums, ph_int, ph_bin_sums
+
+    def emit_light(t: float, vals) -> np.ndarray:
+        integrated, bin_sums, ph_int, ph_bin_sums = vals
+        idx = len(times)
+        integrated = np.asarray(integrated, dtype=np.float64)
+        bin_sums = np.asarray(bin_sums, dtype=np.float64)
+        frame = np.where(mask, integrated, np.nan)
+        m = float(np.sum(bin_sums) * dE * dx * dx)
+        times.append(float(t))
+        mass.append(m)
+        ph_frame = (
+            np.where(mask, np.asarray(ph_int, dtype=np.float64), np.nan)
+            if ph_int is not None
+            else None
+        )
+        if frame_sink is not None:
+            running_limits[0] = min(running_limits[0], float(np.nanmin(frame)))
+            running_limits[1] = max(running_limits[1], float(np.nanmax(frame)))
+            frame_sink.write(
+                idx,
+                float(t),
+                frame=frame,
+                mass=m,
+                phonon_frame=ph_frame,
+                energy_bin_sums=bin_sums,
+                phonon_bin_sums=(
+                    np.asarray(ph_bin_sums, dtype=np.float64)
+                    if ph_bin_sums is not None
+                    else None
+                ),
+            )
+        else:
+            frames.append(frame)
+            if ph_frame is not None:
+                phonon_frames_hist.append(ph_frame)
+        return frame
+
     def emit(t: float, q_host: np.ndarray, ph_host: np.ndarray | None) -> np.ndarray:
         # one stored snapshot: stream it to the sink or keep it, never both
+        if light:
+            return emit_light(t, light_from_host(q_host, ph_host))
         idx = len(times)
         frame, energy_frame, m = snapshot(q_host)
         times.append(float(t))
@@ -1640,9 +1745,25 @@ def _run_energy_resolved(
     gen_mode = external_generation.normalized_mode() if external_generation else "none"
     cumulative = 0
 
-    def store_snapshot(t, step, q_dev, ph_dev) -> None:
+    def store_snapshot(t, step, q_dev, ph_dev, light_vals=None) -> None:
         nonlocal stored_idx
         stored_idx += 1
+        if light:
+            if light_vals is None:
+                light_vals = light_from_device(q_dev, ph_dev)
+            frame = emit_light(t, light_vals)
+            _notify(progress_callback, t, frame)
+            if checkpointer is not None:
+                # the full state IS the resume data — light mode saves the
+                # snapshot traffic, not the checkpoint traffic
+                checkpointer.save_step(
+                    stored_idx,
+                    step=step,
+                    time_ns=float(t),
+                    q=np.asarray(q_dev, dtype=np.float64),
+                    ph=np.asarray(ph_dev, dtype=np.float64),
+                )
+            return
         q_host = np.asarray(q_dev, dtype=np.float64)
         ph_host = np.asarray(ph_dev, dtype=np.float64)
         frame = emit(t, q_host, ph_host)
@@ -1675,7 +1796,9 @@ def _run_energy_resolved(
                 int(stats_np[3][i]),
             )
         if p["seg"].stored:
-            store_snapshot(t, p["step_start"] + p["seg"].length, p["q"], p["ph"])
+            store_snapshot(
+                t, p["step_start"] + p["seg"].length, p["q"], p["ph"], p.get("light")
+            )
 
     pending = None
     for seg in segments:
@@ -1722,8 +1845,18 @@ def _run_energy_resolved(
             "t_start": current_time,
         }
         # kick the device->host transfers off now (they complete behind the
-        # next segment's compute); drain() then finds the bytes already here
-        for leaf in (*stats, *((q, ph) if seg.stored else ())):
+        # next segment's compute); drain() then finds the bytes already here.
+        # Light mode dispatches the on-device snapshot reduction here too and
+        # transfers only the reduced arrays (plus the full state when a
+        # checkpointer needs it).
+        if seg.stored and light:
+            new_pending["light"] = light_from_device(q, ph)
+            pull = [x for x in new_pending["light"] if x is not None]
+            if checkpointer is not None:
+                pull += [q, ph]
+        else:
+            pull = [q, ph] if seg.stored else []
+        for leaf in (*stats, *pull):
             try:
                 leaf.copy_to_host_async()
             except AttributeError:  # non-jax leaf (e.g. interpret mode)
@@ -1752,9 +1885,10 @@ def _run_energy_resolved(
                     "field_units": "integrated_occupation",
                     "energy_frame_units": "occupation",
                     **({"streamed": True} if frame_sink is not None else {}),
+                    **({"detail": "integrated"} if light else {}),
                 },
             }
         )
     if frame_sink is not None:
         return times, [], mass, _limits_from_running(running_limits), None, E_bins
-    return times, frames, mass, _color_limits(frames), energy_frames, E_bins
+    return times, frames, mass, _color_limits(frames), (None if light else energy_frames), E_bins
