@@ -734,17 +734,27 @@ def bench_engine_snapshot_overlap(total_steps=10_000, nx=1024, ne=16) -> dict:
         ),
     )
     out = {}
-    for label, se in (("sparse", total_steps), ("dense", 10)):
-        run_2d_crank_nicolson(store_every=se, **kw)  # warm the program cache
+    for label, se, detail in (
+        ("sparse", total_steps, "full"),
+        ("dense", 10, "full"),
+        # every stored snapshot reduced on device, only ~(nx + 2·ne) floats
+        # pulled per frame — the store_every=1-monitoring path
+        ("dense_light", 10, "integrated"),
+    ):
+        run_2d_crank_nicolson(store_every=se, snapshot_detail=detail, **kw)  # warm cache
         t0 = _time.time()
-        run_2d_crank_nicolson(store_every=se, **kw)
+        run_2d_crank_nicolson(store_every=se, snapshot_detail=detail, **kw)
         out[f"engine_mkid_10k_store_{label}_s"] = _time.time() - t0
     out["snapshot_overlap_dense_over_sparse"] = (
         out["engine_mkid_10k_store_dense_s"] / out["engine_mkid_10k_store_sparse_s"]
     )
+    out["snapshot_light_dense_over_sparse"] = (
+        out["engine_mkid_10k_store_dense_light_s"] / out["engine_mkid_10k_store_sparse_s"]
+    )
     log(
         f"engine snapshot overlap: dense/sparse = "
-        f"{out['snapshot_overlap_dense_over_sparse']:.3f}"
+        f"{out['snapshot_overlap_dense_over_sparse']:.3f}, light dense/sparse = "
+        f"{out['snapshot_light_dense_over_sparse']:.3f}"
     )
     return out
 

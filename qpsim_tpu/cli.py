@@ -164,6 +164,7 @@ def _cmd_run(args: argparse.Namespace) -> int:
         strang_mode=args.strang_mode,
         checkpoint_dir=args.checkpoint_dir,
         stream_dir=args.stream_dir,
+        snapshot_detail=args.snapshot_detail,
     )
     meta = result.metadata
     print(f"done: {len(result.times)} stored frames, final t = {result.times[-1]:.6g} ns")
@@ -487,6 +488,15 @@ def build_parser() -> argparse.ArgumentParser:
         dest="stream_dir",
         help="stream stored frames to this directory as NPZ shards instead of "
         "holding them in RAM (bounded-memory long runs; view with 'view DIR')",
+    )
+    r.add_argument(
+        "--snapshot-detail",
+        dest="snapshot_detail",
+        choices=("full", "integrated"),
+        default="full",
+        help="'integrated' reduces each stored snapshot on device and pulls "
+        "only integrated frames + per-bin sums (~NE x less device->host "
+        "traffic; requires --stream-dir in energy-resolved mode)",
     )
     r.add_argument(
         "--checkpoint-dir",

@@ -115,12 +115,19 @@ class _StreamingTotalsSink:
         energy_frames=None,
         phonon_frame=None,
         phonon_energy_frames=None,
+        energy_bin_sums=None,
+        phonon_bin_sums=None,
     ) -> None:
-        if energy_frames is not None:
+        # light (snapshot_detail="integrated") runs deliver the sums directly
+        if energy_bin_sums is not None:
+            self.qp_bin_sums[index] = np.asarray(energy_bin_sums, np.float64)
+        elif energy_frames is not None:
             self.qp_bin_sums[index] = np.array(
                 [np.nansum(np.asarray(f)[self._mask]) for f in energy_frames]
             )
-        if phonon_energy_frames is not None:
+        if phonon_bin_sums is not None:
+            self.ph_bin_sums[index] = np.asarray(phonon_bin_sums, np.float64)
+        elif phonon_energy_frames is not None:
             self.ph_bin_sums[index] = np.array(
                 [np.nansum(np.asarray(f)[self._mask]) for f in phonon_energy_frames]
             )
@@ -132,6 +139,8 @@ class _StreamingTotalsSink:
             energy_frames=energy_frames,
             phonon_frame=phonon_frame,
             phonon_energy_frames=phonon_energy_frames,
+            energy_bin_sums=energy_bin_sums,
+            phonon_bin_sums=phonon_bin_sums,
         )
 
     def totals(self, which: str, bins, widths, area: float, n_times: int) -> list[float] | None:
@@ -159,6 +168,7 @@ def run_setup(
     dtype=None,
     checkpoint_dir: str | Path | None = None,
     stream_dir: str | Path | None = None,
+    snapshot_detail: str = "full",
 ) -> tuple[SimulationResultData, str | None]:
     """Run one setup end-to-end and (optionally) persist the result.
 
@@ -175,8 +185,19 @@ def run_setup(
     frames pass through and is unchanged.  Read the stream back with
     :func:`qpsim_tpu.io.stream.load_frame_stream` or render it with the
     ``view`` CLI.
+
+    ``snapshot_detail="integrated"`` reduces each stored snapshot on device
+    and pulls only integrated frames + per-bin sums (see the engine
+    docstring); it requires ``stream_dir`` in energy-resolved mode — the
+    result's energy bookkeeping is reconstructed from the streamed bin-sum
+    vectors.
     """
     p = setup.parameters
+    if snapshot_detail == "integrated" and stream_dir is None and p.energy_gap > 0:
+        raise ValueError(
+            "snapshot_detail='integrated' requires stream_dir: the result's "
+            "energy bookkeeping is reconstructed from the streamed bin sums."
+        )
     mask = mask_from_lists(setup.geometry.mask)
     initial = build_initial_field(mask, setup.initial_condition)
     sim_id = create_simulation_id()
@@ -264,6 +285,7 @@ def run_setup(
         dtype=dtype,
         checkpointer=checkpointer,
         frame_sink=stream_sink,
+        snapshot_detail=snapshot_detail,
     )
 
     area = float(p.mesh_size * p.mesh_size)

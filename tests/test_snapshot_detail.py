@@ -137,6 +137,61 @@ def test_integrated_composes_with_mesh_path():
         np.testing.assert_allclose(np.nan_to_num(a), np.nan_to_num(b), atol=1e-12)
 
 
+def test_runner_integrated_stream_totals_match_full(tmp_path):
+    from qpsim_tpu.fields import default_initial_condition
+    from qpsim_tpu.geometry.mask import create_intrinsic_geometry
+    from qpsim_tpu.models.params import SetupData, SimulationParameters
+    from qpsim_tpu.runner import run_setup
+
+    geo = create_intrinsic_geometry(width=12, height=8)
+    bcs = {e.edge_id: BoundaryCondition(kind="reflective") for e in geo.edges}
+    ic = default_initial_condition()
+    ic.spatial_kind = "uniform"
+    ic.spatial_params = {"value": 1e-4}
+    setup = SetupData(
+        setup_id="deadbeef0005",
+        name="light stream",
+        created_at="2026-08-18T00:00:00+00:00",
+        geometry=geo,
+        boundary_conditions=bcs,
+        parameters=SimulationParameters(
+            diffusion_coefficient=6.0,
+            dt=0.05,
+            total_time=0.3,
+            mesh_size=1.0,
+            store_every=2,
+            energy_gap=180.0,
+            energy_max_factor=3.0,
+            num_energy_bins=6,
+            enable_recombination=True,
+            enable_scattering=True,
+            bath_temperature=0.2,
+        ),
+        initial_condition=ic,
+    )
+    plain, _ = run_setup(setup, save=False)
+    light, _ = run_setup(
+        setup,
+        save=False,
+        stream_dir=tmp_path / "frames",
+        snapshot_detail="integrated",
+    )
+    np.testing.assert_allclose(
+        light.metadata["energy_qp_total"], plain.metadata["energy_qp_total"], rtol=1e-12
+    )
+    np.testing.assert_allclose(
+        light.metadata["energy_phonon_total"],
+        plain.metadata["energy_phonon_total"],
+        rtol=1e-12,
+    )
+    assert light.metadata["diagnostics_mode"] == plain.metadata["diagnostics_mode"]
+    np.testing.assert_allclose(light.mass_over_time, plain.mass_over_time, rtol=1e-12)
+
+    # without a stream there is nowhere to reconstruct the bookkeeping from
+    with pytest.raises(ValueError, match="requires stream_dir"):
+        run_setup(setup, save=False, snapshot_detail="integrated")
+
+
 def test_snapshot_detail_validation():
     kw = _problem()
     with pytest.raises(ValueError, match="snapshot_detail"):
