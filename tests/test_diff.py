@@ -259,3 +259,60 @@ def test_pulse_energy_is_differentiable_and_recoverable():
         n_iters=120,
     )
     assert abs(float(fitted["pulse_rate"]) - true_rate) / true_rate < 0.02
+
+
+def test_remat_modes_agree():
+    """Rematerialized backward passes change memory, never results.
+
+    remat=False / remat=True / two-level remat_chunk (with a remainder
+    chunk) must produce bit-identical forward observables and gradients
+    that agree to roundoff — including through a pulse window, whose
+    step index k crosses the chunked scan's reshape.
+    """
+    from qpsim_tpu.diff import make_differentiable_sim
+
+    field = 1e-4 * (1.0 + np.cos(np.linspace(0, np.pi, 12)))[None, :]
+    cfg = dict(
+        nx=12, num_energy_bins=5, energy_max_factor=3.0, dt=0.5,
+        n_steps=11, n0=1e-4, initial_field=field,  # non-uniform: dD0 ≠ 0
+        bath_temperature=0.0, phonon_feedback=True,
+        observables=("total", "spatial", "phonon_total"), store_every=3,
+        pulse_window=(1.0, 2.0),
+    )
+    sims = {
+        "plain": make_differentiable_sim(**cfg, remat=False),
+        "step": make_differentiable_sim(**cfg, remat=True),
+        "chunked": make_differentiable_sim(**cfg, remat=True, remat_chunk=4),
+    }
+    params = {
+        "D0": jnp.asarray(6.0), "tau_s": jnp.asarray(440.0),
+        "tau_r": jnp.asarray(300.0), "pulse_rate": jnp.asarray(2e-5),
+    }
+
+    def loss(sim):
+        def fn(p):
+            out = sim(p)
+            return (
+                jnp.sum(out["total"] ** 2)
+                + jnp.sum(out["spatial"][-1])
+                + out["phonon_total"][-1]
+            )
+        return fn
+
+    ref_out = sims["plain"](params)
+    ref_grad = jax.grad(loss(sims["plain"]))(params)
+    for name in ("step", "chunked"):
+        out = sims[name](params)
+        for key in ref_out:
+            np.testing.assert_array_equal(
+                np.asarray(out[key]), np.asarray(ref_out[key]),
+                err_msg=f"{name}:{key}",
+            )
+        g = jax.grad(loss(sims[name]))(params)
+        for key in ref_grad:
+            # backward-pass recomputation re-associates XLA fusions, so
+            # gradients agree to roundoff-amplified tolerance, not bitwise
+            np.testing.assert_allclose(
+                float(g[key]), float(ref_grad[key]), rtol=1e-6,
+                err_msg=f"{name}:grad[{key}]",
+            )
