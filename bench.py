@@ -703,6 +703,59 @@ def bench_ensemble_sweep(n_members=32, member=(64, 64), ne=8, length=2500) -> di
     }
 
 
+def bench_diff_grad(n=64, ne=8, n_steps=1000, remat_chunk=32) -> dict:
+    """Differentiable-sim gradient throughput: value_and_grad of a coupled
+    2D-film run w.r.t. (D0, tau_s, tau_r) with the rematerialized backward
+    (checkpointed step + two-level O(√n) schedule) — without remat the
+    backward residuals (~P·NE² floats/step) would exceed HBM by 100× at
+    this size.  Reports ms per simulated step inside the grad call and the
+    grad/forward wall ratio (remat model: ~2 forwards + 1 backward)."""
+    import jax
+    import jax.numpy as jnp
+
+    from qpsim_tpu.diff import make_differentiable_sim
+
+    mask = np.ones((n, n), dtype=bool)
+    sim = make_differentiable_sim(
+        mask=mask,
+        num_energy_bins=ne,
+        dt=0.05,
+        n_steps=n_steps,
+        n0=1e-4,
+        bath_temperature=0.2,
+        dtype=jnp.float32,
+        remat=True,
+        remat_chunk=remat_chunk,
+    )
+    params = {
+        "D0": jnp.asarray(6.0, jnp.float32),
+        "tau_s": jnp.asarray(440.0, jnp.float32),
+        "tau_r": jnp.asarray(440.0, jnp.float32),
+    }
+    fwd = jax.jit(lambda p: sim(p)["total"][-1])
+    vg = jax.jit(jax.value_and_grad(lambda p: sim(p)["total"][-1]))
+
+    def time_fn(fn):
+        _sync(fn(params))  # compile + queue drain
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            _sync(fn(params))
+            best = min(best, time.time() - t0)
+        return best
+
+    t_fwd = time_fn(fwd)
+    t_grad = time_fn(vg)
+    log(
+        f"diff grad {n}x{n}x{ne}, {n_steps} steps: forward {t_fwd:.3f} s, "
+        f"grad {t_grad:.3f} s ({t_grad / n_steps * 1e3:.3f} ms/step)"
+    )
+    return {
+        "diffgrad_ms_per_step": t_grad / n_steps * 1e3,
+        "diffgrad_over_forward": t_grad / max(t_fwd, 1e-12),
+    }
+
+
 def bench_engine_snapshot_overlap(total_steps=10_000, nx=1024, ne=16) -> dict:
     """VERDICT r2 item 8 witness: the ENGINE's 10k-step MKID run with dense
     snapshots (store_every=10 → 1000 stored frames) vs sparse
@@ -925,6 +978,7 @@ def main() -> None:
         "ensemble_sweep": dict(n_members=4, member=(8, 8), ne=4, length=4),
         "mkid_pulse": dict(total_steps=40, nx=32, ne=6),
         "snapshot_overlap": dict(total_steps=40, nx=32, ne=6),
+        "diff_grad": dict(n=8, ne=4, n_steps=12, remat_chunk=4),
     }
 
     errors: dict[str, str] = {}
@@ -950,6 +1004,7 @@ def main() -> None:
         ("analytic_gap_100bin", bench_analytic_gap_100bin),
         ("coupled_1d_64bin", bench_1d_64bin),
         ("ensemble_sweep", bench_ensemble_sweep),
+        ("diff_grad", bench_diff_grad),
     ]
     for name, fn in stages:
         try:
