@@ -371,18 +371,7 @@ def _cmd_view(args: argparse.Namespace) -> int:
     from .ui.playback import export_simulation_images
 
     sim_path = Path(args.simulation)
-    if sim_path.is_dir():
-        # a streamed-frames directory (see 'run --stream-dir')
-        from .io.stream import load_frame_stream
-
-        result = load_frame_stream(sim_path).to_result_data()
-        out_dir = Path(args.out) if args.out else sim_path.parent / (sim_path.name + "_frames")
-    else:
-        result = load_simulation(sim_path)
-        out_dir = Path(args.out) if args.out else sim_path.parent / (sim_path.stem + "_frames")
-    written = export_simulation_images(
-        result,
-        out_dir,
+    render_kw = dict(
         frames=args.frames,
         phonons=args.phonons,
         energy_bin=args.bin,
@@ -390,6 +379,25 @@ def _cmd_view(args: argparse.Namespace) -> int:
         cmap=args.cmap,
         dpi=args.dpi,
     )
+    if sim_path.is_dir():
+        # a streamed-frames directory (see 'run --stream-dir'): render one
+        # shard at a time — streams exist because the full history does NOT
+        # fit in host RAM, so never round-trip through SimulationResultData
+        from .io.stream import load_frame_stream
+        from .ui.playback import export_stream_images
+
+        reader = load_frame_stream(sim_path)
+        out_dir = Path(args.out) if args.out else sim_path.parent / (sim_path.name + "_frames")
+        written = export_stream_images(reader, out_dir, **render_kw)
+        name = str(reader.metadata.get("setup_name", sim_path.name))
+        sim_id = str(reader.metadata.get("simulation_id", f"stream-{sim_path.name}"))
+        n_frames, times = reader.count, reader.times
+    else:
+        result = load_simulation(sim_path)
+        out_dir = Path(args.out) if args.out else sim_path.parent / (sim_path.stem + "_frames")
+        written = export_simulation_images(result, out_dir, **render_kw)
+        name, sim_id = result.setup_name, result.simulation_id
+        n_frames, times = len(result.frames), result.times
     if args.gif:
         from .ui.playback import write_gif
 
@@ -397,9 +405,9 @@ def _cmd_view(args: argparse.Namespace) -> int:
         gif = write_gif(frame_pngs, out_dir / "movie.gif", fps=args.fps)
         written.append(gif)
     print(
-        f"simulation '{result.setup_name}' ({result.simulation_id}): "
-        f"{len(result.frames)} stored frames, t = {result.times[0]:.6g}"
-        f"..{result.times[-1]:.6g} ns"
+        f"simulation '{name}' ({sim_id}): "
+        f"{n_frames} stored frames, t = {times[0]:.6g}"
+        f"..{times[-1]:.6g} ns"
     )
     print(f"wrote {len(written)} images -> {out_dir}")
     return 0

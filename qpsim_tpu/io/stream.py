@@ -62,11 +62,13 @@ class FrameStreamWriter:
     Parameters
     ----------
     directory:
-        Target directory (created if missing).  Pre-existing shards are
-        overwritten index-by-index; stale higher-index shards from an
-        earlier, longer run fail :meth:`finalize`'s contiguity check
-        only if this run writes fewer frames AND they were indexed —
-        they are ignored otherwise (the manifest is the source of truth).
+        Target directory (created if missing).  A pre-existing manifest is
+        deleted immediately — reusing a finalized stream directory makes it
+        visibly unfinalized again until this run's :meth:`finalize`, so a
+        reader can never mix two runs' shards.  Pre-existing shards are
+        overwritten index-by-index (checkpoint-resumed runs replay
+        bit-identically); stale higher-index shards from an earlier,
+        longer run are deleted by :meth:`finalize`.
     energy_bins / phonon_energy_bins:
         Optional bin-center arrays recorded in the manifest.  Phonon
         bins are usually only known after the engine builds its ω-grid;
@@ -85,6 +87,10 @@ class FrameStreamWriter:
     ) -> None:
         self.directory = Path(directory)
         self.directory.mkdir(parents=True, exist_ok=True)
+        # a stream being (re)written is not valid to read: drop any manifest
+        # left by an earlier finalized run NOW, so an interrupted rerun can
+        # never be mistaken for the previous run's complete stream
+        (self.directory / _MANIFEST).unlink(missing_ok=True)
         self._energy_bins = None if energy_bins is None else np.asarray(energy_bins, np.float64)
         self._phonon_bins = (
             None if phonon_energy_bins is None else np.asarray(phonon_energy_bins, np.float64)
@@ -193,6 +199,15 @@ class FrameStreamWriter:
             self._phonon_bins = np.asarray(phonon_energy_bins, np.float64)
         if extra_metadata:
             self._metadata.update(extra_metadata)
+        # drop stale higher-index shards from an earlier, longer run into
+        # the same directory — the sealed stream is exactly [0, count)
+        for path in self.directory.glob("frame_*.npz"):
+            try:
+                idx = int(path.stem.split("_")[1])
+            except (IndexError, ValueError):
+                continue
+            if idx >= count:
+                path.unlink(missing_ok=True)
         manifest = {
             "format": "qpsim_tpu.frame_stream",
             "version": _VERSION,
@@ -265,13 +280,22 @@ class FrameStreamReader:
     def __len__(self) -> int:
         return self.count
 
-    def _load(self, index: int) -> dict[str, np.ndarray]:
+    def _load(
+        self, index: int, keys: tuple[str, ...] | None = None
+    ) -> dict[str, np.ndarray]:
+        """Load one shard — only ``keys`` when given.
+
+        NPZ members decompress individually, so asking for just ``frame``
+        skips the (n_bins, ny, nx) stacks entirely: at 1024²×16 that is
+        ~NE× less decompression and peak memory per accessed snapshot.
+        """
         if not 0 <= index < self.count:
             raise IndexError(f"frame index {index} out of range [0, {self.count}).")
         path = _shard_path(self.directory, index)
         try:
             with np.load(path) as data:
-                return {k: np.asarray(data[k]) for k in data.files}
+                names = data.files if keys is None else [k for k in keys if k in data.files]
+                return {k: np.asarray(data[k]) for k in names}
         except FileNotFoundError:
             raise ValueError(f"Frame stream '{self.directory}' is missing shard '{path.name}'.")
         except Exception as exc:  # truncated zip etc. (zipfile.BadZipFile)
@@ -279,25 +303,25 @@ class FrameStreamReader:
 
     def frame(self, index: int) -> np.ndarray:
         """NaN-padded energy-integrated 2D field of stored snapshot `index`."""
-        return self._load(index)["frame"]
+        return self._load(index, ("frame",))["frame"]
 
     def energy_frames(self, index: int) -> np.ndarray | None:
         """(NE, ny, nx) per-bin QP fields, or None if not recorded."""
-        return self._load(index).get("energy_frames")
+        return self._load(index, ("energy_frames",)).get("energy_frames")
 
     def phonon_frame(self, index: int) -> np.ndarray | None:
-        return self._load(index).get("phonon_frame")
+        return self._load(index, ("phonon_frame",)).get("phonon_frame")
 
     def phonon_energy_frames(self, index: int) -> np.ndarray | None:
-        return self._load(index).get("phonon_energy_frames")
+        return self._load(index, ("phonon_energy_frames",)).get("phonon_energy_frames")
 
     def energy_bin_sums(self, index: int) -> np.ndarray | None:
         """(NE,) per-bin pixel sums (light-snapshot runs), or None."""
-        return self._load(index).get("energy_bin_sums")
+        return self._load(index, ("energy_bin_sums",)).get("energy_bin_sums")
 
     def phonon_bin_sums(self, index: int) -> np.ndarray | None:
         """(nω,) per-bin pixel sums (light-snapshot runs), or None."""
-        return self._load(index).get("phonon_bin_sums")
+        return self._load(index, ("phonon_bin_sums",)).get("phonon_bin_sums")
 
     def iter_frames(self):
         """Yield (time_ns, integrated 2D frame) pairs, one shard in memory at a time."""

@@ -17,6 +17,7 @@ __all__ = [
     "PlaybackState",
     "export_case_images",
     "export_simulation_images",
+    "export_stream_images",
     "write_gif",
     "render_heatmap",
     "render_line1d",
@@ -233,6 +234,99 @@ def export_simulation_images(
 
     if mass:
         _save(lambda ax: render_mass_trace(ax, result), out / "mass.png")
+    return written
+
+
+def export_stream_images(
+    reader,
+    out_dir,
+    *,
+    frames: str = "all",
+    phonons: bool = False,
+    energy_bin: int | None = None,
+    mass: bool = True,
+    cmap: str = "inferno",
+    dpi: int = 110,
+) -> list:
+    """Render a streamed-frames directory to PNGs, one shard at a time.
+
+    The lazy counterpart of :func:`export_simulation_images` for
+    ``FrameStreamReader``: streams exist precisely because the run's
+    history exceeds host RAM, so this never materializes more than the
+    single array being drawn (and shard members decompress individually —
+    rendering integrated frames never touches the per-bin stacks).
+    """
+    from pathlib import Path
+
+    from matplotlib.figure import Figure
+
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    written: list = []
+
+    def _save(draw, path):
+        fig = Figure(figsize=(6.0, 4.8))
+        draw(fig.add_subplot(111))
+        fig.savefig(path, dpi=dpi, bbox_inches="tight")
+        written.append(path)
+
+    idxs = select_frame_indices(reader.count, frames)
+    clim = tuple(reader.color_limits) if reader.color_limits else None
+    for i in idxs:
+        fr = reader.frame(i)
+        title = f"t = {reader.times[i]:.6g} ns"
+        _save(
+            lambda ax, f=fr, t=title: render_heatmap(ax, f, clim=clim, title=t, cmap=cmap),
+            out / f"frame_{i:04d}.png",
+        )
+
+    if energy_bin is not None:
+        if not reader.has_energy_frames:
+            raise ValueError(
+                "stream stores no per-bin energy frames (a light "
+                "snapshot_detail='integrated' run keeps per-bin sums only)"
+            )
+        e_bins = reader.energy_bins
+        for i in idxs:
+            ef = reader.energy_frames(i)
+            nbins = ef.shape[0]
+            if not 0 <= energy_bin < nbins:
+                raise ValueError(f"energy bin {energy_bin} out of range (0..{nbins - 1})")
+            e_label = (
+                f"E = {e_bins[energy_bin]:.4g} µeV" if e_bins is not None else f"bin {energy_bin}"
+            )
+            _save(
+                lambda ax, f=ef[energy_bin], t=f"{e_label}, t = {reader.times[i]:.6g} ns": (
+                    render_heatmap(ax, f, title=t, cmap=cmap)
+                ),
+                out / f"bin{energy_bin}_{i:04d}.png",
+            )
+
+    if phonons:
+        if not reader.has_phonon_frames:
+            raise ValueError("stream stores no phonon frames")
+        for i in idxs:
+            pf = reader.phonon_frame(i)
+            if pf is None:
+                continue
+            _save(
+                lambda ax, f=pf, t=f"phonons, t = {reader.times[i]:.6g} ns": render_heatmap(
+                    ax, f, title=t, cmap="viridis"
+                ),
+                out / f"phonon_{i:04d}.png",
+            )
+
+    if mass:
+        name = str(reader.metadata.get("setup_name", reader.directory.name))
+
+        def _mass(ax):
+            ax.clear()
+            ax.plot(np.asarray(reader.times), np.asarray(reader.mass_over_time), "-", lw=1.5)
+            ax.set_xlabel("t [ns]")
+            ax.set_ylabel("total mass")
+            ax.set_title(f"{name}: mass over time")
+
+        _save(_mass, out / "mass.png")
     return written
 
 

@@ -404,3 +404,57 @@ def test_cli_stream_run_and_view(tmp_path, capsys):
     out = capsys.readouterr().out
     assert rc == 0 and "wrote" in out
     assert any((tmp_path / "imgs").glob("frame_*.png"))
+
+
+def test_directory_reuse_invalidates_previous_manifest(tmp_path):
+    """Rewriting into a finalized stream directory makes it visibly
+    unfinalized until the new run's finalize — a crash mid-rerun can never
+    be mistaken for the earlier run's complete stream."""
+    d = tmp_path / "reuse"
+    with FrameStreamWriter(d) as w:
+        w.write(0, 0.0, frame=np.full((2, 2), 1.0), mass=1.0)
+        w.write(1, 1.0, frame=np.full((2, 2), 1.0), mass=1.0)
+    assert load_frame_stream(d).count == 2
+
+    w2 = FrameStreamWriter(d)  # reuse: run B starts
+    with pytest.raises(ValueError, match="not a finalized frame stream"):
+        load_frame_stream(d)  # mid-run (or crashed) B must refuse to read
+    w2.write(0, 0.0, frame=np.full((2, 2), 3.0), mass=3.0)
+    w2.finalize()
+    reader = load_frame_stream(d)
+    assert reader.count == 1
+    np.testing.assert_array_equal(reader.frame(0), np.full((2, 2), 3.0))
+
+
+def test_finalize_removes_stale_higher_index_shards(tmp_path):
+    """A shorter rerun into the same directory deletes the longer earlier
+    run's leftover shards: the sealed directory is exactly [0, count)."""
+    d = tmp_path / "stale"
+    with FrameStreamWriter(d) as w:
+        for i in range(4):
+            w.write(i, float(i), frame=np.ones((2, 2)), mass=1.0)
+    assert (d / "frame_000003.npz").exists()
+
+    with FrameStreamWriter(d) as w2:
+        w2.write(0, 0.0, frame=np.zeros((2, 2)), mass=0.0)
+        w2.write(1, 1.0, frame=np.zeros((2, 2)), mass=0.0)
+    assert not (d / "frame_000002.npz").exists()
+    assert not (d / "frame_000003.npz").exists()
+    assert load_frame_stream(d).count == 2
+
+
+def test_lazy_shard_loads_fetch_only_requested_members(tmp_path):
+    """Accessors decompress only the member they return (frame() never
+    touches the per-bin stacks) and full loads still see every key."""
+    d = tmp_path / "lazy"
+    with FrameStreamWriter(d) as w:
+        w.write(
+            0, 0.0, frame=np.ones((2, 2)), mass=1.0,
+            energy_frames=[np.ones((2, 2))] * 3,
+            phonon_frame=np.ones((2, 2)),
+        )
+    reader = load_frame_stream(d)
+    assert set(reader._load(0, ("frame",))) == {"frame"}
+    assert set(reader._load(0, ("frame", "absent"))) == {"frame"}
+    assert {"frame", "energy_frames", "phonon_frame"} <= set(reader._load(0))
+    assert reader.energy_frames(0).shape == (3, 2, 2)
