@@ -45,7 +45,20 @@ __all__ = [
     "FrameStreamReader",
     "load_frame_stream",
     "estimate_history_memory",
+    "widen_color_limits",
 ]
+
+
+def widen_color_limits(vmin: float, vmax: float) -> list[float]:
+    """[vmin, vmax] with degenerate (constant-field) ranges nudged open.
+
+    THE one definition of the viewer color-limit contract — the engine's
+    returned ``color_limits`` and the stream manifest's must stay
+    bit-identical, so both compute theirs here.
+    """
+    if abs(vmax - vmin) < 1e-12:
+        vmax = vmin + 1e-9
+    return [float(vmin), float(vmax)]
 
 _MANIFEST = "manifest.json"
 _SHARD_FMT = "frame_{:06d}.npz"
@@ -172,10 +185,7 @@ class FrameStreamWriter:
         """Running [vmin, vmax] over every written integrated frame."""
         if not self._times:
             raise ValueError("No frames written yet.")
-        vmin, vmax = self._vmin, self._vmax
-        if abs(vmax - vmin) < 1e-12:
-            vmax = vmin + 1e-9
-        return [vmin, vmax]
+        return widen_color_limits(self._vmin, self._vmax)
 
     def finalize(
         self,

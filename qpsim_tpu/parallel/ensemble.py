@@ -218,11 +218,10 @@ class FilmEnsemble:
         time; ``start``/``duration`` may be scalars or (B,) arrays for
         per-member photon arrival times.  The returned chunk then takes
         ``(q, ph, t0_ns)`` and all planes ride the jit boundary as
-        arguments (never baked constants).  Without ``gen_plane`` the
-        chunk is ``(q, ph)`` as before."""
-        import jax
-        import jax.numpy as jnp
-
+        arguments (never baked constants).  With a ``pulse_window`` the
+        start time is REQUIRED — chaining chunks with an implicit t0=0
+        would silently re-fire the pulse at the start of every chunk.
+        Without ``gen_plane`` the chunk is ``(q, ph)`` as before."""
         step = self.step
 
         if gen_plane is None:
@@ -277,7 +276,15 @@ class FilmEnsemble:
 
         planes_by_dtype: dict = {}  # upload the constant planes once per dtype
 
-        def run(q, ph, t0=0.0):
+        def run(q, ph, t0=None):
+            if t0 is None:
+                if start_host is not None:
+                    raise TypeError(
+                        "this chunk gates a pulse window: pass its absolute start "
+                        "time, chunk(q, ph, t0_ns) — an implicit t0=0 would "
+                        "re-fire the pulse at the start of every chained chunk"
+                    )
+                t0 = 0.0
             key = jnp.dtype(q.dtype)
             if key not in planes_by_dtype:
                 gpa = jnp.asarray(gp_host, dtype=key)

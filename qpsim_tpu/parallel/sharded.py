@@ -179,6 +179,10 @@ def build_sharded_step(
         a gen input (uniform and analytic-gap), an in-shard XLA pre-add
         otherwise.  Not available with ``ensemble=True``.
     """
+    if gen_input and ensemble:
+        # reject before any kernel/table construction — film ensembles get
+        # per-member generation via FilmEnsemble.make_chunk(gen_plane=...)
+        raise ValueError("gen_input is not supported with ensemble=True")
     ny, nx = op.mask.shape
     n_space = mesh.shape[SPACE_AXIS]
     # Backend selection must follow the devices the step will RUN on, not the
@@ -280,7 +284,10 @@ def build_sharded_step(
             )
 
             use_analytic = pallas_analytic_collisions_supported(np.asarray(e_bins_g))
-        if use_analytic:
+        if on_tpu_c and dtype_ok_c and e_bins_g is not None:
+            # one keyword block for both analytic builders: the <=64-bin
+            # pair-unrolled kernel and the NE>64 blocked fallback must never
+            # silently diverge in how collision physics is threaded through
             kw_an = dict(
                 E_bins=np.asarray(e_bins_g),
                 dE=collisions["dE"],
@@ -293,6 +300,7 @@ def build_sharded_step(
                 dynes_gamma=collisions.get("dynes_gamma", 0.0),
                 update_phonons=collisions.get("update_phonons", True),
             )
+        if use_analytic:
             col_half = build_pallas_collision_step_analytic(**kw_an)
             if gen_input and col_half is not None:
                 col_half_gen = build_pallas_collision_step_analytic(
@@ -305,18 +313,7 @@ def build_sharded_step(
                 build_pallas_collision_step_blocked_analytic,
             )
 
-            col_half = build_pallas_collision_step_blocked_analytic(
-                E_bins=np.asarray(e_bins_g),
-                dE=collisions["dE"],
-                gap_plane=None,
-                pmap=pmap_g,
-                dt=0.5 * float(dt),
-                tau_s=collisions["tau_s"] if collisions.get("enable_scattering") else None,
-                tau_r=collisions["tau_r"] if collisions.get("enable_recombination") else None,
-                T_c=collisions["T_c"],
-                dynes_gamma=collisions.get("dynes_gamma", 0.0),
-                update_phonons=collisions.get("update_phonons", True),
-            )
+            col_half = build_pallas_collision_step_blocked_analytic(**kw_an)
         if col_half is not None:
             col_mode = "gap_plane"
             gap_aux = jnp.asarray(gap_plane, dtype=dtype)
@@ -546,8 +543,6 @@ def build_sharded_step(
     if ensemble:
         # each local shard carries a batch of independent ensemble members;
         # the 'ensemble' mesh axis shards the batch with zero communication.
-        if gen_input:
-            raise ValueError("gen_input is not supported with ensemble=True")
         from .mesh import ENSEMBLE_AXIS
 
         batched = jax.vmap(local_step, in_axes=(0, 0, None, None), out_axes=(0, 0, 0))

@@ -70,6 +70,7 @@ from ..ops.dos import (
 from ..ops.energy_grid import build_energy_grid, integration_widths_from_centers
 from ..ops.generation import build_generation_program, evaluate_generation_host
 from ..ops.kernels import recombination_kernel_base, scattering_kernel_base
+from ..io.stream import widen_color_limits
 from ..ops.phonon_map import build_phonon_frequency_map
 from ..utils.compile_cache import maybe_enable_persistent_cache
 from .diffusion_backends import choose_backend
@@ -230,9 +231,12 @@ def run_2d_crank_nicolson(
     ``phonon_metadata['detail']='integrated'``); a ``frame_sink`` receives
     ``energy_bin_sums``/``phonon_bin_sums`` vectors in place of per-bin
     frames, which is exactly what energy bookkeeping needs.  Values match
-    the ``"full"`` snapshot reduction to f64 roundoff (the reduction
-    order differs).  Checkpointing still pulls the full state — it IS the
-    resume data.
+    the ``"full"`` snapshot reduction to roundoff in the REDUCTION dtype:
+    f64 runs agree to f64 roundoff; f32 (TPU production) runs reduce on
+    device in f32, so sums over ~10⁶ pixels differ from the full path's
+    host-side f64 reduction at the f32 tree-reduction level (~1e-6
+    relative — diagnostics-grade, not a solver input).  Checkpointing
+    still pulls the full state — it IS the resume data.
     """
     if dt <= 0 or total_time <= 0:
         raise ValueError("dt and total_time must be positive.")
@@ -372,19 +376,14 @@ def _notify(progress_callback, t: float, frame: np.ndarray) -> None:
 
 
 def _color_limits(frames: list[np.ndarray]) -> list[float]:
-    vmin = float(np.nanmin(np.stack(frames)))
-    vmax = float(np.nanmax(np.stack(frames)))
-    if abs(vmax - vmin) < 1e-12:
-        vmax = vmin + 1e-9
-    return [vmin, vmax]
+    return widen_color_limits(
+        float(np.nanmin(np.stack(frames))), float(np.nanmax(np.stack(frames)))
+    )
 
 
 def _limits_from_running(limits: list[float]) -> list[float]:
     """Color limits from a streaming-mode running [vmin, vmax] pair."""
-    vmin, vmax = limits
-    if abs(vmax - vmin) < 1e-12:
-        vmax = vmin + 1e-9
-    return [vmin, vmax]
+    return widen_color_limits(limits[0], limits[1])
 
 
 def _usable_resume_prefix(checkpointer, segments) -> list[dict]:
@@ -399,8 +398,8 @@ def _usable_resume_prefix(checkpointer, segments) -> list[dict]:
     plan's stored boundaries is usable; everything past it is discarded
     (and recomputed by the continuing run).
     """
-    latest = checkpointer.latest()
-    if latest is None:
+    steps = checkpointer.all_steps()
+    if not steps:
         return []
     boundaries = [0]
     cum = 0
@@ -408,16 +407,17 @@ def _usable_resume_prefix(checkpointer, segments) -> list[dict]:
         cum += seg.length
         if seg.stored:
             boundaries.append(cum)
+    # restore lazily, stopping at the first misalignment: checkpoints past
+    # the break (possibly dozens of full device states) are discarded
+    # without ever being read
     usable: list[dict] = []
-    for i, payload in enumerate(checkpointer.load_through(latest["stored_idx"])):
-        if (
-            i < len(boundaries)
-            and payload["stored_idx"] == i
-            and payload["step"] == boundaries[i]
-        ):
-            usable.append(payload)
-        else:
+    for i, s in enumerate(steps):
+        if s != i or i >= len(boundaries):
             break
+        payload = checkpointer.restore(s)
+        if payload["step"] != boundaries[i]:
+            break
+        usable.append(payload)
     checkpointer.discard_from(len(usable))
     return usable
 

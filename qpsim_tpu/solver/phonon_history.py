@@ -47,8 +47,14 @@ def build_fixed_phonon_history(
     if n_frames <= 0:
         raise ValueError("times must contain at least one stored timepoint.")
 
+    # every stored time shows the SAME constant map, so the per-time lists
+    # alias one read-only array each — a streamed scalar run with 1e5 stored
+    # frames must not materialize 1e5 identical (ny, nx) copies (the QP
+    # history is already bounded by the frame sink; this scaffold must not
+    # become the new unbounded term)
     temp_frame = reconstruct_field(m, np.full(n_spatial, float(bath_temperature)))
-    frames = [temp_frame.copy() for _ in range(n_frames)]
+    temp_frame.flags.writeable = False
+    frames = [temp_frame] * n_frames
 
     energy_frames: list[list[np.ndarray]] | None = None
     bins_out: np.ndarray | None = None
@@ -62,7 +68,9 @@ def build_fixed_phonon_history(
             raise ValueError("phonon_energy_bins must be non-negative.")
         occ = thermal_phonon_occupation(bins_out, float(bath_temperature))
         per_time = [reconstruct_field(m, np.full(n_spatial, float(v))) for v in occ]
-        energy_frames = [[fr.copy() for fr in per_time] for _ in range(n_frames)]
+        for fr in per_time:
+            fr.flags.writeable = False
+        energy_frames = [list(per_time) for _ in range(n_frames)]
 
     metadata: dict[str, float | str | bool] = {
         "mode": "fixed_temperature",

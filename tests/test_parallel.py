@@ -745,3 +745,27 @@ def test_sharded_gen_chunk_matches_plain_plus_add():
     chunk = gen.make_chunk(3, unroll=1)
     q_c, ph_c, m_c = chunk(jnp.asarray(q0), jnp.asarray(ph0), grow)
     assert np.all(np.isfinite(np.asarray(q_c))) and float(m_c) > 0
+
+
+def test_pulse_chunk_requires_start_time():
+    """A pulse-gated chunk refuses an implicit t0: chaining with a default
+    t0=0 would silently re-fire the pulse at the start of every chunk."""
+    import jax.numpy as jnp
+    import pytest
+
+    from qpsim_tpu.parallel.ensemble import build_film_ensemble
+
+    ens = build_film_ensemble(
+        n_members=2, member_shape=(6, 10), num_energy_bins=4, dt=0.05,
+        dtype=jnp.float64,
+    )
+    plane = ens.generation_plane(np.array([1e-6, 2e-6]))
+    q, ph = ens.pack(np.zeros((2, 4, 6, 10)), ens.thermal_phonons(np.zeros(2)))
+    q, ph = jnp.asarray(q), jnp.asarray(ph)
+
+    gated = ens.make_chunk(2, gen_plane=plane, pulse_window=(0.0, 0.2))
+    with pytest.raises(TypeError, match="re-fire"):
+        gated(q, ph)
+    gated(q, ph, 0.0)  # explicit start time is fine
+    # without a window the chunk is time-invariant: t0 stays optional
+    ens.make_chunk(2, gen_plane=plane)(q, ph)
