@@ -182,6 +182,53 @@ def _cmd_run(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_sweep(args: argparse.Namespace) -> int:
+    from .io.storage import load_setup
+    from .sweep import build_variants, parse_vary, run_sweep
+
+    setup_path = Path(args.setup)
+    setup = load_setup(setup_path)
+    try:
+        axes = [parse_vary(spec) for spec in args.vary]
+        variants = build_variants(setup, axes, args.mode)
+    except ValueError as exc:
+        print(f"error: {exc}", file=sys.stderr)
+        return 2
+    print(
+        f"setup '{setup.name}': {len(variants)} variant(s) over "
+        + " x ".join(f"{f}[{len(v)}]" for f, v in axes)
+    )
+    if args.dry_run:
+        for i, (overrides, _) in enumerate(variants):
+            print(f"  {i:03d}: " + ", ".join(f"{k}={v}" for k, v in overrides.items()))
+        return 0
+
+    _ensure_backend_alive()
+    summary = run_sweep(
+        setup,
+        axes,
+        mode=args.mode,
+        out_dir=args.out_dir,
+        setup_path=setup_path,
+        save_results=not args.no_save,
+        progress=lambda msg: print(f"  {msg}", file=sys.stderr),
+        diffusion_backend=args.backend,
+        collision_backend=args.collision_backend,
+        strang_mode=args.strang_mode,
+    )
+    for rec in summary["variants"]:
+        label = ", ".join(f"{k}={v}" for k, v in rec["overrides"].items())
+        if "error" in rec:
+            print(f"  {rec['index']:03d} [{label}]: FAILED {rec['error']}")
+        else:
+            print(
+                f"  {rec['index']:03d} [{label}]: mass {rec['mass_initial']:.4g} -> "
+                f"{rec['mass_final']:.4g} (peak {rec['mass_peak']:.4g})"
+            )
+    print(f"summary: {summary['summary_path']}")
+    return 1 if summary["n_failed"] else 0
+
+
 def _cmd_precompute(args: argparse.Namespace) -> int:
     import numpy as np
 
@@ -513,6 +560,54 @@ def build_parser() -> argparse.ArgumentParser:
         "interrupted run resumes from the latest one",
     )
     r.set_defaults(fn=_cmd_run)
+
+    sw = sub.add_parser(
+        "sweep",
+        help="run a setup over a parameter grid and summarize the results",
+    )
+    sw.add_argument("setup", help="path to a setup .json")
+    sw.add_argument(
+        "--vary",
+        action="append",
+        required=True,
+        metavar="FIELD=SPEC",
+        help="sweep axis: FIELD=v1,v2,... or FIELD=lo:hi:N (inclusive "
+        "linspace); FIELD is a SimulationParameters field (tau_0, "
+        "bath_temperature, dynes_gamma, ...) or external_generation.<field> "
+        "(rate, pulse_rate, ...); repeatable",
+    )
+    sw.add_argument(
+        "--mode",
+        choices=("product", "zip"),
+        default="product",
+        help="'product' crosses all axes; 'zip' pairs them index-by-index",
+    )
+    sw.add_argument(
+        "--out-dir",
+        dest="out_dir",
+        default="sweep_results",
+        help="directory for per-variant result JSONs + sweep_summary.json",
+    )
+    sw.add_argument("--no-save", action="store_true", help="summary only, no result files")
+    sw.add_argument(
+        "--dry-run", action="store_true", help="list the variants without running"
+    )
+    sw.add_argument(
+        "--backend", default="auto", choices=("auto", "dense", "adi", "cg", "wang", "pallas")
+    )
+    sw.add_argument(
+        "--collision-backend",
+        dest="collision_backend",
+        default="auto",
+        choices=("auto", "xla", "pallas"),
+    )
+    sw.add_argument(
+        "--strang-mode",
+        dest="strang_mode",
+        default="auto",
+        choices=("auto", "exact", "merged"),
+    )
+    sw.set_defaults(fn=_cmd_sweep)
 
     p = sub.add_parser("precompute", help="build + save a setup's .precompute.npz sidecar")
     p.add_argument("setup")
