@@ -211,6 +211,7 @@ def _cmd_sweep(args: argparse.Namespace) -> int:
         out_dir=args.out_dir,
         setup_path=setup_path,
         save_results=not args.no_save,
+        resume=args.resume,
         progress=lambda msg: print(f"  {msg}", file=sys.stderr),
         diffusion_backend=args.backend,
         collision_backend=args.collision_backend,
@@ -224,6 +225,7 @@ def _cmd_sweep(args: argparse.Namespace) -> int:
             print(
                 f"  {rec['index']:03d} [{label}]: mass {rec['mass_initial']:.4g} -> "
                 f"{rec['mass_final']:.4g} (peak {rec['mass_peak']:.4g})"
+                + (" [resumed]" if rec.get("resumed") else "")
             )
     print(f"summary: {summary['summary_path']}")
     return 1 if summary["n_failed"] else 0
@@ -589,6 +591,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="directory for per-variant result JSONs + sweep_summary.json",
     )
     sw.add_argument("--no-save", action="store_true", help="summary only, no result files")
+    sw.add_argument(
+        "--resume",
+        action="store_true",
+        help="reuse variants whose result file already exists in --out-dir "
+        "(an interrupted sweep picks up where it stopped)",
+    )
     sw.add_argument(
         "--dry-run", action="store_true", help="list the variants without running"
     )

@@ -193,6 +193,7 @@ def run_sweep(
     out_dir: str | Path,
     setup_path: str | Path | None = None,
     save_results: bool = True,
+    resume: bool = False,
     progress: Callable[[str], None] | None = None,
     **run_kwargs: Any,
 ) -> dict[str, Any]:
@@ -203,10 +204,14 @@ def run_sweep(
     computes (``energy_qp_total``/``energy_phonon_total`` finals).  A
     variant that raises is recorded with its error and the sweep continues
     — a 50-point calibration curve should not lose 49 results to one bad
-    corner.  Extra keyword arguments pass through to
-    :func:`qpsim_tpu.runner.run_setup` (backends, strang mode, dtype,
-    stream/checkpoint dirs are per-run and not supported here).
+    corner.  With ``resume=True`` a variant whose result file already
+    exists and loads is summarized from disk instead of re-run, so an
+    interrupted sweep picks up where it stopped.  Extra keyword arguments
+    pass through to :func:`qpsim_tpu.runner.run_setup` (backends, strang
+    mode, dtype; stream/checkpoint dirs are per-run and not supported
+    here).
     """
+    from .io.storage import load_simulation
     from .runner import run_setup
 
     out = Path(out_dir)
@@ -218,12 +223,33 @@ def run_sweep(
         if progress is not None:
             progress(f"[{i + 1}/{len(variants)}] {label}")
         record: dict[str, Any] = {"index": i, "overrides": overrides}
+        result_path = out / f"{i:03d}_{label}.json"
+        if resume and save_results and result_path.exists():
+            try:
+                prior = load_simulation(result_path)
+            except (ValueError, OSError):
+                prior = None  # damaged partial file: re-run the variant
+            if prior is not None:
+                mass = prior.mass_over_time
+                meta = prior.metadata
+                record.update(
+                    result_path=str(result_path),
+                    final_time=prior.times[-1],
+                    mass_initial=mass[0],
+                    mass_final=mass[-1],
+                    mass_peak=max(mass),
+                    energy_qp_final=meta.get("energy_qp_total", [None])[-1],
+                    energy_phonon_final=meta.get("energy_phonon_total", [None])[-1],
+                    resumed=True,
+                )
+                records.append(record)
+                continue
         try:
             result, saved = run_setup(
                 variant,
                 setup_path=setup_path,
                 save=save_results,
-                save_path=out / f"{i:03d}_{label}.json" if save_results else None,
+                save_path=result_path if save_results else None,
                 **run_kwargs,
             )
         except Exception as exc:  # noqa: BLE001 — isolate per variant

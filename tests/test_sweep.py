@@ -186,3 +186,50 @@ def test_cli_sweep_dry_run_and_errors(tmp_path, capsys):
     err = capsys.readouterr().err
     assert rc == 2
     assert "Unknown parameter" in err
+
+
+def test_run_sweep_resume_reuses_existing(tmp_path, monkeypatch):
+    setup = _setup()
+    out = tmp_path / "sweep"
+    first = run_sweep(
+        setup, [("tau_0", [200.0, 800.0])], out_dir=out, strang_mode="exact"
+    )
+    assert first["n_failed"] == 0
+
+    # a resumed sweep must not re-run completed variants
+    calls = []
+    import qpsim_tpu.runner as runner_mod
+
+    real_run = runner_mod.run_setup
+
+    def counting_run(*args, **kwargs):
+        calls.append(1)
+        return real_run(*args, **kwargs)
+
+    monkeypatch.setattr(runner_mod, "run_setup", counting_run)
+    second = run_sweep(
+        setup,
+        [("tau_0", [200.0, 800.0])],
+        out_dir=out,
+        resume=True,
+        strang_mode="exact",
+    )
+    assert calls == []
+    assert all(r.get("resumed") for r in second["variants"])
+    for a, b in zip(first["variants"], second["variants"]):
+        assert b["mass_final"] == pytest.approx(a["mass_final"])
+
+    # a damaged result file is re-run, not reused
+    victim = sorted(out.glob("000_*.json"))[0]
+    victim.write_text("{ not json")
+    third = run_sweep(
+        setup,
+        [("tau_0", [200.0, 800.0])],
+        out_dir=out,
+        resume=True,
+        strang_mode="exact",
+    )
+    assert len(calls) == 1
+    assert third["n_failed"] == 0
+    assert not third["variants"][0].get("resumed")
+    assert third["variants"][1].get("resumed")
