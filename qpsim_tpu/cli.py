@@ -165,6 +165,7 @@ def _cmd_run(args: argparse.Namespace) -> int:
         checkpoint_dir=args.checkpoint_dir,
         stream_dir=args.stream_dir,
         snapshot_detail=args.snapshot_detail,
+        freeze_phonon_dynamics=args.freeze_phonons,
     )
     meta = result.metadata
     print(f"done: {len(result.times)} stored frames, final t = {result.times[-1]:.6g} ns")
@@ -216,6 +217,7 @@ def _cmd_sweep(args: argparse.Namespace) -> int:
         diffusion_backend=args.backend,
         collision_backend=args.collision_backend,
         strang_mode=args.strang_mode,
+        freeze_phonon_dynamics=args.freeze_phonons,
     )
     for rec in summary["variants"]:
         label = ", ".join(f"{k}={v}" for k, v in rec["overrides"].items())
@@ -561,6 +563,13 @@ def build_parser() -> argparse.ArgumentParser:
         help="orbax checkpoint directory: snapshots are saved there and an "
         "interrupted run resumes from the latest one",
     )
+    r.add_argument(
+        "--freeze-phonons",
+        dest="freeze_phonons",
+        action="store_true",
+        help="pin the phonon bath at its thermal state (the instantly-"
+        "rethermalizing-substrate limit of MKID decay analyses)",
+    )
     r.set_defaults(fn=_cmd_run)
 
     sw = sub.add_parser(
@@ -614,6 +623,12 @@ def build_parser() -> argparse.ArgumentParser:
         dest="strang_mode",
         default="auto",
         choices=("auto", "exact", "merged"),
+    )
+    sw.add_argument(
+        "--freeze-phonons",
+        dest="freeze_phonons",
+        action="store_true",
+        help="pin the phonon bath at its thermal state for every variant",
     )
     sw.set_defaults(fn=_cmd_sweep)
 

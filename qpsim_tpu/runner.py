@@ -169,11 +169,18 @@ def run_setup(
     checkpoint_dir: str | Path | None = None,
     stream_dir: str | Path | None = None,
     snapshot_detail: str = "full",
+    freeze_phonon_dynamics: bool = False,
 ) -> tuple[SimulationResultData, str | None]:
     """Run one setup end-to-end and (optionally) persist the result.
 
     Returns (result, saved-path-or-None).  Raises on physics/validation
     errors; a failed save is reported in ``result.metadata['save_error']``.
+
+    ``freeze_phonon_dynamics=True`` pins the phonon bath at its thermal
+    state (the engine flag, ``/root/reference/qpsim/solver.py:1026``):
+    the instantly-rethermalizing-substrate limit classic MKID decay
+    analyses assume — in a closed reflective film with dynamic phonons,
+    recombination phonons re-break pairs and the QP number barely decays.
 
     ``stream_dir`` enables bounded-memory frame streaming: every stored
     snapshot is written to that directory as an NPZ shard the moment it
@@ -277,6 +284,7 @@ def run_setup(
         initial_condition_spec=setup.initial_condition,
         gap_expression=p.gap_expression,
         precomputed=precomputed,
+        freeze_phonon_dynamics=freeze_phonon_dynamics,
         phonon_history_out=phonon_sink,
         progress_callback=progress_callback,
         diffusion_backend=diffusion_backend,
@@ -344,6 +352,8 @@ def run_setup(
         and gen_mode == "none"
         and not open_boundaries
         and ph_energy_frames is not None
+        # a frozen bath absorbs/supplies energy silently — not a closed system
+        and not freeze_phonon_dynamics
     )
     total_energy = [q + ph for q, ph in zip(energy_qp_total, energy_phonon_total)]
     residual = [e - total_energy[0] for e in total_energy]

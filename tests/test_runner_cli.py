@@ -353,3 +353,34 @@ def test_cli_compare(tmp_path, capsys):
     rc = cli_main(["compare", str(a_path), str(b_path)])
     out = capsys.readouterr().out
     assert rc == 1 and "DIFFER" in out and "frames" in out
+
+
+def test_run_setup_freeze_phonons_passthrough(tmp_path):
+    # frozen bath: recombination loses energy to the substrate silently, so
+    # the diagnostics must NOT claim a conservation residual, and the flag
+    # must actually reach the engine (trajectories differ)
+    dynamic, _ = run_setup(_setup(), save=False)
+    frozen, _ = run_setup(_setup(), save=False, freeze_phonon_dynamics=True)
+    assert dynamic.metadata["diagnostics_mode"] == "conservation_residual"
+    assert frozen.metadata["diagnostics_mode"] == "open_system"
+    assert frozen.mass_over_time[-1] != dynamic.mass_over_time[-1]
+    # an exported phonon history under a frozen bath is static over time
+    frozen_exp, _ = run_setup(
+        _setup(export_phonons=True), save=False, freeze_phonon_dynamics=True
+    )
+    ph = np.asarray(frozen_exp.phonon_energy_frames, dtype=float)
+    assert np.array_equal(ph[0], ph[-1], equal_nan=True)
+    dyn_exp, _ = run_setup(_setup(export_phonons=True), save=False)
+    ph_dyn = np.asarray(dyn_exp.phonon_energy_frames, dtype=float)
+    assert not np.array_equal(ph_dyn[0], ph_dyn[-1], equal_nan=True)
+
+
+def test_cli_run_freeze_phonons(tmp_path, capsys):
+    setup_path = save_setup(_setup(), tmp_path / "s.json")
+    rc = cli_main(
+        ["run", str(setup_path), "--output", str(tmp_path / "sim.json"),
+         "--freeze-phonons"]
+    )
+    assert rc == 0
+    sim = load_simulation(tmp_path / "sim.json")
+    assert sim.metadata["diagnostics_mode"] == "open_system"
