@@ -90,6 +90,15 @@ class ShardedStep:
     apply: Callable = None  # (q, ph[, grow], raw_arrays, src) -> (q, ph, mass)
     aux: tuple = ()  # (raw_arrays, src)
     takes_gen: bool = False  # apply/step take a grow plane before aux
+    # merged-Strang pieces (built with pieces=True, non-ensemble only):
+    # the engine's mesh runner composes C(dt/2) [D C(dt)]^(L-1) D C(dt/2)
+    # from these instead of scanning the full exact step.  All un-jitted,
+    # operator arrays as explicit arguments like ``apply``.
+    apply_col_half: Callable | None = None  # (q, ph, raw) -> (q, ph)
+    apply_col_half_gen: Callable | None = None  # (q, ph, grow, raw) -> (q, ph)
+    apply_col_full: Callable | None = None  # (q, ph, raw) -> (q, ph)
+    apply_col_full_gen: Callable | None = None  # (q, ph, grow, raw) -> (q, ph)
+    apply_diffuse: Callable | None = None  # (q, raw, src) -> q
 
     def make_chunk(self, n_steps: int, *, unroll: int = 8) -> Callable:
         """Return a jitted chunk advancing n_steps; ``mass`` is from the
@@ -149,6 +158,7 @@ def build_sharded_step(
     ensemble: bool = False,
     tridiag_backend: str = "auto",
     gen_input: bool = False,
+    pieces: bool = False,
 ) -> ShardedStep:
     """Build a rows-sharded Strang step over ``mesh``'s 'space' axis.
 
@@ -178,6 +188,13 @@ def build_sharded_step(
         shard: fused into the Pallas collision kernels where they support
         a gen input (uniform and analytic-gap), an in-shard XLA pre-add
         otherwise.  Not available with ``ensemble=True``.
+    pieces:
+        When True (non-ensemble only) additionally expose the step's
+        internals as separately shard_map'd callables
+        (``apply_col_half/full[_gen]``, ``apply_diffuse``) so callers can
+        compose merged-Strang segments — C(dt/2) [D C(dt)]^(L−1) D C(dt/2)
+        — over the mesh: one collision substep per step instead of two,
+        identical communication (the collision pieces are pixel-local).
     """
     if gen_input and ensemble:
         # reject before any kernel/table construction — film ensembles get
@@ -250,6 +267,10 @@ def build_sharded_step(
     plan_local: CollisionPlan | None = None
     col_half = None
     col_half_gen = None  # gen-input variant (gen_input=True builds only)
+    # collision-substep factory: (sub_dt, gen) -> step | None.  The half-step
+    # builds go through it, and the merged-Strang pieces (pieces=True) reuse
+    # it at the full dt — one construction path, two substep sizes.
+    col_factory: Callable[..., Any] | None = None
     col_mode = "baked"  # "baked" | "gap_plane" | "gap_id"
     gap_aux = None  # extra rows-sharded plane fed to the collision step
     gap_plane = None if collisions is None else collisions.get("gap_plane")
@@ -293,28 +314,37 @@ def build_sharded_step(
                 dE=collisions["dE"],
                 gap_plane=None,  # call-time arg: each shard passes its slice
                 pmap=pmap_g,
-                dt=0.5 * float(dt),
                 tau_s=collisions["tau_s"] if collisions.get("enable_scattering") else None,
                 tau_r=collisions["tau_r"] if collisions.get("enable_recombination") else None,
                 T_c=collisions["T_c"],
                 dynes_gamma=collisions.get("dynes_gamma", 0.0),
                 update_phonons=collisions.get("update_phonons", True),
             )
-        if use_analytic:
-            col_half = build_pallas_collision_step_analytic(**kw_an)
-            if gen_input and col_half is not None:
-                col_half_gen = build_pallas_collision_step_analytic(
-                    gen_input=True, **kw_an
-                )
-        if col_half is None and on_tpu_c and dtype_ok_c and e_bins_g is not None:
-            # NE > 64: the blocked analytic-gap kernel (same call-time-plane
-            # contract) carries continuous maps beyond the pair-unroll cap
-            from ..ops.pallas_collisions_blocked import (
-                build_pallas_collision_step_blocked_analytic,
-            )
 
-            col_half = build_pallas_collision_step_blocked_analytic(**kw_an)
+            def _analytic_factory(sub_dt: float, gen: bool = False):
+                if use_analytic:
+                    step = build_pallas_collision_step_analytic(
+                        dt=float(sub_dt), gen_input=gen, **kw_an
+                    )
+                    if step is not None or gen:
+                        return step
+                if gen:
+                    return None  # blocked kernel keeps the XLA pre-add
+                # NE > 64: the blocked analytic-gap kernel (same
+                # call-time-plane contract) beyond the pair-unroll cap
+                from ..ops.pallas_collisions_blocked import (
+                    build_pallas_collision_step_blocked_analytic,
+                )
+
+                return build_pallas_collision_step_blocked_analytic(
+                    dt=float(sub_dt), **kw_an
+                )
+
+            col_half = _analytic_factory(0.5 * float(dt))
+            if gen_input and col_half is not None:
+                col_half_gen = _analytic_factory(0.5 * float(dt), gen=True)
         if col_half is not None:
+            col_factory = _analytic_factory
             col_mode = "gap_plane"
             gap_aux = jnp.asarray(gap_plane, dtype=dtype)
         else:
@@ -352,7 +382,12 @@ def build_sharded_step(
                 dtype=dtype,
                 pixel_chunk=collisions.get("pixel_chunk", 4096),
             )
-            col_half = make_collision_step(plan_local, 0.5 * float(dt), gap_id_arg=True)
+            col_factory = (
+                lambda sub_dt, gen=False: None
+                if gen
+                else make_collision_step(plan_local, float(sub_dt), gap_id_arg=True)
+            )
+            col_half = col_factory(0.5 * float(dt))
             col_mode = "gap_id"
             gap_aux = jnp.asarray(gid_global)
         collisions = None  # uniform-path construction below is bypassed
@@ -398,14 +433,23 @@ def build_sharded_step(
                     else None
                 ),
                 pmap=pmap,
-                dt=0.5 * float(dt),
                 update_phonons=collisions.get("update_phonons", True),
                 interpret=not on_tpu,
             )
-            col_half = build_pallas_collision_step(**kw_u)
+
+            def _uniform_pallas_factory(sub_dt: float, gen: bool = False):
+                step = build_pallas_collision_step(
+                    dt=float(sub_dt), gen_input=gen, **kw_u
+                )
+                if gen and not getattr(step, "takes_gen", False):
+                    return None
+                return step
+
+            col_half = _uniform_pallas_factory(0.5 * float(dt))
             if gen_input and col_half is not None:
-                cg = build_pallas_collision_step(gen_input=True, **kw_u)
-                col_half_gen = cg if getattr(cg, "takes_gen", False) else None
+                col_half_gen = _uniform_pallas_factory(0.5 * float(dt), gen=True)
+            if col_half is not None:
+                col_factory = _uniform_pallas_factory
             if use_pallas is True and col_half is None:
                 raise ValueError(
                     "use_pallas=True but the configuration is outside the "
@@ -433,7 +477,12 @@ def build_sharded_step(
             dtype=dtype,
             pixel_chunk=collisions.get("pixel_chunk", 4096),
         )
-        col_half = make_collision_step(plan_local, 0.5 * float(dt))
+        col_factory = (
+            lambda sub_dt, gen=False: None
+            if gen
+            else make_collision_step(plan_local, float(sub_dt))
+        )
+        col_half = col_factory(0.5 * float(dt))
 
     rows = P(None, SPACE_AXIS, None)
     cols = P(None, None, SPACE_AXIS)
@@ -540,6 +589,69 @@ def build_sharded_step(
         raw_arrays["gap_aux"] = gap_aux
         raw_specs["gap_aux"] = P(SPACE_AXIS, None)
 
+    piece_fns: dict[str, Callable] = {}
+    if pieces and not ensemble and col_half is not None:
+        # merged-Strang pieces: the same local physics, sharded one operator
+        # at a time so the caller owns the composition.  The full-dt
+        # collision substep comes from the same factory as the half.
+        col_full = col_factory(float(dt)) if col_factory is not None else None
+        col_full_gen = (
+            col_factory(float(dt), gen=True)
+            if gen_input and col_full is not None and col_factory is not None
+            else None
+        )
+        if col_full is None:
+            raise RuntimeError(
+                "pieces=True: the collision factory built a half-step but "
+                "refused the full-dt substep — inconsistent dispatch."
+            )
+
+        def _mk_local_col(col, col_gen):
+            def local_col(q, ph, raw):
+                if col_mode == "baked":
+                    return col(q, ph)
+                return col(q, ph, raw["gap_aux"])
+
+            def local_col_gen(q, ph, grow, raw):
+                if col_gen is not None:
+                    if col_mode == "baked":
+                        return col_gen(q, ph, grow)
+                    return col_gen(q, ph, raw["gap_aux"], grow)
+                return local_col(q + grow[None].astype(q.dtype), ph, raw)
+
+            return local_col, local_col_gen
+
+        lc_h, lc_h_gen = _mk_local_col(col_half, col_half_gen)
+        lc_f, lc_f_gen = _mk_local_col(col_full, col_full_gen)
+
+        def local_diffuse(q, raw, s):
+            return local_diffusion(q, raw, s)
+
+        grow_spec = P(SPACE_AXIS, None)
+
+        def _sm(f, in_specs, out_specs):
+            return shard_map(
+                f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                check_vma=False,
+            )
+
+        piece_fns["apply_col_half"] = _sm(
+            lc_h, (rows, rows, raw_specs), (rows, rows)
+        )
+        piece_fns["apply_col_full"] = _sm(
+            lc_f, (rows, rows, raw_specs), (rows, rows)
+        )
+        piece_fns["apply_diffuse"] = _sm(
+            local_diffuse, (rows, raw_specs, rows), rows
+        )
+        if gen_input:
+            piece_fns["apply_col_half_gen"] = _sm(
+                lc_h_gen, (rows, rows, grow_spec, raw_specs), (rows, rows)
+            )
+            piece_fns["apply_col_full_gen"] = _sm(
+                lc_f_gen, (rows, rows, grow_spec, raw_specs), (rows, rows)
+            )
+
     if ensemble:
         # each local shard carries a batch of independent ensemble members;
         # the 'ensemble' mesh axis shards the batch with zero communication.
@@ -590,4 +702,5 @@ def build_sharded_step(
         mesh=mesh, step=step, q_sharding=q_sh, ph_sharding=ph_sh,
         grid_shape=(ny, nx), apply=sharded, aux=(raw_arrays, src),
         takes_gen=gen_input and not ensemble,
+        **piece_fns,
     )

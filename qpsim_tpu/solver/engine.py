@@ -175,9 +175,11 @@ def run_2d_crank_nicolson(
     step from :func:`qpsim_tpu.parallel.sharded.build_sharded_step` —
     ppermute halos + all_to_all pencil transposes — while snapshots,
     checkpoints, Pauli monitoring and generation keep their single-chip
-    semantics; requires energy-resolved mode, ``enable_diffusion=True``,
-    a grid divisible by the 'space' axis in both dimensions, and
-    ``strang_mode='exact'``) and ``strang_mode``:
+    semantics; requires energy-resolved mode, ``enable_diffusion=True``
+    and a grid divisible by the 'space' axis in both dimensions; all
+    ``strang_mode`` values apply, merged composing the sharded step's
+    pieces with one pixel-local collision substep per step) and
+    ``strang_mode``:
 
     * ``"auto"`` (default) — ``"merged"`` wherever it applies (coupled
       diffusion+collision runs whose generation, if any, traces), else
@@ -270,10 +272,10 @@ def run_2d_crank_nicolson(
                 "physics is pixel-local and needs no spatial sharding "
                 "(use qpsim_tpu.parallel.ensemble for data parallelism)."
             )
-        if strang_mode == "auto":
-            strang_mode = "exact"  # the sharded step composes exact Strang
-        if strang_mode != "exact":
-            raise ValueError("mesh= currently supports strang_mode='exact' only.")
+        # strang_mode applies to the mesh path too: 'auto' resolves after
+        # the generation program is built (same rule as single-chip), and
+        # 'merged' composes the sharded step's pieces — one collision
+        # substep per step, identical communication.
     if store_every <= 0:
         store_every = 1
     mask = np.asarray(mask, dtype=bool)
@@ -1094,12 +1096,16 @@ def _build_engine_program(
         # input, an in-shard pre-add otherwise — either way the grow plane
         # is computed from the scalar amp per step, not a full g array
         fuse_gen_mesh = gen.scalar_amp_fn is not None
+        # merged Strang over the mesh composes the sharded step's pieces
+        # (C(dt/2) [D C(dt)]^(L−1) D C(dt/2)): one pixel-local collision
+        # substep per step instead of two, communication unchanged
+        merged_mesh = strang_mode == "merged" and collisions_on
 
         def get_sharded(seg_dt: float):
             if seg_dt not in sharded_cache:
                 sharded_cache[seg_dt] = build_sharded_step(
                     mesh, op, seg_dt, dx=dx, collisions=mesh_collisions,
-                    dtype=dtype, gen_input=fuse_gen_mesh,
+                    dtype=dtype, gen_input=fuse_gen_mesh, pieces=merged_mesh,
                 )
             return sharded_cache[seg_dt]
 
@@ -1108,32 +1114,93 @@ def _build_engine_program(
             if key in seg_cache:
                 return seg_cache[key]
             sh = get_sharded(seg_dt)
+            merged_m = (
+                merged_mesh and length > 1 and sh.apply_diffuse is not None
+            )
 
             def run(qq, pp, t_start, paux, shaux, gaux):
                 global _TRACE_EVENTS
                 _TRACE_EVENTS += 1
+                no = jnp.asarray(False)
+
+                def gen_plane(t):
+                    """dt·g as a rows-sharded plane + validity flags."""
+                    amp = jnp.asarray(seg_dt, dtype) * gen.scalar_amp_fn(t)
+                    return amp * gaux, ~jnp.isfinite(amp), amp < 0
+
+                def gen_add(qq, t):
+                    g = gen.traced_fn(t)
+                    g_masked = jnp.where(mask_dev, g, 0.0)
+                    return (
+                        qq + seg_dt * g,
+                        ~jnp.all(jnp.isfinite(g_masked)),
+                        jnp.any(g_masked < 0),
+                    )
 
                 def body(carry, idx):
                     qq, pp, t0 = carry
                     t = t0 + idx.astype(t0.dtype) * seg_dt
-                    gen_nonfinite = jnp.asarray(False)
-                    gen_negative = jnp.asarray(False)
+                    gen_nonfinite = no
+                    gen_negative = no
                     if fuse_gen_mesh:
-                        amp = jnp.asarray(seg_dt, dtype) * gen.scalar_amp_fn(t)
-                        gen_nonfinite = ~jnp.isfinite(amp)
-                        gen_negative = amp < 0
-                        qq, pp, _mass = sh.apply(qq, pp, amp * gaux, *shaux)
+                        grow, gen_nonfinite, gen_negative = gen_plane(t)
+                        qq, pp, _mass = sh.apply(qq, pp, grow, *shaux)
                     else:
                         if gen.traced_fn is not None:
-                            g = gen.traced_fn(t)
-                            gen_nonfinite = ~jnp.all(
-                                jnp.isfinite(jnp.where(mask_dev, g, 0.0))
-                            )
-                            gen_negative = jnp.any(jnp.where(mask_dev, g, 0.0) < 0)
-                            qq = qq + seg_dt * g
+                            qq, gen_nonfinite, gen_negative = gen_add(qq, t)
                         qq, pp, _mass = sh.apply(qq, pp, *shaux)
                     stats = pauli_stats_fn(qq, paux)
                     return (qq, pp, t0), stats + (gen_nonfinite, gen_negative)
+
+                def run_merged(qq, pp, t_start):
+                    # same seam semantics as the single-chip merged runner:
+                    # step k's dt·g(t_k) injects just before its collision
+                    # substep, evaluated at the exact-mode times
+                    raw, src = shaux
+                    gnf0 = gng0 = no
+                    if fuse_gen_mesh:
+                        grow0, gnf0, gng0 = gen_plane(t_start)
+                        qq, pp = sh.apply_col_half_gen(qq, pp, grow0, raw)
+                    elif gen.traced_fn is not None:
+                        qq, gnf0, gng0 = gen_add(qq, t_start)
+                        qq, pp = sh.apply_col_half(qq, pp, raw)
+                    else:
+                        qq, pp = sh.apply_col_half(qq, pp, raw)
+
+                    def body_m(carry, idx):
+                        qq, pp, t0 = carry
+                        qq = sh.apply_diffuse(qq, raw, src)
+                        gnf = gng = no
+                        if fuse_gen_mesh:
+                            t = t0 + (idx + 1).astype(t0.dtype) * seg_dt
+                            grow, gnf, gng = gen_plane(t)
+                            qq, pp = sh.apply_col_full_gen(qq, pp, grow, raw)
+                        elif gen.traced_fn is not None:
+                            t = t0 + (idx + 1).astype(t0.dtype) * seg_dt
+                            qq, gnf, gng = gen_add(qq, t)
+                            qq, pp = sh.apply_col_full(qq, pp, raw)
+                        else:
+                            qq, pp = sh.apply_col_full(qq, pp, raw)
+                        stats = pauli_stats_fn(qq, paux)
+                        return (qq, pp, t0), stats + (gnf, gng)
+
+                    (qq, pp, _), stats = jax.lax.scan(
+                        body_m, (qq, pp, t_start), jnp.arange(length - 1),
+                        unroll=min(scan_unroll, length - 1),
+                    )
+                    qq = sh.apply_diffuse(qq, raw, src)
+                    qq, pp = sh.apply_col_half(qq, pp, raw)
+                    last = pauli_stats_fn(qq, paux) + (no, no)
+                    stats = list(
+                        jnp.concatenate([s, jnp.asarray(l)[None]])
+                        for s, l in zip(stats, last)
+                    )
+                    stats[4] = stats[4].at[0].set(stats[4][0] | gnf0)
+                    stats[5] = stats[5].at[0].set(stats[5][0] | gng0)
+                    return qq, pp, tuple(stats)
+
+                if merged_m:
+                    return run_merged(qq, pp, t_start)
 
                 (qq, pp, _), stats = jax.lax.scan(
                     body, (qq, pp, t_start), jnp.arange(length), length=length,

@@ -558,12 +558,15 @@ def test_engine_mesh_matches_single_chip():
         tau_s=TAU, tau_r=TAU, T_c=TC, bath_temperature=TBATH,
     )
     t_ref, f_ref, m_ref, c_ref, ef_ref, eb_ref = run_2d_crank_nicolson(
-        # exact tier: the sharded step composes exact Strang, so the
-        # single-chip comparison run must too (auto would merge seams here)
+        # exact tier on BOTH sides: auto resolves to merged seams here
+        # (single-chip since r3, mesh= too now), which is a genuine O(dt²)
+        # reordering — this test pins the reference composition instead
         **kw, diffusion_backend="adi", collision_backend="xla", strang_mode="exact"
     )
     mesh = make_mesh(n_space=len(jax.devices()))
-    t_m, f_m, m_m, c_m, ef_m, eb_m = run_2d_crank_nicolson(**kw, mesh=mesh)
+    t_m, f_m, m_m, c_m, ef_m, eb_m = run_2d_crank_nicolson(
+        **kw, mesh=mesh, strang_mode="exact"
+    )
     assert t_m == t_ref
     for a, b in zip(f_m, f_ref):
         np.testing.assert_allclose(np.nan_to_num(a), np.nan_to_num(b), atol=1e-12)
@@ -590,9 +593,88 @@ def test_engine_mesh_rejects_unsupported_modes():
     with pytest.raises(ValueError, match="enable_diffusion"):
         run_2d_crank_nicolson(**base, energy_gap=GAP, num_energy_bins=4,
                               energy_max_factor=3.0, enable_diffusion=False)
-    with pytest.raises(ValueError, match="strang_mode"):
-        run_2d_crank_nicolson(**base, energy_gap=GAP, num_energy_bins=4,
-                              energy_max_factor=3.0, strang_mode="merged")
+
+
+def test_engine_mesh_merged_matches_single_chip_merged():
+    """mesh= + strang_mode='merged' ≡ the single-chip merged engine.
+
+    Multi-step stored segments (store_every=4) so the seam fusion actually
+    engages, a remainder segment, and pulsed generation injected at the
+    merged seams.  The sharded pieces (apply_col_half/full, apply_diffuse)
+    must compose to the same states as the single-chip merged runner up to
+    the Wang-partition f64 reordering (1e-12), and must genuinely differ
+    from the exact composition (the fusion is a real O(dt²) reordering).
+    """
+    from qpsim_tpu.models.params import ExternalGenerationSpec
+    from qpsim_tpu.solver.engine import run_2d_crank_nicolson
+
+    ny = nx = 16
+    mask, edges, bcs = _geometry(ny, nx)
+    init = np.zeros(mask.shape)
+    init[mask] = 0.01
+    gen = ExternalGenerationSpec(mode="pulse", pulse_start=0.05,
+                                 pulse_duration=0.2, pulse_rate=2e-4)
+    kw = dict(
+        mask=mask, edges=edges, edge_conditions=bcs, initial_field=init,
+        diffusion_coefficient=6.0, dt=0.05, total_time=0.425,  # + remainder
+        dx=1.0, store_every=4,
+        energy_gap=GAP, energy_max_factor=3.0, num_energy_bins=4,
+        enable_recombination=True, enable_scattering=True,
+        tau_s=TAU, tau_r=TAU, T_c=TC, bath_temperature=TBATH,
+        external_generation=gen,
+    )
+    t_ref, f_ref, m_ref, c_ref, ef_ref, _ = run_2d_crank_nicolson(
+        **kw, diffusion_backend="adi", collision_backend="xla",
+        strang_mode="merged",
+    )
+    mesh = make_mesh(n_space=len(jax.devices()))
+    t_m, f_m, m_m, c_m, ef_m, _ = run_2d_crank_nicolson(
+        **kw, mesh=mesh, strang_mode="merged"
+    )
+    assert t_m == t_ref
+    for a, b in zip(f_m, f_ref):
+        np.testing.assert_allclose(np.nan_to_num(a), np.nan_to_num(b), atol=1e-12)
+    np.testing.assert_allclose(m_m, m_ref, rtol=1e-11)
+    for ea, eb_ in zip(ef_m, ef_ref):
+        for a, b in zip(ea, eb_):
+            np.testing.assert_allclose(np.nan_to_num(a), np.nan_to_num(b), atol=1e-12)
+
+    # 'auto' on the mesh resolves to the same merged composition
+    t_a, f_a, m_a, *_ = run_2d_crank_nicolson(**kw, mesh=mesh)
+    np.testing.assert_allclose(m_a, m_m, rtol=1e-13)
+
+    # and merged is a genuine reordering vs exact (differs beyond roundoff)
+    _, _, m_e, *_ = run_2d_crank_nicolson(**kw, mesh=mesh, strang_mode="exact")
+    assert max(abs(a - b) for a, b in zip(m_e, m_m)) > 1e-10
+
+
+def test_engine_mesh_merged_gap_map_matches_single_chip():
+    """Merged over the mesh with a non-uniform gap map (gap-id pieces)."""
+    from qpsim_tpu.solver.engine import run_2d_crank_nicolson
+
+    ny = nx = 16
+    mask, edges, bcs = _geometry(ny, nx)
+    init = np.zeros(mask.shape)
+    init[mask] = 0.01
+    kw = dict(
+        mask=mask, edges=edges, edge_conditions=bcs, initial_field=init,
+        diffusion_coefficient=6.0, dt=0.05, total_time=0.4, dx=1.0,
+        store_every=4,
+        energy_gap=GAP, energy_max_factor=3.0, num_energy_bins=4,
+        enable_recombination=True, enable_scattering=True,
+        tau_s=TAU, tau_r=TAU, T_c=TC, bath_temperature=TBATH,
+        gap_expression="return 160.0 + 30.0 * (x > 8)",
+    )
+    t_ref, f_ref, m_ref, *_ = run_2d_crank_nicolson(
+        **kw, diffusion_backend="adi", collision_backend="xla",
+        strang_mode="merged",
+    )
+    mesh = make_mesh(n_space=len(jax.devices()))
+    t_m, f_m, m_m, *_ = run_2d_crank_nicolson(**kw, mesh=mesh, strang_mode="merged")
+    assert t_m == t_ref
+    for a, b in zip(f_m, f_ref):
+        np.testing.assert_allclose(np.nan_to_num(a), np.nan_to_num(b), atol=1e-12)
+    np.testing.assert_allclose(m_m, m_ref, rtol=1e-11)
 
 
 def test_engine_mesh_gap_map_and_generation_match_single_chip():

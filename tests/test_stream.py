@@ -139,7 +139,10 @@ def test_stream_composes_with_mesh_path(tmp_path):
     )
     mesh = make_mesh(n_space=len(jax.devices()))
     with FrameStreamWriter(tmp_path / "m") as w:
-        t2, f2, m2, clim2, *_ = run_2d_crank_nicolson(**kw, mesh=mesh, frame_sink=w)
+        # exact tier on both sides (mesh auto resolves to merged since r3)
+        t2, f2, m2, clim2, *_ = run_2d_crank_nicolson(
+            **kw, mesh=mesh, frame_sink=w, strang_mode="exact"
+        )
     times, frames, mass, clim, ef, _ = baseline
     assert t2 == times and f2 == []
     np.testing.assert_allclose(m2, mass, rtol=1e-12)
