@@ -437,6 +437,11 @@ def bench_sharded_overhead_1dev(ny=256, nx=256, ne=16, length=6000) -> dict:
             enable_recombination=True,
             enable_scattering=True,
             update_phonons=True,
+            # E_bins selects the Pallas collision kernel on TPU — the same
+            # integrator as the plain-composition denominator; without it
+            # the sharded step silently falls back to the XLA integrator
+            # and the ratio measures kernel choice, not shard_map overhead
+            E_bins=E,
         ),
         dtype=jnp.float32,
     )
@@ -466,6 +471,47 @@ def bench_sharded_overhead_1dev(ny=256, nx=256, ne=16, length=6000) -> dict:
     if not plain_ms:
         plain_ms = bench_coupled_2d(ny, nx, ne, length)["coupled_2d_ms_per_step"]
     out["sharded_overhead_1dev"] = per_sharded / plain_ms * 1e3
+
+    # merged-Strang composition from the sharded pieces (the engine's mesh
+    # default since r3): one collision substep per step, same communication
+    pieces = build_sharded_step(
+        mesh, op, dt,
+        collisions=dict(
+            dE=dE, rho=rho,
+            K_r0=recombination_kernel_base(E, gap, tau, tc),
+            K_s0=scattering_kernel_base(E, gap, tau, tc),
+            pmap=pm, enable_recombination=True, enable_scattering=True,
+            update_phonons=True, E_bins=E,
+        ),
+        dtype=jnp.float32, pieces=True,
+    )
+    if pieces.apply_diffuse is not None:
+        raw, src = pieces.aux
+
+        @jax.jit
+        def merged_chunk(q, ph, raw, src):
+            q, ph = pieces.apply_col_half(q, ph, raw)
+
+            def body(carry, _):
+                q, ph = carry
+                q = pieces.apply_diffuse(q, raw, src)
+                q, ph = pieces.apply_col_full(q, ph, raw)
+                return (q, ph), None
+
+            (q, ph), _ = jax.lax.scan(
+                body, (q, ph), None, length=length - 1, unroll=4
+            )
+            q = pieces.apply_diffuse(q, raw, src)
+            q, ph = pieces.apply_col_half(q, ph, raw)
+            return q, ph
+
+        qm = jax.device_put(q0, pieces.q_sharding)
+        phm = jax.device_put(ph0, pieces.ph_sharding)
+        per_merged, _ = _timed_chunk(
+            lambda s: merged_chunk(*s, raw, src), (qm, phm), length,
+            f"sharded merged 1-dev {ny}x{nx}x{ne}",
+        )
+        out["sharded_merged_1dev_ms_per_step"] = per_merged * 1e3
     return out
 
 
