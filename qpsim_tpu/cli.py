@@ -153,6 +153,25 @@ def _cmd_run(args: argparse.Namespace) -> int:
     def progress(t, frame):
         print(f"  t = {t:.6g} ns", file=sys.stderr)
 
+    mesh = None
+    if args.space_shards:
+        import jax
+
+        from .parallel.mesh import make_mesh
+
+        devices = jax.devices()
+        if args.space_shards > len(devices):
+            print(
+                f"error: --space-shards {args.space_shards} exceeds the "
+                f"{len(devices)} available device(s)",
+                file=sys.stderr,
+            )
+            return 2
+        mesh = make_mesh(
+            n_space=args.space_shards, devices=devices[: args.space_shards]
+        )
+        print(f"space-sharded over {args.space_shards} device(s)")
+
     result, saved = run_setup(
         setup,
         setup_path=setup_path,
@@ -166,6 +185,7 @@ def _cmd_run(args: argparse.Namespace) -> int:
         stream_dir=args.stream_dir,
         snapshot_detail=args.snapshot_detail,
         freeze_phonon_dynamics=args.freeze_phonons,
+        mesh=mesh,
     )
     meta = result.metadata
     print(f"done: {len(result.times)} stored frames, final t = {result.times[-1]:.6g} ns")
@@ -569,6 +589,14 @@ def build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="pin the phonon bath at its thermal state (the instantly-"
         "rethermalizing-substrate limit of MKID decay analyses)",
+    )
+    r.add_argument(
+        "--space-shards",
+        dest="space_shards",
+        type=int,
+        help="shard the grid by rows over N local devices (the multi-chip "
+        "mesh= hot loop: ICI halo exchange + pencil transposes); requires "
+        "energy-resolved mode and a grid divisible by N in both dimensions",
     )
     r.set_defaults(fn=_cmd_run)
 

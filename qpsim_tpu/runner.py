@@ -170,6 +170,7 @@ def run_setup(
     stream_dir: str | Path | None = None,
     snapshot_detail: str = "full",
     freeze_phonon_dynamics: bool = False,
+    mesh=None,
 ) -> tuple[SimulationResultData, str | None]:
     """Run one setup end-to-end and (optionally) persist the result.
 
@@ -181,6 +182,11 @@ def run_setup(
     the instantly-rethermalizing-substrate limit classic MKID decay
     analyses assume — in a closed reflective film with dynamic phonons,
     recombination phonons re-break pairs and the QP number barely decays.
+
+    ``mesh`` (a ``jax.sharding.Mesh`` with a ``'space'`` axis) routes the
+    hot loop through the multi-chip sharded step — the engine's ``mesh=``
+    path — with unchanged persistence/diagnostics semantics.  The CLI's
+    ``run --space-shards N`` builds one over the first N local devices.
 
     ``stream_dir`` enables bounded-memory frame streaming: every stored
     snapshot is written to that directory as an NPZ shard the moment it
@@ -294,6 +300,7 @@ def run_setup(
         checkpointer=checkpointer,
         frame_sink=stream_sink,
         snapshot_detail=snapshot_detail,
+        mesh=mesh,
     )
 
     area = float(p.mesh_size * p.mesh_size)

@@ -384,3 +384,61 @@ def test_cli_run_freeze_phonons(tmp_path, capsys):
     assert rc == 0
     sim = load_simulation(tmp_path / "sim.json")
     assert sim.metadata["diagnostics_mode"] == "open_system"
+
+
+def test_run_setup_mesh_matches_plain(tmp_path):
+    import jax
+
+    from qpsim_tpu.parallel.mesh import make_mesh
+
+    # mesh= needs a grid divisible by the space axis in both dimensions
+    from qpsim_tpu.geometry.mask import create_intrinsic_geometry
+
+    setup = _setup()
+    geo = create_intrinsic_geometry(width=16, height=16)
+    setup.geometry = geo
+    setup.boundary_conditions = {
+        e.edge_id: BoundaryCondition(kind="reflective") for e in geo.edges
+    }
+    plain, _ = run_setup(setup, save=False)
+    mesh = make_mesh(n_space=len(jax.devices()))
+    sharded, _ = run_setup(setup, save=False, mesh=mesh)
+    # both resolve strang auto identically; Wang reordering -> 1e-12
+    np.testing.assert_allclose(
+        sharded.mass_over_time, plain.mass_over_time, rtol=1e-11
+    )
+    np.testing.assert_allclose(
+        np.nan_to_num(np.asarray(sharded.frames, dtype=float)),
+        np.nan_to_num(np.asarray(plain.frames, dtype=float)),
+        atol=1e-12,
+    )
+
+
+def test_cli_run_space_shards(tmp_path, capsys):
+    import jax
+
+    from qpsim_tpu.geometry.mask import create_intrinsic_geometry
+
+    setup = _setup()
+    geo = create_intrinsic_geometry(width=16, height=16)
+    setup.geometry = geo
+    setup.boundary_conditions = {
+        e.edge_id: BoundaryCondition(kind="reflective") for e in geo.edges
+    }
+    setup_path = save_setup(setup, tmp_path / "s.json")
+    n = len(jax.devices())
+    rc = cli_main(
+        ["run", str(setup_path), "--output", str(tmp_path / "sim.json"),
+         "--space-shards", str(n)]
+    )
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert f"space-sharded over {n} device(s)" in out
+    assert (tmp_path / "sim.json").exists()
+
+    # asking for more shards than devices fails cleanly
+    rc = cli_main(
+        ["run", str(setup_path), "--no-save", "--space-shards", str(n + 99)]
+    )
+    assert rc == 2
+    assert "exceeds" in capsys.readouterr().err
