@@ -35,6 +35,7 @@ operators (reference solver.py:1085-1089).
 from __future__ import annotations
 
 import hashlib
+import os
 import threading
 from collections import OrderedDict
 from dataclasses import dataclass
@@ -697,6 +698,7 @@ def _engine_program_key(
             "mesh",
             tuple(mesh.shape.items()),
             tuple((int(d.id), str(d.platform)) for d in np.asarray(mesh.devices).flat),
+            os.environ.get("QPSIM_MESH_Y_SOLVE", "pencil"),
         )
     _hash_update_array(h, np.packbits(np.asarray(mask, dtype=bool)))
     _hash_update_array(h, np.asarray(E_bins, dtype=np.float64))
@@ -1101,11 +1103,18 @@ def _build_engine_program(
         # substep per step instead of two, communication unchanged
         merged_mesh = strang_mode == "merged" and collisions_on
 
+        # cross-shard y-sweep strategy: 'pencil' (all_to_all transposes,
+        # the measured-on-hardware default) or 'wang' (distributed Wang
+        # partition, ~40x less ICI traffic by the model — opt-in until a
+        # real multi-chip slice can arbitrate)
+        mesh_y_solve = os.environ.get("QPSIM_MESH_Y_SOLVE", "pencil")
+
         def get_sharded(seg_dt: float):
             if seg_dt not in sharded_cache:
                 sharded_cache[seg_dt] = build_sharded_step(
                     mesh, op, seg_dt, dx=dx, collisions=mesh_collisions,
                     dtype=dtype, gen_input=fuse_gen_mesh, pieces=merged_mesh,
+                    y_solve=mesh_y_solve,
                 )
             return sharded_cache[seg_dt]
 

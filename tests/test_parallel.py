@@ -851,3 +851,129 @@ def test_pulse_chunk_requires_start_time():
     gated(q, ph, 0.0)  # explicit start time is fine
     # without a window the chunk is time-invariant: t0 stays optional
     ens.make_chunk(2, gen_plane=plane)(q, ph)
+
+
+def test_sharded_wang_y_solve_matches_pencil():
+    """y_solve='wang' (distributed Wang partition: one small all_gather
+    instead of two pencil transposes) reproduces the pencil path to f64
+    roundoff, including masked intervals crossing shard boundaries and a
+    non-uniform gap map."""
+    ny = nx = 16
+    ne = 4
+    dt = 0.05
+    mask = np.ones((ny, nx), dtype=bool)
+    mask[6:10, 3:7] = False  # hole: decoupled y-intervals at shard edges
+    edges = extract_edge_segments(mask)
+    bcs = {e.edge_id: BoundaryCondition(kind="reflective") for e in edges}
+    x_st, y_st = build_directional_stencils(mask, edges, bcs, 1.0)
+    E, dE = build_energy_grid(GAP, 1.0, 3.0, ne)
+    op = fold_diffusion(x_st, y_st, mask, 1.0, 6.0)
+    pm = build_phonon_frequency_map(E)
+    rho = dynes_density_of_states(E, GAP, 0.0)
+    col = dict(
+        E_bins=E, dE=dE, rho=rho,
+        K_r0=recombination_kernel_base(E, GAP, TAU, TC),
+        K_s0=scattering_kernel_base(E, GAP, TAU, TC),
+        pmap=pm, enable_recombination=True, enable_scattering=True,
+        update_phonons=True,
+    )
+    mesh = make_mesh(n_space=len(jax.devices()))
+    rng = np.random.default_rng(3)
+    q0 = jnp.asarray(np.where(mask, 1.0, 0.0)[None] * rng.uniform(0, 1e-4, (ne, ny, nx)))
+    ph0 = jnp.asarray(
+        np.where(mask, 1.0, 0.0)[None] * rng.uniform(0, 1e-3, (pm.num_omega, ny, nx))
+    )
+    outs = {}
+    for ys in ("pencil", "wang"):
+        sh = build_sharded_step(
+            mesh, op, dt, collisions=col, dtype=jnp.float64, y_solve=ys
+        )
+        outs[ys] = sh.make_chunk(6, unroll=2)(q0, ph0)
+    for a, b in zip(outs["pencil"][:2], outs["wang"][:2]):
+        scale = float(jnp.max(jnp.abs(a)))
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-13 * max(scale, 1e-30)
+        )
+
+    with pytest.raises(ValueError, match="y_solve"):
+        build_sharded_step(mesh, op, dt, collisions=col, y_solve="diagonal")
+
+
+def test_sharded_wang_gap_plane_and_pieces():
+    """wang composes with the non-uniform gap plane path and merged pieces."""
+    ny = nx = 16
+    ne = 4
+    dt = 0.05
+    mask = np.ones((ny, nx), dtype=bool)
+    edges = extract_edge_segments(mask)
+    bcs = {e.edge_id: BoundaryCondition(kind="reflective") for e in edges}
+    x_st, y_st = build_directional_stencils(mask, edges, bcs, 1.0)
+    E, dE = build_energy_grid(GAP, 1.0, 3.0, ne)
+    op = fold_diffusion(x_st, y_st, mask, 1.0, 6.0)
+    pm = build_phonon_frequency_map(E)
+    gap_plane = np.full((ny, nx), GAP)
+    gap_plane[:, nx // 2:] = GAP - 25.0
+    rho = dynes_density_of_states(E, GAP, 0.0)
+    col = dict(
+        E_bins=E, dE=dE, rho=rho, K_r0=None, K_s0=None,
+        gap_plane=gap_plane, tau_s=TAU, tau_r=TAU, T_c=TC,
+        pmap=pm, enable_recombination=True, enable_scattering=True,
+        update_phonons=True,
+    )
+    mesh = make_mesh(n_space=len(jax.devices()))
+    rng = np.random.default_rng(4)
+    q0 = jnp.asarray(rng.uniform(0, 1e-4, (ne, ny, nx)))
+    ph0 = jnp.asarray(rng.uniform(0, 1e-3, (pm.num_omega, ny, nx)))
+    ref = None
+    for ys in ("pencil", "wang"):
+        sh = build_sharded_step(
+            mesh, op, dt, collisions=col, dtype=jnp.float64, y_solve=ys,
+            pieces=True,
+        )
+        raw, src = sh.aux
+
+        @jax.jit
+        def merged(q, ph, raw=raw, src=src, sh=sh):
+            q, ph = sh.apply_col_half(q, ph, raw)
+            q = sh.apply_diffuse(q, raw, src)
+            q, ph = sh.apply_col_full(q, ph, raw)
+            q = sh.apply_diffuse(q, raw, src)
+            q, ph = sh.apply_col_half(q, ph, raw)
+            return q, ph
+
+        out = merged(q0, ph0)
+        if ref is None:
+            ref = out
+        else:
+            for a, b in zip(ref, out):
+                scale = float(jnp.max(jnp.abs(a)))
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), atol=1e-13 * max(scale, 1e-30)
+                )
+
+
+def test_engine_mesh_wang_env_matches_pencil(monkeypatch):
+    """QPSIM_MESH_Y_SOLVE=wang routes the engine's mesh runner through the
+    distributed Wang y-sweep and reproduces the default at f64 roundoff."""
+    from qpsim_tpu.solver.engine import run_2d_crank_nicolson
+
+    ny = nx = 16
+    mask, edges, bcs = _geometry(ny, nx)
+    init = np.zeros(mask.shape)
+    init[mask] = 0.01
+    kw = dict(
+        mask=mask, edges=edges, edge_conditions=bcs, initial_field=init,
+        diffusion_coefficient=6.0, dt=0.05, total_time=0.4, dx=1.0,
+        store_every=4,
+        energy_gap=GAP, energy_max_factor=3.0, num_energy_bins=4,
+        enable_recombination=True, enable_scattering=True,
+        tau_s=TAU, tau_r=TAU, T_c=TC, bath_temperature=TBATH,
+    )
+    mesh = make_mesh(n_space=len(jax.devices()))
+    t_p, f_p, m_p, *_ = run_2d_crank_nicolson(**kw, mesh=mesh)
+    monkeypatch.setenv("QPSIM_MESH_Y_SOLVE", "wang")
+    t_w, f_w, m_w, *_ = run_2d_crank_nicolson(**kw, mesh=mesh)
+    assert t_w == t_p
+    for a, b in zip(f_w, f_p):
+        np.testing.assert_allclose(np.nan_to_num(a), np.nan_to_num(b), atol=1e-12)
+    np.testing.assert_allclose(m_w, m_p, rtol=1e-12)
