@@ -472,6 +472,30 @@ def bench_sharded_overhead_1dev(ny=256, nx=256, ne=16, length=6000) -> dict:
         plain_ms = bench_coupled_2d(ny, nx, ne, length)["coupled_2d_ms_per_step"]
     out["sharded_overhead_1dev"] = per_sharded / plain_ms * 1e3
 
+    # distributed-Wang y-sweep at 1 device: the all_gather is a no-op, so
+    # this isolates the LOCAL cost side of the wang-vs-pencil tradeoff
+    # (XLA elimination scans vs pallas cols solve + transposes); the
+    # traffic side is modeled in ROADMAP.md
+    sharded_w = build_sharded_step(
+        mesh, op, dt,
+        collisions=dict(
+            dE=dE, rho=rho,
+            K_r0=recombination_kernel_base(E, gap, tau, tc),
+            K_s0=scattering_kernel_base(E, gap, tau, tc),
+            pmap=pm, enable_recombination=True, enable_scattering=True,
+            update_phonons=True, E_bins=E,
+        ),
+        dtype=jnp.float32, y_solve="wang",
+    )
+    qw = jax.device_put(q0, sharded_w.q_sharding)
+    phw = jax.device_put(ph0, sharded_w.ph_sharding)
+    chunk_w = sharded_w.make_chunk(length, unroll=4)
+    per_wang, _ = _timed_chunk(
+        lambda s: chunk_w(*s)[:2], (qw, phw), length,
+        f"sharded wang 1-dev {ny}x{nx}x{ne}",
+    )
+    out["sharded_wang_1dev_ms_per_step"] = per_wang * 1e3
+
     # merged-Strang composition from the sharded pieces (the engine's mesh
     # default since r3): one collision substep per step, same communication
     pieces = build_sharded_step(
