@@ -154,11 +154,17 @@ def _cmd_run(args: argparse.Namespace) -> int:
         print(f"  t = {t:.6g} ns", file=sys.stderr)
 
     mesh = None
-    if args.space_shards:
+    if args.space_shards is not None:
         import jax
 
         from .parallel.mesh import make_mesh
 
+        if args.space_shards < 1:
+            print(
+                f"error: --space-shards must be >= 1, got {args.space_shards}",
+                file=sys.stderr,
+            )
+            return 2
         devices = jax.devices()
         if args.space_shards > len(devices):
             print(

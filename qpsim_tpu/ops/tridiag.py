@@ -21,6 +21,8 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = [
+    "wang_eliminate",
+    "wang_interface_sweep",
     "tridiag_solve",
     "tridiag_solve_along",
     "tridiag_solve_pcr",
@@ -81,6 +83,77 @@ def tridiag_solve_pcr(
     return d / b
 
 
+
+def wang_eliminate(a_s, b_s, c_s, d_s):
+    """Stages 1–2 of the Wang partition: per-partition elimination scans.
+
+    Inputs are laid out (M, *lanes) — M the in-partition position, lanes any
+    batch shape (in-device: (M, K, B...); distributed: (m, nb, nx) with the
+    partitions living on different shards).  Returns ``(C, A, D)`` with every
+    unknown expressed as  x_i = D_i − A_i·X_L − C_i·X_R  in terms of the
+    neighbouring partitions' boundary values.  Shared by
+    :func:`tridiag_solve_wang` and the sharded step's distributed y-solve
+    (``parallel.sharded._wang_solve_y``) so the two can never diverge.
+    """
+    lane = a_s[0]
+
+    def forward(carry, row):
+        cp, ap, dp = carry
+        a_i, b_i, c_i, d_i = row
+        inv = 1.0 / (b_i - a_i * cp)
+        cp_i = c_i * inv
+        ap_i = -a_i * ap * inv
+        dp_i = (d_i - a_i * dp) * inv
+        return (cp_i, ap_i, dp_i), (cp_i, ap_i, dp_i)
+
+    init = (jnp.zeros_like(lane), -jnp.ones_like(lane), jnp.zeros_like(lane))
+    _, (cp, ap, dp) = jax.lax.scan(forward, init, (a_s, b_s, c_s, d_s))
+
+    def backward(carry, row):
+        c_nxt, a_nxt, d_nxt = carry
+        cp_i, ap_i, dp_i = row
+        d_i = dp_i - cp_i * d_nxt
+        a_i = ap_i - cp_i * a_nxt
+        c_i = -cp_i * c_nxt
+        return (c_i, a_i, d_i), (c_i, a_i, d_i)
+
+    # at i=M−1 the final form is the stage-1 row itself (its sup couples X_R)
+    init_b = (jnp.full_like(lane, -1.0), jnp.zeros_like(lane), jnp.zeros_like(lane))
+    _, (C, A, D) = jax.lax.scan(backward, init_b, (cp, ap, dp), reverse=True)
+    return C, A, D
+
+
+def wang_interface_sweep(aL, cL, dL, aR, cR, dR, k):
+    """Stage 3 of the Wang partition: the 2K-unknown interface recurrence.
+
+    ``aL..dR`` are (K, *lanes) stacks of each partition's first/last row
+    coefficients;  L_k + aL·R_{k−1} + cL·L_{k+1} = dL  and
+    R_k + aR·R_{k−1} + cR·L_{k+1} = dR.  K is small and static, so the
+    sweep unrolls.  Returns the boundary unknowns ``(Ls, Rs)`` as K-lists.
+    """
+    zero = jnp.zeros_like(aL[0])
+    g = zero  # R_{k−1} = g − w·L_k
+    w = zero
+    ps, qs, gs, ws = [], [], [], []
+    for j in range(k):
+        inv = 1.0 / (1.0 - aL[j] * w)
+        p = (dL[j] - aL[j] * g) * inv
+        q = cL[j] * inv
+        g = dR[j] - aR[j] * g + aR[j] * w * p
+        w = cR[j] + aR[j] * w * q
+        ps.append(p)
+        qs.append(q)
+        gs.append(g)
+        ws.append(w)
+    L_next = zero
+    Ls, Rs = [None] * k, [None] * k
+    for j in range(k - 1, -1, -1):
+        Ls[j] = ps[j] - qs[j] * L_next
+        Rs[j] = gs[j] - ws[j] * L_next
+        L_next = Ls[j]
+    return Ls, Rs
+
+
 def tridiag_solve_wang(
     sub: jax.Array,
     diag: jax.Array,
@@ -132,63 +205,14 @@ def tridiag_solve_wang(
 
     a_s, b_s, c_s, d_s = to_scan(a), to_scan(b), to_scan(c), to_scan(d)
 
-    # Stage 1 — forward in-chunk elimination of the sub-diagonal.
-    # Row i of chunk k becomes  x_i + Cp_i·x_{i+1} + Ap_i·X_L = Dp_i,
-    # X_L = x_{kM−1} (last unknown of the previous chunk).
-    lane = a_s[0]
-
-    def forward(carry, row):
-        cp, ap, dp = carry
-        a_i, b_i, c_i, d_i = row
-        inv = 1.0 / (b_i - a_i * cp)
-        cp_i = c_i * inv
-        ap_i = -a_i * ap * inv
-        dp_i = (d_i - a_i * dp) * inv
-        return (cp_i, ap_i, dp_i), (cp_i, ap_i, dp_i)
-
-    init = (jnp.zeros_like(lane), -jnp.ones_like(lane), jnp.zeros_like(lane))
-    _, (cp, ap, dp) = jax.lax.scan(forward, init, (a_s, b_s, c_s, d_s))
-
-    # Stage 2 — backward elimination of the super-diagonal:
-    # x_i = D_i − A_i·X_L − C_i·X_R,  X_R = x_{(k+1)M} (first of next chunk).
-    def backward(carry, row):
-        c_nxt, a_nxt, d_nxt = carry
-        cp_i, ap_i, dp_i = row
-        d_i = dp_i - cp_i * d_nxt
-        a_i = ap_i - cp_i * a_nxt
-        c_i = -cp_i * c_nxt
-        return (c_i, a_i, d_i), (c_i, a_i, d_i)
-
-    # at i=M−1 the final form is the stage-1 row itself (its sup couples X_R)
-    init_b = (jnp.full_like(lane, -1.0), jnp.zeros_like(lane), jnp.zeros_like(lane))
-    _, (C, A, D) = jax.lax.scan(backward, init_b, (cp, ap, dp), reverse=True)
-
-    # Stage 3 — interface sweep over chunks (unrolled: K is small & static).
-    # L_k + aL·R_{k−1} + cL·L_{k+1} = dL ;  R_k + aR·R_{k−1} + cR·L_{k+1} = dR
-    aL, cL, dL = A[0], C[0], D[0]
-    aR, cR, dR = A[-1], C[-1], D[-1]
-    g = jnp.zeros_like(lane[0])  # R_{k−1} = g − w·L_k
-    w = jnp.zeros_like(lane[0])
-    ps, qs, gs, ws = [], [], [], []
-    for j in range(k):
-        inv = 1.0 / (1.0 - aL[j] * w)
-        p = (dL[j] - aL[j] * g) * inv
-        q = cL[j] * inv
-        g = dR[j] - aR[j] * g + aR[j] * w * p
-        w = cR[j] + aR[j] * w * q
-        ps.append(p)
-        qs.append(q)
-        gs.append(g)
-        ws.append(w)
-    L_next = jnp.zeros_like(lane[0])
-    Ls, Rs = [None] * k, [None] * k
-    for j in range(k - 1, -1, -1):
-        Ls[j] = ps[j] - qs[j] * L_next
-        Rs[j] = gs[j] - ws[j] * L_next
-        L_next = Ls[j]
+    # Stages 1–3: shared Wang recurrences (wang_eliminate docstring has the
+    # per-row relations); chunks ride the lane/batch axes here.
+    C, A, D = wang_eliminate(a_s, b_s, c_s, d_s)
+    Ls, Rs = wang_interface_sweep(A[0], C[0], D[0], A[-1], C[-1], D[-1], k)
     # per-chunk externals: X_L of chunk j is R_{j−1}, X_R is L_{j+1}
-    XL = jnp.stack([jnp.zeros_like(lane[0])] + Rs[:-1])  # (K, ...)
-    XR = jnp.stack(Ls[1:] + [jnp.zeros_like(lane[0])])
+    zero = jnp.zeros_like(a_s[0, 0])
+    XL = jnp.stack([zero] + Rs[:-1])  # (K, ...)
+    XR = jnp.stack(Ls[1:] + [zero])
 
     # Stage 4 — back-substitution, one fused elementwise pass.
     x = D - A * XL[None] - C * XR[None]  # (M, K, ...)

@@ -37,7 +37,12 @@ from jax import shard_map
 from ..ops.collisions import CollisionPlan, build_collision_plan_arrays, make_collision_step
 from ..ops.diffusion import SplitOperator
 from ..ops.phonon_map import PhononFrequencyMap
-from ..ops.tridiag import tridiag_solve, tridiag_solve_along
+from ..ops.tridiag import (
+    tridiag_solve,
+    tridiag_solve_along,
+    wang_eliminate,
+    wang_interface_sweep,
+)
 from .mesh import SPACE_AXIS
 
 __all__ = ["ShardedStep", "build_sharded_step"]
@@ -93,63 +98,23 @@ def _wang_solve_y(rhs, ay_lo, ay_hi, ay_diag, alpha, axis_name):
     a = a.at[:, 0, :].multiply(edge0)
     c = c.at[:, -1, :].multiply(edge1)
 
-    # local scans over the shard's rows: (m, nb, nx)
+    # local scans over the shard's rows: (m, nb, nx); stages 1–3 are the
+    # SHARED Wang recurrences (ops.tridiag.wang_eliminate docstring has the
+    # per-row relations) — partitions live on different shards here, so one
+    # all_gather of this shard's six interface rows feeds the sweep, which
+    # every chip computes redundantly (cheaper than scattering)
     a_s, b_s, c_s, d_s = (
         jnp.moveaxis(t, 1, 0) for t in (a, b, c, jnp.asarray(rhs))
     )
-    lane = a_s[0]
-
-    def forward(carry, row):
-        cp, ap, dp = carry
-        a_i, b_i, c_i, d_i = row
-        inv = 1.0 / (b_i - a_i * cp)
-        cp_i = c_i * inv
-        ap_i = -a_i * ap * inv
-        dp_i = (d_i - a_i * dp) * inv
-        return (cp_i, ap_i, dp_i), (cp_i, ap_i, dp_i)
-
-    init = (jnp.zeros_like(lane), -jnp.ones_like(lane), jnp.zeros_like(lane))
-    _, (cp, ap, dp) = jax.lax.scan(forward, init, (a_s, b_s, c_s, d_s))
-
-    def backward(carry, row):
-        c_nxt, a_nxt, d_nxt = carry
-        cp_i, ap_i, dp_i = row
-        d_i = dp_i - cp_i * d_nxt
-        a_i = ap_i - cp_i * a_nxt
-        c_i = -cp_i * c_nxt
-        return (c_i, a_i, d_i), (c_i, a_i, d_i)
-
-    init_b = (jnp.full_like(lane, -1.0), jnp.zeros_like(lane), jnp.zeros_like(lane))
-    _, (C, A, D) = jax.lax.scan(backward, init_b, (cp, ap, dp), reverse=True)
-
-    # interface rows of THIS shard → gathered (K, 6, nb, nx); every chip
-    # runs the tiny interface sweep redundantly (cheaper than scattering)
+    C, A, D = wang_eliminate(a_s, b_s, c_s, d_s)
     iface = jnp.stack([A[0], C[0], D[0], A[-1], C[-1], D[-1]])
     gathered = jax.lax.all_gather(iface, axis_name, axis=0)
-    aL, cL, dL = gathered[:, 0], gathered[:, 1], gathered[:, 2]
-    aR, cR, dR = gathered[:, 3], gathered[:, 4], gathered[:, 5]
-
-    zero = jnp.zeros_like(lane)  # one (nb, nx) interface row
-    g = zero
-    w = zero
-    ps, qs, gs, ws = [], [], [], []
-    for j in range(n_shards):
-        inv = 1.0 / (1.0 - aL[j] * w)
-        p_j = (dL[j] - aL[j] * g) * inv
-        q_j = cL[j] * inv
-        g = dR[j] - aR[j] * g + aR[j] * w * p_j
-        w = cR[j] + aR[j] * w * q_j
-        ps.append(p_j)
-        qs.append(q_j)
-        gs.append(g)
-        ws.append(w)
-    L_next = zero
-    Ls, Rs = [None] * n_shards, [None] * n_shards
-    for j in range(n_shards - 1, -1, -1):
-        Ls[j] = ps[j] - qs[j] * L_next
-        Rs[j] = gs[j] - ws[j] * L_next
-        L_next = Ls[j]
+    Ls, Rs = wang_interface_sweep(
+        gathered[:, 0], gathered[:, 1], gathered[:, 2],
+        gathered[:, 3], gathered[:, 4], gathered[:, 5], n_shards,
+    )
     # this shard's externals: X_L = R_{p−1} (0 at the top), X_R = L_{p+1}
+    zero = jnp.zeros_like(a_s[0])
     XLs = jnp.stack([zero] + Rs[:-1])
     XRs = jnp.stack(Ls[1:] + [zero])
     XL = jax.lax.dynamic_index_in_dim(XLs, p, 0, keepdims=False)
@@ -735,9 +700,6 @@ def build_sharded_step(
         lc_h, lc_h_gen = _mk_local_col(col_half, col_half_gen)
         lc_f, lc_f_gen = _mk_local_col(col_full, col_full_gen)
 
-        def local_diffuse(q, raw, s):
-            return local_diffusion(q, raw, s)
-
         grow_spec = P(SPACE_AXIS, None)
 
         def _sm(f, in_specs, out_specs):
@@ -753,7 +715,7 @@ def build_sharded_step(
             lc_f, (rows, rows, raw_specs), (rows, rows)
         )
         piece_fns["apply_diffuse"] = _sm(
-            local_diffuse, (rows, raw_specs, rows), rows
+            local_diffusion, (rows, raw_specs, rows), rows
         )
         if gen_input:
             piece_fns["apply_col_half_gen"] = _sm(

@@ -937,7 +937,6 @@ def _build_engine_program(
     )
     # --- generation --------------------------------------------------------------
     gen = build_generation_program(external_generation, E_bins, mask, dtype)
-    mask_dev = jnp.asarray(mask)
     if strang_mode == "auto":
         # merged wherever it applies; the segment runner itself degenerates
         # to the exact composition when there are no collisions, no
@@ -1138,8 +1137,11 @@ def _build_engine_program(
                     return amp * gaux, ~jnp.isfinite(amp), amp < 0
 
                 def gen_add(qq, t):
+                    # gaux (the dtype mask plane) rides the jit boundary as
+                    # an ARGUMENT — the CLAUDE.md aux rule; mask_dev itself
+                    # must not be closed over in a jitted segment
                     g = gen.traced_fn(t)
-                    g_masked = jnp.where(mask_dev, g, 0.0)
+                    g_masked = jnp.where(gaux > 0, g, 0.0)
                     return (
                         qq + seg_dt * g,
                         ~jnp.all(jnp.isfinite(g_masked)),
@@ -1285,10 +1287,15 @@ def _build_engine_program(
             and length > 1
         )
 
-        def gen_apply(qq, t):
-            """Forward-Euler g_ext injection + on-device validity flags."""
+        def gen_apply(qq, t, gplane):
+            """Forward-Euler g_ext injection + on-device validity flags.
+
+            ``gplane`` is the dtype mask plane passed as a jit ARGUMENT
+            (the CLAUDE.md aux rule — closing over ``mask_dev`` would embed
+            it as an MLIR constant and pay a host fetch per segment compile
+            over a remote-TPU tunnel)."""
             g = gen.traced_fn(t)
-            g_masked = jnp.where(mask_dev, g, 0.0)
+            g_masked = jnp.where(gplane > 0, g, 0.0)
             nonfinite = ~jnp.all(jnp.isfinite(g_masked))
             negative = jnp.any(g_masked < 0)
             return qq + seg_dt * g, nonfinite, negative
@@ -1324,7 +1331,7 @@ def _build_engine_program(
                     stats = pauli_stats_fn(qq, paux)
                     return (qq, pp, t0), stats + (gen_nonfinite, gen_negative)
                 if gen.traced_fn is not None:
-                    qq, gen_nonfinite, gen_negative = gen_apply(qq, t)
+                    qq, gen_nonfinite, gen_negative = gen_apply(qq, t, gaux)
                 if collisions_on and diff_step is not None:
                     qq, pp = col_half(qq, pp)
                     qq = diff_step(qq, daux)
@@ -1349,7 +1356,7 @@ def _build_engine_program(
                     grow0, gnf0, gng0 = gen_fused_plane(t_start, gaux)
                     qq, pp = col_half_gen(qq, pp, grow0)
                 elif gen.traced_fn is not None:
-                    qq, gnf0, gng0 = gen_apply(qq, t_start)
+                    qq, gnf0, gng0 = gen_apply(qq, t_start, gaux)
                     qq, pp = col_half(qq, pp)
                 else:
                     qq, pp = col_half(qq, pp)
@@ -1364,7 +1371,7 @@ def _build_engine_program(
                         qq, pp = col_full_gen(qq, pp, grow)
                     elif gen.traced_fn is not None:
                         t = t0 + (idx + 1).astype(t0.dtype) * seg_dt
-                        qq, gnf, gng = gen_apply(qq, t)
+                        qq, gnf, gng = gen_apply(qq, t, gaux)
                         qq, pp = col_full(qq, pp)
                     else:
                         qq, pp = col_full(qq, pp)

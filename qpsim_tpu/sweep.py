@@ -217,6 +217,36 @@ def run_sweep(
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
     variants = build_variants(setup, axes, mode)
+
+    # Settings stamp: a resumed sweep must run under the SAME settings as
+    # the interrupted one, or reused variants would silently mix physics
+    # (e.g. frozen-bath results spliced into a dynamic-bath curve, or
+    # merged-vs-exact stepping differing beyond calibration tolerances).
+    settings = {
+        "setup_id": setup.setup_id,
+        "mode": mode,
+        "axes": [[f, [repr(v) for v in vals]] for f, vals in axes],
+        "run_kwargs": {k: repr(v) for k, v in sorted(run_kwargs.items())},
+    }
+    settings_path = out / "sweep_settings.json"
+    if resume and settings_path.exists():
+        try:
+            prior_settings = json.loads(settings_path.read_text())
+        except ValueError:
+            prior_settings = None
+        if prior_settings is not None and prior_settings != settings:
+            diffs = [
+                k
+                for k in set(prior_settings) | set(settings)
+                if prior_settings.get(k) != settings.get(k)
+            ]
+            raise ValueError(
+                "resume=True but the sweep settings differ from the "
+                f"interrupted run ({', '.join(sorted(diffs))} changed; see "
+                f"{settings_path}).  Re-run without --resume (recomputes "
+                "everything) or restore the original settings."
+            )
+    settings_path.write_text(json.dumps(settings, indent=2))
     records: list[dict[str, Any]] = []
     for i, (overrides, variant) in enumerate(variants):
         label = _slug(overrides)
@@ -225,11 +255,13 @@ def run_sweep(
         record: dict[str, Any] = {"index": i, "overrides": overrides}
         result_path = out / f"{i:03d}_{label}.json"
         if resume and save_results and result_path.exists():
+            # ANY failure to load/summarize the prior file means it is not a
+            # usable result (truncated write, schema damage, empty times):
+            # fall through and re-run the variant instead of aborting the
+            # sweep — a 50-point curve must not lose 49 results to one bad
+            # file
             try:
                 prior = load_simulation(result_path)
-            except (ValueError, OSError):
-                prior = None  # damaged partial file: re-run the variant
-            if prior is not None:
                 mass = prior.mass_over_time
                 meta = prior.metadata
                 record.update(
@@ -242,6 +274,9 @@ def run_sweep(
                     energy_phonon_final=meta.get("energy_phonon_total", [None])[-1],
                     resumed=True,
                 )
+            except Exception:  # noqa: BLE001 — damaged partial file
+                record = {"index": i, "overrides": overrides}
+            else:
                 records.append(record)
                 continue
         try:

@@ -442,3 +442,9 @@ def test_cli_run_space_shards(tmp_path, capsys):
     )
     assert rc == 2
     assert "exceeds" in capsys.readouterr().err
+    # zero / negative shard counts fail cleanly too (0 must not silently
+    # run single-chip)
+    for bad in ("0", "-2"):
+        rc = cli_main(["run", str(setup_path), "--no-save", "--space-shards", bad])
+        assert rc == 2
+        assert ">= 1" in capsys.readouterr().err

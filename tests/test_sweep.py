@@ -233,3 +233,40 @@ def test_run_sweep_resume_reuses_existing(tmp_path, monkeypatch):
     assert third["n_failed"] == 0
     assert not third["variants"][0].get("resumed")
     assert third["variants"][1].get("resumed")
+
+
+def test_run_sweep_resume_rejects_changed_settings(tmp_path):
+    setup = _setup()
+    out = tmp_path / "sweep"
+    run_sweep(setup, [("tau_0", [440.0])], out_dir=out, strang_mode="exact")
+    # same settings resume: fine
+    run_sweep(setup, [("tau_0", [440.0])], out_dir=out, resume=True,
+              strang_mode="exact")
+    # changed run settings must refuse rather than splice mixed physics
+    with pytest.raises(ValueError, match="settings differ"):
+        run_sweep(setup, [("tau_0", [440.0])], out_dir=out, resume=True,
+                  strang_mode="merged")
+    with pytest.raises(ValueError, match="settings differ"):
+        run_sweep(setup, [("tau_0", [440.0])], out_dir=out, resume=True,
+                  strang_mode="exact", freeze_phonon_dynamics=True)
+    # changed axes refuse too
+    with pytest.raises(ValueError, match="settings differ"):
+        run_sweep(setup, [("tau_0", [440.0, 500.0])], out_dir=out,
+                  resume=True, strang_mode="exact")
+
+
+def test_run_sweep_resume_schema_broken_file_reruns(tmp_path):
+    setup = _setup()
+    out = tmp_path / "sweep"
+    first = run_sweep(setup, [("tau_0", [440.0])], out_dir=out,
+                      strang_mode="exact")
+    victim = sorted(out.glob("000_*.json"))[0]
+    # valid JSON, broken schema (missing keys): must re-run, not crash
+    victim.write_text(json.dumps({"times": []}))
+    second = run_sweep(setup, [("tau_0", [440.0])], out_dir=out, resume=True,
+                       strang_mode="exact")
+    assert second["n_failed"] == 0
+    assert not second["variants"][0].get("resumed")
+    assert second["variants"][0]["mass_final"] == pytest.approx(
+        first["variants"][0]["mass_final"]
+    )
