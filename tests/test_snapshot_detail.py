@@ -130,7 +130,10 @@ def test_integrated_composes_with_mesh_path():
         **kw, diffusion_backend="adi", collision_backend="xla", strang_mode="exact"
     )
     mesh = make_mesh(n_space=len(jax.devices()))
-    light = run_2d_crank_nicolson(**kw, mesh=mesh, snapshot_detail="integrated")
+    # exact tier on both sides (mesh auto resolves to merged since r3)
+    light = run_2d_crank_nicolson(
+        **kw, mesh=mesh, snapshot_detail="integrated", strang_mode="exact"
+    )
     assert light[0] == full[0]
     np.testing.assert_allclose(light[2], full[2], rtol=1e-12)
     for a, b in zip(light[1], full[1]):
