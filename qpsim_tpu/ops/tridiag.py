@@ -23,6 +23,7 @@ import numpy as np
 __all__ = [
     "wang_eliminate",
     "wang_interface_sweep",
+    "wang_apply_interface",
     "tridiag_solve",
     "tridiag_solve_along",
     "tridiag_solve_pcr",
@@ -317,6 +318,32 @@ def wang_factor(
     }
 
 
+
+def wang_apply_interface(dL, dR, aL, aR, if_inv, if_q, w_pre, w_post, k):
+    """Prefactored stage-3 rhs sweep: boundary unknowns from interface rhs.
+
+    Coefficient parts (``aL, aR, if_inv, if_q, w_pre, w_post`` — all
+    (K, *lanes) stacks from :func:`wang_factor`) are time-invariant; only
+    ``dL, dR`` change per solve.  Shared by :func:`wang_apply` and the
+    sharded step's prefactored distributed y-solve.  Returns ``(Ls, Rs)``
+    as K-lists of boundary values.
+    """
+    g = jnp.zeros_like(dL[0])
+    ps, gs = [], []
+    for j in range(k):
+        p = (dL[j] - aL[j] * g) * if_inv[j]
+        g = dR[j] - aR[j] * g + aR[j] * w_pre[j] * p
+        ps.append(p)
+        gs.append(g)
+    L_next = jnp.zeros_like(g)
+    Ls, Rs = [None] * k, [None] * k
+    for j in range(k - 1, -1, -1):
+        Ls[j] = ps[j] - if_q[j] * L_next
+        Rs[j] = gs[j] - w_post[j] * L_next
+        L_next = Ls[j]
+    return Ls, Rs
+
+
 def wang_apply(fac: dict[str, jax.Array], rhs: jax.Array) -> jax.Array:
     """Solve with a :func:`wang_factor` factorization (rhs recurrences only)."""
     cp, m, inv = fac["cp"], fac["m"], fac["inv"]
@@ -344,24 +371,13 @@ def wang_apply(fac: dict[str, jax.Array], rhs: jax.Array) -> jax.Array:
     _, D = jax.lax.scan(backward, jnp.zeros_like(d[0]), (dp, cp), reverse=True)
 
     dL, dR = D[0], D[-1]
-    aL, aR = fac["if_aL"], fac["if_aR"]
-    if_inv, if_q = fac["if_inv"], fac["if_q"]
-    w_pre, w_post = fac["if_w_pre"], fac["if_w_post"]
-    g = jnp.zeros_like(dL[0])
-    ps, gs = [], []
-    for j in range(k):
-        p = (dL[j] - aL[j] * g) * if_inv[j]
-        g = dR[j] - aR[j] * g + aR[j] * w_pre[j] * p
-        ps.append(p)
-        gs.append(g)
-    L_next = jnp.zeros_like(g)
-    Ls, Rs = [None] * k, [None] * k
-    for j in range(k - 1, -1, -1):
-        Ls[j] = ps[j] - if_q[j] * L_next
-        Rs[j] = gs[j] - w_post[j] * L_next
-        L_next = Ls[j]
-    XL = jnp.stack([jnp.zeros_like(g)] + Rs[:-1])
-    XR = jnp.stack(Ls[1:] + [jnp.zeros_like(g)])
+    Ls, Rs = wang_apply_interface(
+        dL, dR, fac["if_aL"], fac["if_aR"], fac["if_inv"], fac["if_q"],
+        fac["if_w_pre"], fac["if_w_post"], k,
+    )
+    zero = jnp.zeros_like(dL[0])
+    XL = jnp.stack([zero] + Rs[:-1])
+    XR = jnp.stack(Ls[1:] + [zero])
     x = D - fac["A"] * XL[None] - fac["C"] * XR[None]
     x = _wang_unlayout(x)
     return x[..., :n] if pad else x

@@ -977,3 +977,41 @@ def test_engine_mesh_wang_env_matches_pencil(monkeypatch):
     for a, b in zip(f_w, f_p):
         np.testing.assert_allclose(np.nan_to_num(a), np.nan_to_num(b), atol=1e-12)
     np.testing.assert_allclose(m_w, m_p, rtol=1e-12)
+
+
+def test_sharded_wang_lazy_and_prefactored_branches(monkeypatch):
+    """Both wang variants agree with pencil: the prefactored path (eager
+    coefficients — the default at test sizes) and the unfactored path
+    (lazy bin scale, where factors cannot be prebuilt)."""
+    from qpsim_tpu.solver.diffusion_backends import ADIDiffusion
+
+    ny, nx = 16, 16
+    mask, edges, bcs = _geometry(ny, nx)
+    xs, ys = build_directional_stencils(mask, edges, bcs, 1.0)
+    op = fold_diffusion(xs, ys, mask, 1.0, np.array([2.0, 5.0, 7.0]))
+    rng = np.random.default_rng(9)
+    q0 = rng.uniform(0, 1, (3, ny, nx))
+    mesh = make_mesh(n_space=len(jax.devices()))
+
+    def run(y_solve):
+        sh = build_sharded_step(mesh, op, 0.05, dtype=jnp.float64, y_solve=y_solve)
+        q = jax.device_put(jnp.asarray(q0), sh.q_sharding)
+        ph = jax.device_put(jnp.zeros((1, ny, nx)), sh.ph_sharding)
+        for _ in range(4):
+            q, ph, _ = sh.step(q, ph)
+        return np.asarray(q), sh
+
+    ref, _ = run("pencil")
+    # eager → prefactored branch engages (wfp_* planes present)
+    got, sh_w = run("wang")
+    assert "wfp_cp" in sh_w.aux[0]
+    np.testing.assert_allclose(got, ref, atol=1e-12)
+
+    # lazy scale → the unfactored branch (no factor planes)
+    monkeypatch.setattr(ADIDiffusion, "MATERIALIZE_MAX_ELEMENTS", 0)
+    assert op.bin_scale is not None
+    ref_lazy, _ = run("pencil")
+    got_lazy, sh_lazy = run("wang")
+    assert "wfp_cp" not in sh_lazy.aux[0]
+    np.testing.assert_allclose(got_lazy, ref_lazy, atol=1e-12)
+    np.testing.assert_allclose(got_lazy, got, atol=1e-12)
