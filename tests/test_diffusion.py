@@ -383,3 +383,60 @@ def test_pallas_thomas_kernel_interpret_mode():
         x_p = np.asarray(tridiag_solve_pallas(*args, interpret=True))
         x_t = np.asarray(_tridiag_solve_thomas(*args))
         np.testing.assert_allclose(x_p, x_t, atol=1e-11)
+
+
+def test_variable_diffusion_steady_state_interface_jump():
+    """Harmonic-mean interface D reproduces the EXACT piecewise-linear
+    steady state across a D discontinuity.
+
+    Fixed ends u(0)=1, u(L)=0 with D = D1 on the left half and D2 on the
+    right: at steady state the flux J = −D·du/dx is constant, so each half
+    is linear with slope ∝ 1/D and the interface value follows from flux
+    continuity.  For cell-centered finite volumes with harmonic-mean face
+    diffusivities this discrete steady state is exact (the reference's own
+    deliberate discretization choice, solver.py:246-283)."""
+    nx, D1, D2 = 16, 1.0, 4.0
+    mask = np.ones((1, nx), dtype=bool)
+    edges = extract_edge_segments(mask)
+    bcs = {}
+    for e in edges:
+        if e.normal == "left":
+            bcs[e.edge_id] = BoundaryCondition(kind="dirichlet", value=1.0)
+        elif e.normal == "right":
+            bcs[e.edge_id] = BoundaryCondition(kind="dirichlet", value=0.0)
+        else:
+            bcs[e.edge_id] = BoundaryCondition(kind="reflective")
+    xs, ys = build_directional_stencils(mask, edges, bcs, 1.0)
+    D = np.zeros((1, 1, nx))
+    D[0, 0, : nx // 2] = D1
+    D[0, 0, nx // 2 :] = D2
+    op = fold_diffusion(xs, ys, mask, 1.0, D)
+    state = jnp.asarray(np.full((1, 1, nx), 0.5))
+    step = jax.jit(DenseSpectralDiffusion(op).make_step(0.5))
+    for _ in range(3000):
+        state = step(state)
+    u = np.asarray(state)[0, 0]
+
+    # discrete analytic steady state: solve for the constant flux J over
+    # the resistor chain (half-cell to each Dirichlet ghost + harmonic
+    # faces), then integrate
+    D_cells = D[0, 0]
+    # resistances: boundary half-cells (dx/2 / D), interior faces (dx / D_face)
+    r = [0.5 / D_cells[0]]
+    for i in range(nx - 1):
+        D_face = 2 * D_cells[i] * D_cells[i + 1] / (D_cells[i] + D_cells[i + 1])
+        r.append(1.0 / D_face)
+    r.append(0.5 / D_cells[-1])
+    J = (1.0 - 0.0) / sum(r)
+    expected = []
+    u_val = 1.0
+    for i in range(nx):
+        u_val -= J * r[i]
+        expected.append(u_val)
+    np.testing.assert_allclose(u, expected, atol=1e-9)
+    # both halves are linear, with slope ratio D2/D1
+    slope_l = np.diff(u[: nx // 2])
+    slope_r = np.diff(u[nx // 2 :])
+    np.testing.assert_allclose(slope_l, slope_l[0], rtol=1e-6)
+    np.testing.assert_allclose(slope_r, slope_r[0], rtol=1e-6)
+    np.testing.assert_allclose(slope_l[0] / slope_r[0], D2 / D1, rtol=1e-6)
