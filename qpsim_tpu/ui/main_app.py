@@ -19,7 +19,7 @@ from ..io.storage import (
 from .dialogs import show_material_reference
 from .setup_editor import SetupEditor
 from .theme import FONT_BIG, PALETTE, apply_theme
-from .viewers import PhononViewer, SimulationViewer, TestGeometryLanding
+from .viewers import PhononViewer, SimulationViewer, StreamViewer, TestGeometryLanding
 
 __all__ = ["QuasiparticleMainApp", "run_app"]
 
@@ -42,6 +42,7 @@ class QuasiparticleMainApp(tk.Tk):
         actions = [
             ("New / edit setup…", self.open_setup_editor),
             ("View saved simulation…", self.view_simulation),
+            ("View streamed run…", self.view_stream),
             ("Generate analytic test suite", self.generate_tests),
             ("Browse analytic test suite…", self.view_tests),
             ("Run physics validation", self.run_validation),
@@ -70,6 +71,21 @@ class QuasiparticleMainApp(tk.Tk):
         SimulationViewer(self, result)
         if result.phonon_frames:
             PhononViewer(self, result)
+
+    def view_stream(self):
+        path = filedialog.askdirectory(
+            parent=self, title="Streamed-frames directory (run --stream-dir)"
+        )
+        if not path:
+            return
+        try:
+            from ..io.stream import load_frame_stream
+
+            reader = load_frame_stream(path)
+        except Exception as exc:
+            messagebox.showerror("Load failed", str(exc), parent=self)
+            return
+        StreamViewer(self, reader)
 
     def generate_tests(self):
         self.status.configure(text="Generating test suite (background)…")

@@ -13,7 +13,7 @@ from ..models.params import SimulationResultData, TestSuiteData
 from .playback import PlaybackState, render_heatmap, render_line1d, render_timeseries
 from .theme import FONT_TITLE, PALETTE
 
-__all__ = ["SimulationViewer", "PhononViewer", "TestGeometryLanding"]
+__all__ = ["SimulationViewer", "StreamViewer", "PhononViewer", "TestGeometryLanding"]
 
 _PLAY_INTERVAL_MS = 120
 
@@ -88,6 +88,44 @@ class SimulationViewer(_PlaybackWindow):
         render_heatmap(
             self.ax,
             self.frames[index],
+            clim=self.clim,
+            title=f"t = {self.times[index]:.6g} ns",
+        )
+
+
+class StreamViewer(_PlaybackWindow):
+    """Playback over a streamed-frames directory — one shard read per frame.
+
+    Streams exist precisely because the full history does not fit in RAM
+    (``run --stream-dir``, ``io/stream.py``), so this viewer never
+    materializes it: ``reader.frame(index)`` decompresses only the
+    requested snapshot's integrated frame (a small LRU smooths scrubbing).
+    The reference has no streaming at all; its viewer loads every frame up
+    front (``/root/reference/qpsim/ui/main_app.py:227-350``).
+    """
+
+    _CACHE_FRAMES = 32
+
+    def __init__(self, parent, reader):
+        name = str(reader.metadata.get("setup_name", reader.directory))
+        super().__init__(parent, f"Streamed run — {name}", len(reader))
+        self.reader = reader
+        self.times = reader.times
+        self.clim = tuple(reader.color_limits)
+        self._cache: dict[int, np.ndarray] = {}
+        self._refresh()
+
+    def _frame(self, index: int) -> np.ndarray:
+        if index not in self._cache:
+            if len(self._cache) >= self._CACHE_FRAMES:
+                self._cache.pop(next(iter(self._cache)))
+            self._cache[index] = self.reader.frame(index)
+        return self._cache[index]
+
+    def draw_frame(self, index: int) -> None:
+        render_heatmap(
+            self.ax,
+            self._frame(index),
             clim=self.clim,
             title=f"t = {self.times[index]:.6g} ns",
         )

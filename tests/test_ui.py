@@ -493,11 +493,12 @@ def test_tk_setup_editor_builds_and_edits_parameters():
 
 
 @requires_display
-def test_tk_viewers_and_launch_dialog():
+def test_tk_viewers_and_launch_dialog(tmp_path):
     import tkinter as tk
 
+    from qpsim_tpu.io.stream import FrameStreamWriter, load_frame_stream
     from qpsim_tpu.ui.launch_dialog import SimulationLaunchDialog
-    from qpsim_tpu.ui.viewers import PhononViewer, SimulationViewer
+    from qpsim_tpu.ui.viewers import PhononViewer, SimulationViewer, StreamViewer
 
     root = tk.Tk()
     try:
@@ -510,6 +511,17 @@ def test_tk_viewers_and_launch_dialog():
         root.update()
         viewer.destroy()
         phviewer.destroy()
+
+        with FrameStreamWriter(tmp_path / "stream") as w:
+            for i in range(3):
+                frame = np.full((4, 6), np.nan)
+                frame[1:3, 1:5] = float(i + 1)
+                w.write(i, 0.1 * i, frame=frame, mass=float(i + 1))
+        sviewer = StreamViewer(root, load_frame_stream(tmp_path / "stream"))
+        root.update_idletasks()
+        sviewer._on_seek(2)
+        root.update()
+        sviewer.destroy()
 
         qp = np.full((6, 8), np.nan)
         qp[1:5, 1:7] = 1e-4
@@ -605,3 +617,46 @@ def test_tk_test_suite_landing():
         assert any(type(w).__name__ == "_CaseViewer" for w in _tk_walk(root))
     finally:
         root.destroy()
+
+
+def test_headless_stream_viewer(tmp_path):
+    """StreamViewer plays a streamed run lazily: one shard read per frame,
+    bounded cache, app menu entry wired through the directory chooser."""
+    import tkstub
+
+    from qpsim_tpu.io.stream import FrameStreamWriter, load_frame_stream
+
+    with FrameStreamWriter(tmp_path / "stream") as w:
+        for i in range(5):
+            frame = np.full((4, 6), np.nan)
+            frame[1:3, 1:5] = float(i + 1)
+            w.write(i, 0.1 * i, frame=frame, mass=float(i + 1))
+    reader = load_frame_stream(tmp_path / "stream")
+    reads: list[int] = []
+    real_frame = type(reader).frame
+    reader.frame = lambda idx, _r=reader: (reads.append(idx), real_frame(_r, idx))[1]
+
+    with tkstub.installed():
+        ui = tkstub.fresh_ui_modules()
+        viewer = ui["viewers"].StreamViewer(None, reader)
+        assert "Streamed run" in viewer.title()
+        assert reads == [0]  # only the first frame loaded at construction
+        viewer._on_seek(3)
+        assert reads == [0, 3]
+        viewer._on_seek(0)  # cached: no new read
+        assert reads == [0, 3]
+        # tiny cache evicts oldest
+        viewer._CACHE_FRAMES = 2
+        viewer._on_seek(4)
+        viewer._on_seek(3)  # 0 evicted, 3 still cached? cache={3:?}...
+        assert np.nanmax(viewer._frame(4)) == 5.0
+
+        # the app menu opens a stream chosen via the directory dialog
+        app = ui["main_app"].QuasiparticleMainApp()
+        import tkinter as tk_mod
+
+        tk_mod.filedialog.askdirectory = lambda **kw: str(tmp_path / "stream")
+        tkstub.find_button(app, "View streamed run…").invoke()
+        opened = [w_ for w_ in tkstub.walk(app) if type(w_).__name__ == "StreamViewer"]
+        assert opened, "StreamViewer not opened from the menu"
+        app.destroy()
