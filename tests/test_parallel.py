@@ -1015,3 +1015,36 @@ def test_sharded_wang_lazy_and_prefactored_branches(monkeypatch):
     assert "wfp_cp" not in sh_lazy.aux[0]
     np.testing.assert_allclose(got_lazy, ref_lazy, atol=1e-12)
     np.testing.assert_allclose(got_lazy, got, atol=1e-12)
+
+
+def test_engine_mesh_program_cache_zero_retrace(monkeypatch):
+    """A second identical mesh= call re-traces nothing; flipping the
+    y-solve env knob is a different program (fingerprinted)."""
+    from qpsim_tpu.solver import engine
+    from qpsim_tpu.solver.engine import run_2d_crank_nicolson
+
+    ny = nx = 16
+    mask, edges, bcs = _geometry(ny, nx)
+    init = np.zeros(mask.shape)
+    init[mask] = 0.01
+    kw = dict(
+        mask=mask, edges=edges, edge_conditions=bcs, initial_field=init,
+        diffusion_coefficient=6.0, dt=0.05, total_time=0.3, dx=1.0,
+        store_every=3,
+        energy_gap=GAP, energy_max_factor=3.0, num_energy_bins=4,
+        enable_recombination=True, enable_scattering=True,
+        tau_s=TAU, tau_r=TAU, T_c=TC, bath_temperature=TBATH,
+    )
+    mesh = make_mesh(n_space=len(jax.devices()))
+    engine.clear_engine_program_cache()
+    out1 = run_2d_crank_nicolson(**kw, mesh=mesh)
+    traces = engine.engine_trace_count()
+    assert traces > 0
+    out2 = run_2d_crank_nicolson(**kw, mesh=mesh)
+    assert engine.engine_trace_count() == traces
+    np.testing.assert_array_equal(out1[2], out2[2])
+
+    monkeypatch.setenv("QPSIM_MESH_Y_SOLVE", "wang")
+    out3 = run_2d_crank_nicolson(**kw, mesh=mesh)
+    assert engine.engine_trace_count() > traces  # new program, not a stale hit
+    np.testing.assert_allclose(out3[2], out1[2], rtol=1e-12)
