@@ -24,6 +24,8 @@ __all__ = [
     "wang_eliminate",
     "wang_interface_sweep",
     "wang_apply_interface",
+    "wang_apply_rhs",
+    "wang_externals",
     "tridiag_solve",
     "tridiag_solve_along",
     "tridiag_solve_pcr",
@@ -210,10 +212,7 @@ def tridiag_solve_wang(
     # per-row relations); chunks ride the lane/batch axes here.
     C, A, D = wang_eliminate(a_s, b_s, c_s, d_s)
     Ls, Rs = wang_interface_sweep(A[0], C[0], D[0], A[-1], C[-1], D[-1], k)
-    # per-chunk externals: X_L of chunk j is R_{j−1}, X_R is L_{j+1}
-    zero = jnp.zeros_like(a_s[0, 0])
-    XL = jnp.stack([zero] + Rs[:-1])  # (K, ...)
-    XR = jnp.stack(Ls[1:] + [zero])
+    XL, XR = wang_externals(Ls, Rs)  # (K, ...) each
 
     # Stage 4 — back-substitution, one fused elementwise pass.
     x = D - A * XL[None] - C * XR[None]  # (M, K, ...)
@@ -344,17 +343,14 @@ def wang_apply_interface(dL, dR, aL, aR, if_inv, if_q, w_pre, w_post, k):
     return Ls, Rs
 
 
-def wang_apply(fac: dict[str, jax.Array], rhs: jax.Array) -> jax.Array:
-    """Solve with a :func:`wang_factor` factorization (rhs recurrences only)."""
-    cp, m, inv = fac["cp"], fac["m"], fac["inv"]
-    chunk, k = cp.shape[0], cp.shape[1]
-    n = rhs.shape[-1]
-    pad = k * chunk - n
-    d = rhs
-    if pad:
-        pw = [(0, 0)] * (rhs.ndim - 1) + [(0, pad)]
-        d = jnp.pad(d, pw)
-    d = _wang_layout(d, k, chunk)
+
+def wang_apply_rhs(d, m, inv, cp):
+    """Prefactored stages 1–2 rhs recurrences: d → D (boundary-coupled form).
+
+    ``m = a·inv``, ``inv``, ``cp`` come from :func:`wang_factor`; layouts are
+    (M, *lanes).  Shared by :func:`wang_apply` and the sharded step's
+    prefactored distributed y-solve so the recurrences can never diverge.
+    """
 
     def forward(dp, row):
         d_i, m_i, inv_i = row
@@ -369,15 +365,36 @@ def wang_apply(fac: dict[str, jax.Array], rhs: jax.Array) -> jax.Array:
         return d_i, d_i
 
     _, D = jax.lax.scan(backward, jnp.zeros_like(d[0]), (dp, cp), reverse=True)
+    return D
+
+
+def wang_externals(Ls, Rs):
+    """Per-partition externals from the boundary unknowns: stacked
+    ``(XL, XR)`` with X_L of partition j = R_{j−1} (zero at the top) and
+    X_R = L_{j+1} (zero at the bottom)."""
+    zero = jnp.zeros_like(Ls[0])
+    return jnp.stack([zero] + Rs[:-1]), jnp.stack(Ls[1:] + [zero])
+
+
+def wang_apply(fac: dict[str, jax.Array], rhs: jax.Array) -> jax.Array:
+    """Solve with a :func:`wang_factor` factorization (rhs recurrences only)."""
+    cp, m, inv = fac["cp"], fac["m"], fac["inv"]
+    chunk, k = cp.shape[0], cp.shape[1]
+    n = rhs.shape[-1]
+    pad = k * chunk - n
+    d = rhs
+    if pad:
+        pw = [(0, 0)] * (rhs.ndim - 1) + [(0, pad)]
+        d = jnp.pad(d, pw)
+    d = _wang_layout(d, k, chunk)
+    D = wang_apply_rhs(d, m, inv, cp)
 
     dL, dR = D[0], D[-1]
     Ls, Rs = wang_apply_interface(
         dL, dR, fac["if_aL"], fac["if_aR"], fac["if_inv"], fac["if_q"],
         fac["if_w_pre"], fac["if_w_post"], k,
     )
-    zero = jnp.zeros_like(dL[0])
-    XL = jnp.stack([zero] + Rs[:-1])
-    XR = jnp.stack(Ls[1:] + [zero])
+    XL, XR = wang_externals(Ls, Rs)
     x = D - fac["A"] * XL[None] - fac["C"] * XR[None]
     x = _wang_unlayout(x)
     return x[..., :n] if pad else x

@@ -41,7 +41,9 @@ from ..ops.tridiag import (
     tridiag_solve,
     tridiag_solve_along,
     wang_apply_interface,
+    wang_apply_rhs,
     wang_eliminate,
+    wang_externals,
     wang_interface_sweep,
 )
 from .mesh import SPACE_AXIS
@@ -115,9 +117,7 @@ def _wang_solve_y(rhs, ay_lo, ay_hi, ay_diag, alpha, axis_name):
         gathered[:, 3], gathered[:, 4], gathered[:, 5], n_shards,
     )
     # this shard's externals: X_L = R_{p−1} (0 at the top), X_R = L_{p+1}
-    zero = jnp.zeros_like(a_s[0])
-    XLs = jnp.stack([zero] + Rs[:-1])
-    XRs = jnp.stack(Ls[1:] + [zero])
+    XLs, XRs = wang_externals(Ls, Rs)
     XL = jax.lax.dynamic_index_in_dim(XLs, p, 0, keepdims=False)
     XR = jax.lax.dynamic_index_in_dim(XRs, p, 0, keepdims=False)
 
@@ -141,24 +141,10 @@ def _wang_apply_y_prefactored(rhs, raw, axis_name):
     def to_scan(t):  # (nb, m, nx) -> (m, nb, nx)
         return jnp.moveaxis(t, 1, 0)
 
-    d = to_scan(rhs)
-    m_f = to_scan(raw["wfp_m"])
-    inv = to_scan(raw["wfp_inv"])
-    cp = to_scan(raw["wfp_cp"])
-
-    def forward(dp, row):
-        d_i, m_i, inv_i = row
-        dp_i = d_i * inv_i - m_i * dp
-        return dp_i, dp_i
-
-    _, dp = jax.lax.scan(forward, jnp.zeros_like(d[0]), (d, m_f, inv))
-
-    def backward(d_nxt, row):
-        dp_i, cp_i = row
-        d_i = dp_i - cp_i * d_nxt
-        return d_i, d_i
-
-    _, D = jax.lax.scan(backward, jnp.zeros_like(d[0]), (dp, cp), reverse=True)
+    D = wang_apply_rhs(
+        to_scan(rhs), to_scan(raw["wfp_m"]), to_scan(raw["wfp_inv"]),
+        to_scan(raw["wfp_cp"]),
+    )
 
     iface = jnp.stack([D[0], D[-1]])
     gathered = jax.lax.all_gather(iface, axis_name, axis=0)  # (K, 2, nb, nx)
@@ -167,9 +153,7 @@ def _wang_apply_y_prefactored(rhs, raw, axis_name):
         gathered[:, 0], gathered[:, 1],
         wif[0], wif[1], wif[2], wif[3], wif[4], wif[5], n_shards,
     )
-    zero = jnp.zeros_like(d[0])
-    XLs = jnp.stack([zero] + Rs[:-1])
-    XRs = jnp.stack(Ls[1:] + [zero])
+    XLs, XRs = wang_externals(Ls, Rs)
     XL = jax.lax.dynamic_index_in_dim(XLs, p, 0, keepdims=False)
     XR = jax.lax.dynamic_index_in_dim(XRs, p, 0, keepdims=False)
     x = D - to_scan(raw["wfp_A"]) * XL[None] - to_scan(raw["wfp_C"]) * XR[None]

@@ -18,7 +18,9 @@ ensembles batched ON-device, use :mod:`qpsim_tpu.parallel.ensemble`
 from __future__ import annotations
 
 import dataclasses
+import hashlib
 import json
+import re
 from pathlib import Path
 from typing import Any, Callable
 
@@ -222,11 +224,25 @@ def run_sweep(
     # the interrupted one, or reused variants would silently mix physics
     # (e.g. frozen-bath results spliced into a dynamic-bath curve, or
     # merged-vs-exact stepping differing beyond calibration tolerances).
+    # Stable reprs: memory addresses vary between processes (a resumed
+    # sweep is a NEW process), so normalize them away — otherwise a
+    # passed-through callable/object kwarg would make resume refuse
+    # forever.  The setup CONTENT is hashed, not just its id: editing a
+    # physics field in the setup file between runs must refuse too.
+    def stable(v: Any) -> str:
+        return re.sub(r"0x[0-9a-fA-F]+", "0x?", repr(v))
+
+    from .io.storage import serialize_setup
+
+    setup_hash = hashlib.sha256(
+        json.dumps(serialize_setup(setup), sort_keys=True).encode()
+    ).hexdigest()
     settings = {
         "setup_id": setup.setup_id,
+        "setup_hash": setup_hash,
         "mode": mode,
-        "axes": [[f, [repr(v) for v in vals]] for f, vals in axes],
-        "run_kwargs": {k: repr(v) for k, v in sorted(run_kwargs.items())},
+        "axes": [[f, [stable(v) for v in vals]] for f, vals in axes],
+        "run_kwargs": {k: stable(v) for k, v in sorted(run_kwargs.items())},
     }
     settings_path = out / "sweep_settings.json"
     if resume and settings_path.exists():

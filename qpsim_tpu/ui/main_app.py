@@ -81,11 +81,12 @@ class QuasiparticleMainApp(tk.Tk):
         try:
             from ..io.stream import load_frame_stream
 
-            reader = load_frame_stream(path)
+            # inside the try: a manifest can be intact while a shard is
+            # missing/truncated — the first frame read happens here
+            StreamViewer(self, load_frame_stream(path))
         except Exception as exc:
             messagebox.showerror("Load failed", str(exc), parent=self)
             return
-        StreamViewer(self, reader)
 
     def generate_tests(self):
         self.status.configure(text="Generating test suite (background)…")

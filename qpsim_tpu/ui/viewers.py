@@ -116,11 +116,15 @@ class StreamViewer(_PlaybackWindow):
         self._refresh()
 
     def _frame(self, index: int) -> np.ndarray:
-        if index not in self._cache:
+        if index in self._cache:
+            # LRU: re-insertion moves the entry to the young end
+            frame = self._cache.pop(index)
+        else:
             if len(self._cache) >= self._CACHE_FRAMES:
                 self._cache.pop(next(iter(self._cache)))
-            self._cache[index] = self.reader.frame(index)
-        return self._cache[index]
+            frame = self.reader.frame(index)
+        self._cache[index] = frame
+        return frame
 
     def draw_frame(self, index: int) -> None:
         render_heatmap(

@@ -270,3 +270,29 @@ def test_run_sweep_resume_schema_broken_file_reruns(tmp_path):
     assert second["variants"][0]["mass_final"] == pytest.approx(
         first["variants"][0]["mass_final"]
     )
+
+
+def test_run_sweep_resume_rejects_edited_setup(tmp_path):
+    """Editing the setup between runs (same setup_id) must refuse resume:
+    reused variants would carry the OLD physics."""
+    setup = _setup()
+    out = tmp_path / "sweep"
+    run_sweep(setup, [("tau_0", [440.0])], out_dir=out, strang_mode="exact")
+    edited = _setup()
+    edited.parameters.bath_temperature = 0.35  # same setup_id, new physics
+    with pytest.raises(ValueError, match="settings differ"):
+        run_sweep(edited, [("tau_0", [440.0])], out_dir=out, resume=True,
+                  strang_mode="exact")
+
+
+def test_run_sweep_resume_tolerates_callable_kwargs(tmp_path):
+    """Objects whose repr embeds a memory address (callbacks) must not make
+    resume refuse across processes — addresses are normalized away."""
+    setup = _setup()
+    out = tmp_path / "sweep"
+    run_sweep(setup, [("tau_0", [440.0])], out_dir=out, strang_mode="exact",
+              progress_callback=lambda t, f: None)
+    # a NEW callable object (different address, same meaning)
+    second = run_sweep(setup, [("tau_0", [440.0])], out_dir=out, resume=True,
+                       strang_mode="exact", progress_callback=lambda t, f: None)
+    assert second["variants"][0].get("resumed")
