@@ -448,6 +448,29 @@ def _cmd_view(args: argparse.Namespace) -> int:
     from .ui.playback import export_simulation_images
 
     sim_path = Path(args.simulation)
+    # a sweep summary (or its directory): render calibration curves
+    summary_path = None
+    if sim_path.is_file() and sim_path.name == "sweep_summary.json":
+        summary_path = sim_path
+    elif sim_path.is_dir() and (sim_path / "sweep_summary.json").is_file() and not (
+        sim_path / "manifest.json"
+    ).is_file():
+        summary_path = sim_path / "sweep_summary.json"
+    if summary_path is not None:
+        import json as _json
+
+        from .ui.playback import export_sweep_curves
+
+        summary = _json.loads(summary_path.read_text())
+        out_dir = Path(args.out) if args.out else summary_path.parent / "curves"
+        written = export_sweep_curves(summary, out_dir, dpi=args.dpi)
+        print(
+            f"sweep '{summary.get('setup_name', '?')}': "
+            f"{summary.get('n_variants', 0)} variants "
+            f"({summary.get('n_failed', 0)} failed)"
+        )
+        print(f"wrote {len(written)} curve images -> {out_dir}")
+        return 0
     render_kw = dict(
         frames=args.frames,
         phonons=args.phonons,

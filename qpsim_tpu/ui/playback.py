@@ -18,6 +18,7 @@ __all__ = [
     "export_case_images",
     "export_simulation_images",
     "export_stream_images",
+    "export_sweep_curves",
     "write_gif",
     "render_heatmap",
     "render_line1d",
@@ -329,6 +330,81 @@ def export_stream_images(
         _save(_mass, out / "mass.png")
     return written
 
+
+
+def export_sweep_curves(summary: dict, out_dir, *, dpi: int = 110) -> list:
+    """Render calibration curves from a ``sweep_summary.json`` payload.
+
+    One PNG per observable (``mass_final``, ``mass_peak``, the decay ratio
+    final/peak, and the energy finals when present): x = the FIRST vary
+    axis, one line per combination of the remaining axes, failed variants
+    skipped.  Matches the plotting conventions of the other exporters
+    (``render_mass_trace`` style); the sweep machinery itself lives in
+    :mod:`qpsim_tpu.sweep`.
+    """
+    from pathlib import Path
+
+    from matplotlib.figure import Figure
+
+    axes_spec = summary.get("axes") or []
+    if not axes_spec:
+        raise ValueError("sweep summary has no axes to plot against.")
+    x_field = axes_spec[0]["field"]
+    other_fields = [a["field"] for a in axes_spec[1:]]
+    ok = [v for v in summary.get("variants", []) if "error" not in v]
+    if not ok:
+        raise ValueError("sweep summary has no successful variants to plot.")
+
+    series: dict[tuple, list] = {}
+    for rec in ok:
+        key = tuple(rec["overrides"].get(f) for f in other_fields)
+        series.setdefault(key, []).append(rec)
+    for recs in series.values():
+        recs.sort(key=lambda r: r["overrides"][x_field])
+
+    def values(recs, obs):
+        xs = [r["overrides"][x_field] for r in recs]
+        if obs == "decay_ratio":
+            ys = [
+                r["mass_final"] / r["mass_peak"] if r.get("mass_peak") else None
+                for r in recs
+            ]
+        else:
+            ys = [r.get(obs) for r in recs]
+        pairs = [(x, y) for x, y in zip(xs, ys) if y is not None]
+        return [p[0] for p in pairs], [p[1] for p in pairs]
+
+    observables = ["mass_final", "mass_peak", "decay_ratio",
+                   "energy_qp_final", "energy_phonon_final"]
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    written: list = []
+    name = summary.get("setup_name", "sweep")
+    for obs in observables:
+        any_points = False
+        fig = Figure(figsize=(6.0, 4.2))
+        ax = fig.add_subplot(111)
+        for key, recs in sorted(series.items()):
+            xs, ys = values(recs, obs)
+            if not xs:
+                continue
+            any_points = True
+            label = ", ".join(
+                f"{f.split('.')[-1]}={v:g}" if isinstance(v, float) else f"{f.split('.')[-1]}={v}"
+                for f, v in zip(other_fields, key)
+            )
+            ax.plot(xs, ys, "o-", lw=1.5, label=label or None)
+        if not any_points:
+            continue
+        ax.set_xlabel(x_field)
+        ax.set_ylabel(obs.replace("_", " "))
+        ax.set_title(f"{name}: {obs.replace('_', ' ')} vs {x_field}")
+        if len(series) > 1:
+            ax.legend(fontsize=8)
+        path = out / f"sweep_{obs}.png"
+        fig.savefig(path, dpi=dpi, bbox_inches="tight")
+        written.append(path)
+    return written
 
 def write_gif(image_paths, out_path, *, fps: float = 8.0):
     """Assemble already-rendered PNGs into a looping animated GIF."""

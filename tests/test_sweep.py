@@ -296,3 +296,56 @@ def test_run_sweep_resume_tolerates_callable_kwargs(tmp_path):
     second = run_sweep(setup, [("tau_0", [440.0])], out_dir=out, resume=True,
                        strang_mode="exact", progress_callback=lambda t, f: None)
     assert second["variants"][0].get("resumed")
+
+
+def test_cli_view_sweep_curves(tmp_path, capsys):
+    """`view` renders calibration curves from a sweep summary (file or dir)."""
+    setup_path = save_setup(_setup(), tmp_path / "s.json")
+    out_dir = tmp_path / "out"
+    rc = cli_main(
+        ["sweep", str(setup_path), "--vary", "tau_0=200,500,800",
+         "--vary", "bath_temperature=0.1,0.3",
+         "--out-dir", str(out_dir), "--strang-mode", "exact"]
+    )
+    assert rc == 0
+    capsys.readouterr()
+
+    rc = cli_main(["view", str(out_dir / "sweep_summary.json")])
+    out = capsys.readouterr().out
+    assert rc == 0 and "curve images" in out
+    curves = sorted((out_dir / "curves").glob("sweep_*.png"))
+    names = {p.name for p in curves}
+    assert {"sweep_mass_final.png", "sweep_mass_peak.png",
+            "sweep_decay_ratio.png"} <= names
+    for p in curves:
+        assert p.read_bytes()[:8] == b"\x89PNG\r\n\x1a\n"
+
+    # directory form dispatches to the same path
+    rc = cli_main(["view", str(out_dir), "--out", str(tmp_path / "c2")])
+    assert rc == 0
+    assert sorted((tmp_path / "c2").glob("sweep_*.png"))
+
+
+def test_export_sweep_curves_edge_cases(tmp_path):
+    from qpsim_tpu.ui.playback import export_sweep_curves
+
+    with pytest.raises(ValueError, match="axes"):
+        export_sweep_curves({"variants": []}, tmp_path)
+    with pytest.raises(ValueError, match="successful"):
+        export_sweep_curves(
+            {"axes": [{"field": "tau_0", "values": [1.0]}],
+             "variants": [{"overrides": {"tau_0": 1.0}, "error": "boom"}]},
+            tmp_path,
+        )
+    # failed variants are skipped, not plotted
+    written = export_sweep_curves(
+        {"axes": [{"field": "tau_0", "values": [1.0, 2.0]}],
+         "setup_name": "t",
+         "variants": [
+             {"overrides": {"tau_0": 1.0}, "mass_final": 0.5, "mass_peak": 1.0},
+             {"overrides": {"tau_0": 2.0}, "error": "boom"},
+         ]},
+        tmp_path / "c",
+    )
+    assert (tmp_path / "c" / "sweep_mass_final.png").exists()
+    assert written
