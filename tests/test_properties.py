@@ -119,3 +119,53 @@ def test_mask_polygon_raster_round_trip_random(seed):
         return
     back = rasterize_polygons(polys, np.arange(nx) + 0.5, np.arange(ny) + 0.5)
     np.testing.assert_array_equal(back, mask)
+
+
+@settings(max_examples=5, deadline=None)
+@given(seed=_noisy)
+def test_distributed_wang_matches_pencil_on_random_masks(seed):
+    """y_solve='wang' ≡ 'pencil' (f64 roundoff) over random masked
+    geometries — holes land anywhere relative to shard boundaries, so the
+    decoupled-interval handling of the distributed partition is exercised
+    at every alignment."""
+    import jax
+
+    from qpsim_tpu.geometry.mask import extract_edge_segments
+    from qpsim_tpu.models.params import BoundaryCondition
+    from qpsim_tpu.ops.diffusion import build_directional_stencils, fold_diffusion
+    from qpsim_tpu.parallel.mesh import make_mesh
+    from qpsim_tpu.parallel.sharded import build_sharded_step
+
+    rng = np.random.default_rng(seed)
+    ny = nx = 16
+    mask = np.ones((ny, nx), dtype=bool)
+    for _ in range(rng.integers(0, 4)):
+        r0 = int(rng.integers(0, ny - 2))
+        c0 = int(rng.integers(0, nx - 2))
+        mask[r0 : r0 + int(rng.integers(1, 4)), c0 : c0 + int(rng.integers(1, 4))] = False
+    if not mask.any():
+        mask[0, 0] = True
+    edges = extract_edge_segments(mask)
+    kinds = ["reflective", "absorbing", "dirichlet", "neumann"]
+    bcs = {
+        e.edge_id: BoundaryCondition(
+            kind=kinds[int(rng.integers(0, len(kinds)))], value=0.1
+        )
+        for e in edges
+    }
+    xs, ys = build_directional_stencils(mask, edges, bcs, 1.0)
+    op = fold_diffusion(xs, ys, mask, 1.0, rng.uniform(1.0, 8.0, 2))
+    mesh = make_mesh(n_space=len(jax.devices()))
+    q0 = jnp.asarray(np.where(mask, 1.0, 0.0)[None] * rng.uniform(0, 1, (2, ny, nx)))
+    ph0 = jnp.zeros((1, ny, nx))
+    outs = {}
+    for ys_mode in ("pencil", "wang"):
+        sh = build_sharded_step(mesh, op, 0.07, dtype=jnp.float64, y_solve=ys_mode)
+        q, ph = q0, ph0
+        for _ in range(3):
+            q, ph, _ = sh.step(q, ph)
+        outs[ys_mode] = np.asarray(q)
+    scale = max(float(np.max(np.abs(outs["pencil"]))), 1e-30)
+    np.testing.assert_allclose(
+        outs["wang"], outs["pencil"], atol=1e-12 * scale
+    )
