@@ -55,7 +55,7 @@ __all__ = [
     "fit_ensemble",
 ]
 
-_OBSERVABLES = ("total", "spatial", "phonon_spectrum", "phonon_total")
+_OBSERVABLES = ("total", "spatial", "phonon_spectrum", "phonon_total", "mkid")
 
 
 def _traced_kernels(E: jnp.ndarray, gap: float, T_c: float):
@@ -92,6 +92,8 @@ def make_differentiable_sim(
     pulse_window: tuple[float, float] | None = None,
     remat: bool = True,
     remat_chunk: int | None = None,
+    mkid_readout_ghz: float = 5.0,
+    mkid_alpha: float = 1.0,
 ) -> Callable:
     """Build ``sim(params) -> {observable: array}`` on a masked 2D geometry.
 
@@ -128,6 +130,14 @@ def make_differentiable_sim(
     for obs in observables:
         if obs not in _OBSERVABLES:
             raise ValueError(f"Unknown observable {obs!r}; pick from {_OBSERVABLES}")
+    from .observables import PLANCK_UEV_PER_GHZ
+
+    mkid_hnu = PLANCK_UEV_PER_GHZ * float(mkid_readout_ghz)
+    if "mkid" in observables and mkid_hnu >= 2 * gap:
+        raise ValueError(
+            f"'mkid' observable needs a non-pair-breaking readout: "
+            f"hnu = {mkid_hnu:g} µeV >= 2·gap = {2 * gap:g} µeV."
+        )
     if mask is None:
         mask = np.ones((1, nx), dtype=bool)
     mask = np.asarray(mask, dtype=bool)
@@ -176,6 +186,7 @@ def make_differentiable_sim(
     weights = rho_np / max(1e-30, float(np.sum(rho_np) * dE))
     q0 = jnp.asarray(weights[:, None, None] * field[None], dtype=dtype)
     mask_dev = jnp.asarray(mask)
+    n_mask = float(mask.sum())
 
     def collide(q, ph, K_r0, K_s0, dt_c, rho_c):
         # pixel-batched: q (NE, Ny, Nx), ph (NW, Ny, Nx)
@@ -248,6 +259,7 @@ def make_differentiable_sim(
         )
 
     want_spatial = "spatial" in observables
+    want_mkid = "mkid" in observables
 
     def sim(params) -> dict[str, jax.Array]:
         D0 = params["D0"]
@@ -283,6 +295,8 @@ def make_differentiable_sim(
             out = (jnp.sum(q) * dE, jnp.sum(ph))
             if want_spatial:
                 out = out + (jnp.sum(q, axis=0) * dE,)
+            if want_mkid:
+                out = out + (jnp.sum(q * mask_dev[None], axis=(1, 2)) / n_mask,)
             return (q, ph), out
 
         body = jax.checkpoint(step) if remat else step
@@ -325,6 +339,19 @@ def make_differentiable_sim(
             result["spatial"] = jnp.concatenate([first, frames], axis=0) * mask_dev
         if "phonon_spectrum" in observables:
             result["phonon_spectrum"] = jnp.sum(ph_f, axis=(-2, -1))
+        if want_mkid:
+            from .observables import mattis_bardeen_conductivity_traced
+
+            nbar = ys[-1]  # (n_steps, NE) masked-mean spectral density
+            nbar0 = (jnp.sum(q0 * mask_dev[None], axis=(1, 2)) / n_mask)[None]
+            f_tr = jnp.concatenate([nbar0, nbar]) / jnp.maximum(rho_t, 1e-30)
+            s1s, s2s = jax.vmap(
+                lambda fo: mattis_bardeen_conductivity_traced(
+                    fo, E_np, gap_t, mkid_hnu
+                )
+            )(f_tr)
+            result["mkid_df"] = 0.5 * mkid_alpha * (s2s - s2s[0]) / s2s[0]
+            result["mkid_dq"] = mkid_alpha * (s1s - s1s[0]) / s2s[0]
         return result
 
     return sim

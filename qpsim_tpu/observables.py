@@ -39,6 +39,7 @@ from .ops.dos import dynes_density_of_states
 __all__ = [
     "PLANCK_UEV_PER_GHZ",
     "mattis_bardeen_conductivity",
+    "mattis_bardeen_conductivity_traced",
     "occupation_from_spectral",
     "mkid_response_trace",
 ]
@@ -186,3 +187,61 @@ def mkid_response_trace(
         "df_over_f": df_over_f,
         "dQ_inv": dq_inv,
     }
+
+
+def mattis_bardeen_conductivity_traced(
+    f_occ, E_bins: np.ndarray, gap, hnu: float, *, n_cheb: int = 64
+):
+    """jnp-traceable (σ₁/σₙ, σ₂/σₙ): same math as
+    :func:`mattis_bardeen_conductivity`, built from jax ops so it
+    differentiates — through the occupation (and through a traced gap) —
+    and composes with :mod:`qpsim_tpu.diff`'s ``"mkid"`` observable.
+
+    ``E_bins`` stays a static numpy grid (fixed discretization); ``gap``
+    may be a traced scalar.  Energies in µeV; requires ``hnu < 2·gap`` at
+    the NOMINAL gap (checked by callers holding the static value).
+    """
+    import jax.numpy as jnp
+
+    E = np.asarray(E_bins, np.float64)
+    hnu = float(hnu)
+    f = jnp.asarray(f_occ)
+    gap = jnp.asarray(gap, f.dtype)
+    Ej = jnp.asarray(E, f.dtype)
+
+    def interp_f(x):
+        return jnp.interp(x, Ej, f, left=f[0], right=0.0)
+
+    # σ₁ — analytic 1/√(E−Δ) cell weights, smooth part at bin centers
+    edges = np.empty(E.size + 1)
+    edges[1:-1] = 0.5 * (E[1:] + E[:-1])
+    edges[0] = E[0] - (0.5 * (E[1] - E[0]) if E.size > 1 else 0.0)
+    edges[-1] = E[-1] + (0.5 * (E[-1] - E[-2]) if E.size > 1 else 0.0)
+    edges_j = jnp.maximum(jnp.asarray(edges, f.dtype), gap)
+    df = f - interp_f(Ej + hnu)
+    smooth = (
+        (Ej * Ej + gap * gap + hnu * Ej)
+        / jnp.sqrt(jnp.maximum(Ej + gap, 1e-30))
+        / jnp.sqrt(jnp.maximum((Ej + hnu) ** 2 - gap * gap, 1e-30))
+    )
+    cell_w = 2.0 * (
+        jnp.sqrt(jnp.maximum(edges_j[1:] - gap, 0.0))
+        - jnp.sqrt(jnp.maximum(edges_j[:-1] - gap, 0.0))
+    )
+    sigma1 = 2.0 / hnu * jnp.sum(df * smooth * cell_w)
+
+    # σ₂ — Gauss–Chebyshev over [max(Δ−ω, −Δ), Δ] (endpoint singularities
+    # absorbed by the node weight)
+    k = np.arange(1, n_cheb + 1)
+    x = jnp.asarray(np.cos((2 * k - 1) * np.pi / (2 * n_cheb)), f.dtype)
+    lo = jnp.maximum(gap - hnu, -gap)
+    c = 0.5 * (lo + gap)
+    r = 0.5 * (gap - lo)
+    Eq = c + r * x
+    f_up = interp_f(Eq + hnu)
+    num = Eq * Eq + gap * gap + hnu * Eq
+    den = jnp.sqrt(jnp.maximum(gap + Eq, 1e-30)) * jnp.sqrt(
+        jnp.maximum(Eq + hnu + gap, 1e-30)
+    )
+    sigma2 = 1.0 / hnu * (np.pi / n_cheb) * jnp.sum((1.0 - 2.0 * f_up) * num / den)
+    return sigma1, sigma2

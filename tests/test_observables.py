@@ -138,3 +138,55 @@ def test_mkid_response_trace_end_to_end():
     w_hot[:, :4] = 1.0  # pulse is uniform here, any region works for shape
     resp_w = mkid_response_trace(ef, eb, GAP, readout_ghz=5.0, weights=w_hot)
     assert len(resp_w["df_over_f"]) == len(df)
+
+
+def test_differentiable_mkid_observable():
+    """The 'mkid' observable differentiates: d(δf/f)/d(pulse_rate) is
+    negative (more photons → deeper dip) and matches finite differences."""
+    import jax
+    import jax.numpy as jnp
+
+    from qpsim_tpu.diff import make_differentiable_sim
+
+    sim = make_differentiable_sim(
+        nx=24,
+        num_energy_bins=8,
+        energy_max_factor=3.0,
+        dt=0.05,
+        n_steps=30,
+        bath_temperature=0.2,
+        pulse_window=(0.1, 0.4),
+        observables=("total", "mkid"),
+        mkid_readout_ghz=5.0,
+        mkid_alpha=0.05,
+    )
+    params = dict(
+        D0=jnp.asarray(6.0),
+        tau_s=jnp.asarray(440.0),
+        tau_r=jnp.asarray(440.0),
+        pulse_rate=jnp.asarray(2e-4),
+    )
+    out = sim(params)
+    df = np.asarray(out["mkid_df"])
+    assert df.shape == (31,) and df[0] == 0.0
+    assert df.min() < -1e-12  # the dip exists
+
+    def final_df(rate):
+        p = dict(params, pulse_rate=rate)
+        return sim(p)["mkid_df"][-1]
+
+    g = jax.grad(final_df)(jnp.asarray(2e-4))
+    assert float(g) < 0.0  # more photons -> lower frequency
+    eps = 1e-8
+    fd = (float(final_df(jnp.asarray(2e-4 + eps))) - float(final_df(jnp.asarray(2e-4 - eps)))) / (2 * eps)
+    assert float(g) == pytest.approx(fd, rel=1e-4)
+
+
+def test_mkid_observable_rejects_pair_breaking_readout():
+    from qpsim_tpu.diff import make_differentiable_sim
+
+    with pytest.raises(ValueError, match="pair-breaking"):
+        make_differentiable_sim(
+            nx=8, num_energy_bins=4, observables=("mkid",),
+            mkid_readout_ghz=100.0,  # hnu ~ 414 ueV > 2*180
+        )
