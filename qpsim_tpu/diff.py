@@ -20,6 +20,9 @@ gap: fixed discretization, varying physics).  Observables:
 * ``"total"``   — (n_steps+1,) energy-integrated QP number trace;
 * ``"spatial"`` — (n_stored, Ny, Nx) energy-integrated density frames
   (zero outside the mask), every ``store_every`` steps;
+* ``"mkid"``    — differentiable readout traces ``mkid_df``/``mkid_dq``
+  (δf/f and δ(1/Q) via the traced Mattis–Bardeen integrals,
+  ``mkid_readout_ghz=``/``mkid_alpha=``) — fit measured pulses directly;
 * ``"phonon_spectrum"`` — (NW,) final phonon occupation per ω bin, summed
   over pixels;
 * ``"phonon_total"`` — (n_steps+1,) total phonon occupation trace.

@@ -190,7 +190,7 @@ def mkid_response_trace(
 
 
 def mattis_bardeen_conductivity_traced(
-    f_occ, E_bins: np.ndarray, gap, hnu: float, *, n_cheb: int = 64
+    f_occ, E_bins: np.ndarray, gap, hnu: float, *, n_cheb: int = 128
 ):
     """jnp-traceable (σ₁/σₙ, σ₂/σₙ): same math as
     :func:`mattis_bardeen_conductivity`, built from jax ops so it
@@ -224,10 +224,16 @@ def mattis_bardeen_conductivity_traced(
         / jnp.sqrt(jnp.maximum(Ej + gap, 1e-30))
         / jnp.sqrt(jnp.maximum((Ej + hnu) ** 2 - gap * gap, 1e-30))
     )
-    cell_w = 2.0 * (
-        jnp.sqrt(jnp.maximum(edges_j[1:] - gap, 0.0))
-        - jnp.sqrt(jnp.maximum(edges_j[:-1] - gap, 0.0))
-    )
+
+    def safe_sqrt(d):
+        # d >= 0 by construction; at the clamped edge d == 0 exactly and
+        # sqrt'(0) = inf would poison gradients through a traced gap — the
+        # clamped edge contributes 0 for ALL nearby gaps, so the correct
+        # derivative there is 0 (diff.py's where-pattern)
+        pos = d > 0
+        return jnp.where(pos, jnp.sqrt(jnp.where(pos, d, 1.0)), 0.0)
+
+    cell_w = 2.0 * (safe_sqrt(edges_j[1:] - gap) - safe_sqrt(edges_j[:-1] - gap))
     sigma1 = 2.0 / hnu * jnp.sum(df * smooth * cell_w)
 
     # σ₂ — Gauss–Chebyshev over [max(Δ−ω, −Δ), Δ] (endpoint singularities

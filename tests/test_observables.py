@@ -132,12 +132,21 @@ def test_mkid_response_trace_end_to_end():
     # recovery: |δf| shrinks monotonically after the peak response
     tail = np.abs(df[i_min:])
     assert np.all(np.diff(tail) <= 1e-18)
-    # weights concentrate the sensitivity: weighting a hot region harder
-    # must produce a larger response than weighting a cold one
-    w_hot = np.zeros(mask.shape)
-    w_hot[:, :4] = 1.0  # pulse is uniform here, any region works for shape
-    resp_w = mkid_response_trace(ef, eb, GAP, readout_ghz=5.0, weights=w_hot)
-    assert len(resp_w["df_over_f"]) == len(df)
+    # weights concentrate the sensitivity: with a hand-built two-region
+    # frame set (left half hot, right half mildly excited), weighting the
+    # hot region must deepen the response
+    region = np.full((4, 8), np.nan)
+    region[1:3, :] = 1.0
+    two = lambda left, right: [
+        np.concatenate([left * region, right * region], axis=1) for _ in eb
+    ]
+    f_ref = two(1e-9, 1e-9)
+    f_exc = two(2e-4, 4e-9)
+    w_hot = np.zeros((4, 16)); w_hot[:, :8] = 1.0
+    w_cold = np.zeros((4, 16)); w_cold[:, 8:] = 1.0
+    r_hot = mkid_response_trace([f_ref, f_exc], eb, GAP, weights=w_hot)
+    r_cold = mkid_response_trace([f_ref, f_exc], eb, GAP, weights=w_cold)
+    assert r_hot["df_over_f"][1] < r_cold["df_over_f"][1] < 0
 
 
 def test_differentiable_mkid_observable():
@@ -180,6 +189,37 @@ def test_differentiable_mkid_observable():
     eps = 1e-8
     fd = (float(final_df(jnp.asarray(2e-4 + eps))) - float(final_df(jnp.asarray(2e-4 - eps)))) / (2 * eps)
     assert float(g) == pytest.approx(fd, rel=1e-4)
+
+
+def test_traced_matches_numpy_and_gap_gradient_finite():
+    """The traced and numpy MB implementations must not drift (same
+    quadrature, 1e-10), and gradients through a TRACED GAP stay finite —
+    the clamped first cell edge sits exactly at Δ, where a naive sqrt has
+    an infinite derivative."""
+    import jax
+
+    from qpsim_tpu.observables import mattis_bardeen_conductivity_traced
+
+    E = _fine_grid(n=200)
+    f = _fd(E, 0.25)
+    hnu = PLANCK_UEV_PER_GHZ * 5.0
+    a1, a2 = mattis_bardeen_conductivity(f, E, GAP, hnu)
+    b1, b2 = mattis_bardeen_conductivity_traced(f, E, GAP, hnu)
+    assert float(b1) == pytest.approx(a1, rel=1e-10)
+    assert float(b2) == pytest.approx(a2, rel=1e-10)
+
+    g1 = jax.grad(
+        lambda g: mattis_bardeen_conductivity_traced(f, E, g, hnu)[0]
+    )(GAP)
+    g2 = jax.grad(
+        lambda g: mattis_bardeen_conductivity_traced(f, E, g, hnu)[1]
+    )(GAP)
+    assert np.isfinite(float(g1)) and np.isfinite(float(g2))
+    # and slightly above the grid start too (fitted gaps move)
+    g1b = jax.grad(
+        lambda g: mattis_bardeen_conductivity_traced(f, E, g, hnu)[0]
+    )(GAP * 1.01)
+    assert np.isfinite(float(g1b))
 
 
 def test_mkid_observable_rejects_pair_breaking_readout():
