@@ -498,6 +498,43 @@ def _cmd_view(args: argparse.Namespace) -> int:
         written = export_simulation_images(result, out_dir, **render_kw)
         name, sim_id = result.setup_name, result.simulation_id
         n_frames, times = len(result.frames), result.times
+    if args.mkid is not None:
+        import numpy as np
+
+        from .observables import mkid_response_trace
+        from .ui.playback import export_mkid_response
+
+        if sim_path.is_dir():
+            if not reader.has_energy_frames:
+                print("error: this stream carries no per-bin spectral frames "
+                      "(needed for --mkid)", file=sys.stderr)
+                return 2
+            gap = float(reader.metadata.get("energy_gap") or 0.0)
+            ef_iter = (reader.energy_frames(i) for i in range(reader.count))
+            eb = reader.energy_bins
+        else:
+            if not result.energy_frames:
+                print("error: this simulation stores no per-bin spectral "
+                      "frames (needed for --mkid)", file=sys.stderr)
+                return 2
+            gap = float(result.metadata.get("energy_gap") or 0.0)
+            from .io.storage import frame_from_jsonable
+
+            ef_iter = (
+                [frame_from_jsonable(fr) for fr in frames_k]
+                for frames_k in result.energy_frames
+            )
+            eb = result.energy_bins
+        if gap <= 0.0:
+            # older results may not record the gap; infer from the grid
+            gap = float(eb[0]) - 0.5 * (float(eb[1]) - float(eb[0]))
+        resp = mkid_response_trace(
+            ef_iter, np.asarray(eb, float), gap,
+            readout_ghz=args.mkid, alpha=args.mkid_alpha,
+        )
+        written.append(
+            export_mkid_response(times, resp, out_dir, dpi=args.dpi)
+        )
     if args.gif:
         from .ui.playback import write_gif
 
@@ -771,6 +808,21 @@ def build_parser() -> argparse.ArgumentParser:
         "--gif", action="store_true", help="also assemble frames into movie.gif"
     )
     vw.add_argument("--fps", type=float, default=8.0, help="GIF frame rate")
+    vw.add_argument(
+        "--mkid",
+        type=float,
+        default=None,
+        metavar="GHZ",
+        help="also render the Mattis–Bardeen readout response (δf/f and "
+        "δ(1/Q) at this readout frequency) from the stored spectral frames",
+    )
+    vw.add_argument(
+        "--mkid-alpha",
+        dest="mkid_alpha",
+        type=float,
+        default=1.0,
+        help="kinetic-inductance fraction α scaling the --mkid response",
+    )
     vw.add_argument("--cmap", default="inferno")
     vw.add_argument("--dpi", type=int, default=110)
     vw.set_defaults(fn=_cmd_view)

@@ -19,6 +19,7 @@ __all__ = [
     "export_simulation_images",
     "export_stream_images",
     "export_sweep_curves",
+    "export_mkid_response",
     "write_gif",
     "render_heatmap",
     "render_line1d",
@@ -405,6 +406,30 @@ def export_sweep_curves(summary: dict, out_dir, *, dpi: int = 110) -> list:
         fig.savefig(path, dpi=dpi, bbox_inches="tight")
         written.append(path)
     return written
+
+
+def export_mkid_response(times, response: dict, out_dir, *, dpi: int = 110):
+    """Render a Mattis–Bardeen response trace (δf/f and δ(1/Q) vs time)
+    to ``mkid_response.png``; ``response`` is
+    :func:`qpsim_tpu.observables.mkid_response_trace` output."""
+    from pathlib import Path
+
+    from matplotlib.figure import Figure
+
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    fig = Figure(figsize=(6.4, 5.6))
+    ax1 = fig.add_subplot(211)
+    ax1.plot(np.asarray(times), np.asarray(response["df_over_f"]), "-", lw=1.5)
+    ax1.set_ylabel("δf / f")
+    ax1.set_title("resonator readout response")
+    ax2 = fig.add_subplot(212, sharex=ax1)
+    ax2.plot(np.asarray(times), np.asarray(response["dQ_inv"]), "-", lw=1.5, color="tab:red")
+    ax2.set_xlabel("t [ns]")
+    ax2.set_ylabel("δ(1/Q)")
+    path = out / "mkid_response.png"
+    fig.savefig(path, dpi=dpi, bbox_inches="tight")
+    return path
 
 def write_gif(image_paths, out_path, *, fps: float = 8.0):
     """Assemble already-rendered PNGs into a looping animated GIF."""

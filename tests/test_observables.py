@@ -230,3 +230,47 @@ def test_mkid_observable_rejects_pair_breaking_readout():
             nx=8, num_energy_bins=4, observables=("mkid",),
             mkid_readout_ghz=100.0,  # hnu ~ 414 ueV > 2*180
         )
+
+
+def test_cli_view_mkid_response(tmp_path, capsys):
+    """`view sim.json --mkid 5` renders the readout-response PNG (saved
+    runs and streamed runs), with clean errors when spectra are absent."""
+    import sys
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    from test_runner_cli import _setup
+
+    from qpsim_tpu.cli import main as cli_main
+    from qpsim_tpu.io.storage import save_setup
+
+    setup_path = save_setup(_setup(), tmp_path / "s.json")
+    sim = tmp_path / "sim.json"
+    assert cli_main(["run", str(setup_path), "--output", str(sim)]) == 0
+    capsys.readouterr()
+    rc = cli_main(["view", str(sim), "--frames", "last", "--no-mass",
+                   "--mkid", "5.0", "--mkid-alpha", "0.05"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    png = sim.parent / "sim_frames" / "mkid_response.png"
+    assert png.exists() and png.read_bytes()[:8] == b"\x89PNG\r\n\x1a\n"
+
+    # streamed run: same flag, same output
+    stream = tmp_path / "stream"
+    assert cli_main(["run", str(setup_path), "--no-save",
+                     "--stream-dir", str(stream)]) == 0
+    capsys.readouterr()
+    rc = cli_main(["view", str(stream), "--frames", "last", "--no-mass",
+                   "--mkid", "5.0", "--out", str(tmp_path / "sv")])
+    assert rc == 0
+    assert (tmp_path / "sv" / "mkid_response.png").exists()
+
+    # scalar run (no spectra): clean error, not a traceback
+    scalar = _setup(collisions=False)
+    scalar.parameters.energy_gap = 0.0
+    sp2 = save_setup(scalar, tmp_path / "s2.json")
+    sim2 = tmp_path / "sim2.json"
+    assert cli_main(["run", str(sp2), "--output", str(sim2)]) == 0
+    capsys.readouterr()
+    rc = cli_main(["view", str(sim2), "--mkid", "5.0"])
+    assert rc == 2
+    assert "spectral" in capsys.readouterr().err
