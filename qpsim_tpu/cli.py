@@ -457,11 +457,9 @@ def _cmd_view(args: argparse.Namespace) -> int:
     ).is_file():
         summary_path = sim_path / "sweep_summary.json"
     if summary_path is not None:
-        import json as _json
-
         from .ui.playback import export_sweep_curves
 
-        summary = _json.loads(summary_path.read_text())
+        summary = json.loads(summary_path.read_text())
         out_dir = Path(args.out) if args.out else summary_path.parent / "curves"
         written = export_sweep_curves(summary, out_dir, dpi=args.dpi)
         print(
@@ -510,6 +508,7 @@ def _cmd_view(args: argparse.Namespace) -> int:
                       "(needed for --mkid)", file=sys.stderr)
                 return 2
             gap = float(reader.metadata.get("energy_gap") or 0.0)
+            gamma = float(reader.metadata.get("dynes_gamma") or 0.0)
             ef_iter = (reader.energy_frames(i) for i in range(reader.count))
             eb = reader.energy_bins
         else:
@@ -518,6 +517,7 @@ def _cmd_view(args: argparse.Namespace) -> int:
                       "frames (needed for --mkid)", file=sys.stderr)
                 return 2
             gap = float(result.metadata.get("energy_gap") or 0.0)
+            gamma = float(result.metadata.get("dynes_gamma") or 0.0)
             from .io.storage import frame_from_jsonable
 
             ef_iter = (
@@ -528,10 +528,15 @@ def _cmd_view(args: argparse.Namespace) -> int:
         if gap <= 0.0:
             # older results may not record the gap; infer from the grid
             gap = float(eb[0]) - 0.5 * (float(eb[1]) - float(eb[0]))
-        resp = mkid_response_trace(
-            ef_iter, np.asarray(eb, float), gap,
-            readout_ghz=args.mkid, alpha=args.mkid_alpha,
-        )
+        try:
+            resp = mkid_response_trace(
+                ef_iter, np.asarray(eb, float), gap,
+                readout_ghz=args.mkid, alpha=args.mkid_alpha,
+                dynes_gamma=gamma,
+            )
+        except ValueError as exc:
+            print(f"error: {exc}", file=sys.stderr)
+            return 2
         written.append(
             export_mkid_response(times, resp, out_dir, dpi=args.dpi)
         )

@@ -171,6 +171,7 @@ def run_setup(
     snapshot_detail: str = "full",
     freeze_phonon_dynamics: bool = False,
     mesh=None,
+    mesh_y_solve: str | None = None,
 ) -> tuple[SimulationResultData, str | None]:
     """Run one setup end-to-end and (optionally) persist the result.
 
@@ -257,6 +258,8 @@ def run_setup(
                 "setup_id": setup.setup_id,
                 "setup_name": setup.name,
                 "created_at": utc_now_iso(),
+                "energy_gap": p.energy_gap,
+                "dynes_gamma": p.dynes_gamma,
             },
         )
         stream_sink = _StreamingTotalsSink(stream_writer, mask)
@@ -301,6 +304,7 @@ def run_setup(
         frame_sink=stream_sink,
         snapshot_detail=snapshot_detail,
         mesh=mesh,
+        mesh_y_solve=mesh_y_solve,
     )
 
     area = float(p.mesh_size * p.mesh_size)
@@ -394,6 +398,7 @@ def run_setup(
             "dt": p.dt,
             "total_time": p.total_time,
             "energy_gap": p.energy_gap,
+            "dynes_gamma": p.dynes_gamma,
             "export_phonon_history": export_phonons,
             "energy_qp_total": energy_qp_total,
             "energy_phonon_total": energy_phonon_total,

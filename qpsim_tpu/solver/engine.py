@@ -163,6 +163,7 @@ def run_2d_crank_nicolson(
     collision_backend: str = "auto",
     strang_mode: str = "auto",
     mesh=None,
+    mesh_y_solve: str | None = None,
     frame_sink=None,
     snapshot_detail: str = "full",
 ) -> tuple:
@@ -277,6 +278,13 @@ def run_2d_crank_nicolson(
         # the generation program is built (same rule as single-chip), and
         # 'merged' composes the sharded step's pieces — one collision
         # substep per step, identical communication.
+        if mesh_y_solve is None:
+            mesh_y_solve = os.environ.get("QPSIM_MESH_Y_SOLVE", "pencil")
+        if mesh_y_solve not in ("pencil", "wang"):
+            raise ValueError(
+                f"Unknown mesh_y_solve: {mesh_y_solve!r} (use 'pencil' or "
+                "'wang'; also settable via QPSIM_MESH_Y_SOLVE)."
+            )
     if store_every <= 0:
         store_every = 1
     mask = np.asarray(mask, dtype=bool)
@@ -344,6 +352,7 @@ def run_2d_crank_nicolson(
             collision_backend=collision_backend,
             strang_mode=strang_mode,
             mesh=mesh,
+            mesh_y_solve=mesh_y_solve,
             frame_sink=frame_sink,
             snapshot_detail=snapshot_detail,
         )
@@ -661,6 +670,7 @@ def _engine_program_key(
     pauli_density_floor,
     strang_mode,
     mesh=None,
+    mesh_y_solve="pencil",
 ) -> str:
     h = hashlib.sha256()
 
@@ -698,7 +708,7 @@ def _engine_program_key(
             "mesh",
             tuple(mesh.shape.items()),
             tuple((int(d.id), str(d.platform)) for d in np.asarray(mesh.devices).flat),
-            os.environ.get("QPSIM_MESH_Y_SOLVE", "pencil"),
+            str(mesh_y_solve),
         )
     _hash_update_array(h, np.packbits(np.asarray(mask, dtype=bool)))
     _hash_update_array(h, np.asarray(E_bins, dtype=np.float64))
@@ -783,6 +793,7 @@ def _build_engine_program(
     pauli_density_floor,
     strang_mode,
     mesh=None,
+    mesh_y_solve="pencil",
 ) -> _EngineProgram:
     ny, nx = mask.shape
     n_spatial = int(mask.sum())
@@ -961,6 +972,34 @@ def _build_engine_program(
     )
     gen_mask_plane = jnp.asarray(mask, dtype=dtype)
 
+    def make_gen_helpers(seg_dt: float):
+        """One pair of dt·g helpers shared by the single-chip and mesh
+        segment runners (they must never diverge).  ``gaux`` is the dtype
+        mask plane, a jit ARGUMENT per the remote-TPU aux rule — closing
+        over a device array would embed it as an MLIR constant and pay a
+        host fetch per segment compile."""
+
+        def gen_plane(t, gaux):
+            """dt·g as a (Ny, Nx) plane + validity flags (scalar-amp modes).
+
+            Scalar-mode flags are equivalent to the array-mode ones: the
+            masked array is amp·mask, so any nonfinite/negative masked cell
+            ⇔ nonfinite/negative amp (the mask is never empty)."""
+            amp = jnp.asarray(seg_dt, dtype) * gen.scalar_amp_fn(t)
+            return amp * gaux, ~jnp.isfinite(amp), amp < 0
+
+        def gen_add(qq, t, gaux):
+            """Forward-Euler g_ext injection + on-device validity flags."""
+            g = gen.traced_fn(t)
+            g_masked = jnp.where(gaux > 0, g, 0.0)
+            return (
+                qq + seg_dt * g,
+                ~jnp.all(jnp.isfinite(g_masked)),
+                jnp.any(g_masked < 0),
+            )
+
+        return gen_plane, gen_add
+
     def make_col(dt_col: float, gen_input: bool = False):
         if not collisions_on:
             return None
@@ -1102,11 +1141,11 @@ def _build_engine_program(
         # substep per step instead of two, communication unchanged
         merged_mesh = strang_mode == "merged" and collisions_on
 
-        # cross-shard y-sweep strategy: 'pencil' (all_to_all transposes,
-        # the measured-on-hardware default) or 'wang' (distributed Wang
-        # partition, ~40x less ICI traffic by the model — opt-in until a
-        # real multi-chip slice can arbitrate)
-        mesh_y_solve = os.environ.get("QPSIM_MESH_Y_SOLVE", "pencil")
+        # cross-shard y-sweep strategy (validated at the engine surface):
+        # 'pencil' (all_to_all transposes, the measured-on-hardware
+        # default) or 'wang' (distributed Wang partition, ~40x less ICI
+        # traffic by the model — opt-in until a real multi-chip slice can
+        # arbitrate)
 
         def get_sharded(seg_dt: float):
             if seg_dt not in sharded_cache:
@@ -1126,27 +1165,12 @@ def _build_engine_program(
                 merged_mesh and length > 1 and sh.apply_diffuse is not None
             )
 
+            gen_plane, gen_add = make_gen_helpers(seg_dt)
+
             def run(qq, pp, t_start, paux, shaux, gaux):
                 global _TRACE_EVENTS
                 _TRACE_EVENTS += 1
                 no = jnp.asarray(False)
-
-                def gen_plane(t):
-                    """dt·g as a rows-sharded plane + validity flags."""
-                    amp = jnp.asarray(seg_dt, dtype) * gen.scalar_amp_fn(t)
-                    return amp * gaux, ~jnp.isfinite(amp), amp < 0
-
-                def gen_add(qq, t):
-                    # gaux (the dtype mask plane) rides the jit boundary as
-                    # an ARGUMENT — the CLAUDE.md aux rule; mask_dev itself
-                    # must not be closed over in a jitted segment
-                    g = gen.traced_fn(t)
-                    g_masked = jnp.where(gaux > 0, g, 0.0)
-                    return (
-                        qq + seg_dt * g,
-                        ~jnp.all(jnp.isfinite(g_masked)),
-                        jnp.any(g_masked < 0),
-                    )
 
                 def body(carry, idx):
                     qq, pp, t0 = carry
@@ -1154,11 +1178,11 @@ def _build_engine_program(
                     gen_nonfinite = no
                     gen_negative = no
                     if fuse_gen_mesh:
-                        grow, gen_nonfinite, gen_negative = gen_plane(t)
+                        grow, gen_nonfinite, gen_negative = gen_plane(t, gaux)
                         qq, pp, _mass = sh.apply(qq, pp, grow, *shaux)
                     else:
                         if gen.traced_fn is not None:
-                            qq, gen_nonfinite, gen_negative = gen_add(qq, t)
+                            qq, gen_nonfinite, gen_negative = gen_add(qq, t, gaux)
                         qq, pp, _mass = sh.apply(qq, pp, *shaux)
                     stats = pauli_stats_fn(qq, paux)
                     return (qq, pp, t0), stats + (gen_nonfinite, gen_negative)
@@ -1170,10 +1194,10 @@ def _build_engine_program(
                     raw, src = shaux
                     gnf0 = gng0 = no
                     if fuse_gen_mesh:
-                        grow0, gnf0, gng0 = gen_plane(t_start)
+                        grow0, gnf0, gng0 = gen_plane(t_start, gaux)
                         qq, pp = sh.apply_col_half_gen(qq, pp, grow0, raw)
                     elif gen.traced_fn is not None:
-                        qq, gnf0, gng0 = gen_add(qq, t_start)
+                        qq, gnf0, gng0 = gen_add(qq, t_start, gaux)
                         qq, pp = sh.apply_col_half(qq, pp, raw)
                     else:
                         qq, pp = sh.apply_col_half(qq, pp, raw)
@@ -1184,11 +1208,11 @@ def _build_engine_program(
                         gnf = gng = no
                         if fuse_gen_mesh:
                             t = t0 + (idx + 1).astype(t0.dtype) * seg_dt
-                            grow, gnf, gng = gen_plane(t)
+                            grow, gnf, gng = gen_plane(t, gaux)
                             qq, pp = sh.apply_col_full_gen(qq, pp, grow, raw)
                         elif gen.traced_fn is not None:
                             t = t0 + (idx + 1).astype(t0.dtype) * seg_dt
-                            qq, gnf, gng = gen_add(qq, t)
+                            qq, gnf, gng = gen_add(qq, t, gaux)
                             qq, pp = sh.apply_col_full(qq, pp, raw)
                         else:
                             qq, pp = sh.apply_col_full(qq, pp, raw)
@@ -1287,30 +1311,7 @@ def _build_engine_program(
             and length > 1
         )
 
-        def gen_apply(qq, t, gplane):
-            """Forward-Euler g_ext injection + on-device validity flags.
-
-            ``gplane`` is the dtype mask plane passed as a jit ARGUMENT
-            (the CLAUDE.md aux rule — closing over ``mask_dev`` would embed
-            it as an MLIR constant and pay a host fetch per segment compile
-            over a remote-TPU tunnel)."""
-            g = gen.traced_fn(t)
-            g_masked = jnp.where(gplane > 0, g, 0.0)
-            nonfinite = ~jnp.all(jnp.isfinite(g_masked))
-            negative = jnp.any(g_masked < 0)
-            return qq + seg_dt * g, nonfinite, negative
-
-        def gen_fused_plane(t, gplane):
-            """dt·g as a (Ny, Nx) plane for the kernel pre-add + flags.
-
-            ``gplane`` is the mask plane, passed as a jit ARGUMENT (closing
-            over it would embed ~4 MB at 1024² as an MLIR constant and pay
-            a host fetch per segment compile — the CLAUDE.md aux rule).
-            Scalar-mode flags are equivalent to the array-mode ones: the
-            masked array is amp·mask, so any nonfinite/negative masked cell
-            ⇔ nonfinite/negative amp (the mask is never empty)."""
-            amp = jnp.asarray(seg_dt, dtype) * gen.scalar_amp_fn(t)
-            return amp * gplane, ~jnp.isfinite(amp), amp < 0
+        gen_fused_plane, gen_apply = make_gen_helpers(seg_dt)
 
         def run(qq, pp, t_start, daux, paux, gaux):
             global _TRACE_EVENTS
@@ -1488,6 +1489,7 @@ def _run_energy_resolved(
     collision_backend="auto",
     strang_mode="exact",
     mesh=None,
+    mesh_y_solve="pencil",
     frame_sink=None,
     snapshot_detail="full",
 ):
@@ -1561,6 +1563,7 @@ def _run_energy_resolved(
         pauli_density_floor=pauli_density_floor,
         strang_mode=strang_mode,
         mesh=mesh,
+        mesh_y_solve=mesh_y_solve,
     )
     pmap = prog.pmap
     omega_bins = pmap.omega_bins

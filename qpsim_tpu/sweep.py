@@ -249,8 +249,14 @@ def run_sweep(
         try:
             prior_settings = json.loads(settings_path.read_text())
         except ValueError:
-            prior_settings = None
-        if prior_settings is not None and prior_settings != settings:
+            # a damaged stamp cannot certify consistency — refuse rather
+            # than silently splice physics (the guard's whole purpose)
+            raise ValueError(
+                f"resume=True but '{settings_path}' is damaged and cannot "
+                "certify the interrupted run's settings.  Re-run without "
+                "--resume to recompute everything."
+            ) from None
+        if prior_settings != settings:
             diffs = [
                 k
                 for k in set(prior_settings) | set(settings)
@@ -262,7 +268,9 @@ def run_sweep(
                 f"{settings_path}).  Re-run without --resume (recomputes "
                 "everything) or restore the original settings."
             )
-    settings_path.write_text(json.dumps(settings, indent=2))
+    tmp = settings_path.with_suffix(".json.tmp")
+    tmp.write_text(json.dumps(settings, indent=2))
+    tmp.replace(settings_path)  # atomic: a torn write can't defeat the guard
     records: list[dict[str, Any]] = []
     for i, (overrides, variant) in enumerate(variants):
         label = _slug(overrides)

@@ -1048,3 +1048,28 @@ def test_engine_mesh_program_cache_zero_retrace(monkeypatch):
     out3 = run_2d_crank_nicolson(**kw, mesh=mesh)
     assert engine.engine_trace_count() > traces  # new program, not a stale hit
     np.testing.assert_allclose(out3[2], out1[2], rtol=1e-12)
+
+
+def test_engine_mesh_y_solve_parameter():
+    """mesh_y_solve is a first-class per-call engine argument (the env var
+    stays as the default) with surface validation."""
+    from qpsim_tpu.solver.engine import run_2d_crank_nicolson
+
+    ny = nx = 16
+    mask, edges, bcs = _geometry(ny, nx)
+    init = np.zeros(mask.shape)
+    init[mask] = 0.01
+    kw = dict(
+        mask=mask, edges=edges, edge_conditions=bcs, initial_field=init,
+        diffusion_coefficient=6.0, dt=0.05, total_time=0.2, dx=1.0,
+        store_every=2,
+        energy_gap=GAP, energy_max_factor=3.0, num_energy_bins=4,
+        enable_recombination=True, enable_scattering=True,
+        tau_s=TAU, tau_r=TAU, T_c=TC, bath_temperature=TBATH,
+    )
+    mesh = make_mesh(n_space=len(jax.devices()))
+    _, _, m_w, *_ = run_2d_crank_nicolson(**kw, mesh=mesh, mesh_y_solve="wang")
+    _, _, m_p, *_ = run_2d_crank_nicolson(**kw, mesh=mesh, mesh_y_solve="pencil")
+    np.testing.assert_allclose(m_w, m_p, rtol=1e-12)
+    with pytest.raises(ValueError, match="mesh_y_solve"):
+        run_2d_crank_nicolson(**kw, mesh=mesh, mesh_y_solve="Wang")
