@@ -8,6 +8,10 @@ File-format compatible with the reference (``/root/reference/qpsim/storage.py``)
 * test suites — **manifest format v3**: a manifest JSON whose geometry groups
   reference per-group sidecar JSON files in a same-named directory, with a
   path-escape guard; the legacy flat-case format is rejected.
+
+Deserialization is reflection-driven: the dataclasses in ``models`` are the
+single source of truth for field names and defaults, and loaders coerce JSON
+payloads against them rather than repeating every field by hand.
 """
 
 from __future__ import annotations
@@ -15,9 +19,9 @@ from __future__ import annotations
 import json
 import re
 import uuid
-from dataclasses import asdict
+from dataclasses import MISSING, asdict, fields
 from pathlib import Path
-from typing import Any
+from typing import Any, Callable
 
 import numpy as np
 
@@ -69,17 +73,20 @@ __all__ = [
     "latest_test_suite_file",
 ]
 
+_SLUG_UNSAFE = re.compile(r"[^a-zA-Z0-9_-]+")
+
+#: Strings that deserialize as False (contract: how the reference reads
+#: hand-edited boolean fields back in).
+_FALSY_STRINGS = frozenset({"false", "0", "no", ""})
+
 
 def slugify_name(name: str, fallback: str = "item") -> str:
-    value = re.sub(r"[^a-zA-Z0-9_-]+", "_", name.strip()).strip("_")
-    return value or fallback
+    return _SLUG_UNSAFE.sub("_", name.strip()).strip("_") or fallback
 
 
-def _coerce_bool(val: Any) -> bool:
-    if isinstance(val, bool):
-        return val
+def _as_bool(val: Any) -> bool:
     if isinstance(val, str):
-        return val.lower() not in ("false", "0", "no", "")
+        return val.lower() not in _FALSY_STRINGS
     return bool(val)
 
 
@@ -106,6 +113,63 @@ def frame_from_jsonable(frame: list[list[float | None]]) -> np.ndarray:
     )
 
 
+# --- reflection-driven coercion ------------------------------------------------
+
+
+def _float_list(values: Any) -> list[float]:
+    return [float(v) for v in values]
+
+
+def _float_list_or_none(values: Any) -> list[float] | None:
+    return _float_list(values) if values else None
+
+
+def _default_of(f) -> Any:
+    if f.default is not MISSING:
+        return f.default
+    if f.default_factory is not MISSING:  # type: ignore[misc]
+        return f.default_factory()  # type: ignore[misc]
+    return MISSING
+
+
+def _coercer_for(default: Any) -> Callable[[Any], Any]:
+    """Pick a JSON→python coercer from a field's default value type."""
+    if isinstance(default, bool):
+        return _as_bool
+    if isinstance(default, float):
+        return float
+    if isinstance(default, int):
+        return int
+    if isinstance(default, str):
+        return str
+    if isinstance(default, dict):
+        return dict
+    return lambda v: v
+
+
+def _build_from_payload(cls, raw: dict[str, Any], overrides: dict[str, Callable] | None = None):
+    """Construct ``cls`` from a JSON dict, defaulting and coercing per field.
+
+    ``overrides`` maps a field name to ``raw-dict -> value`` for fields whose
+    handling isn't derivable from the dataclass default (nested specs,
+    nullable floats, falsy-means-default strings).
+    """
+    overrides = overrides or {}
+    kwargs: dict[str, Any] = {}
+    for f in fields(cls):
+        if f.name in overrides:
+            kwargs[f.name] = overrides[f.name](raw)
+            continue
+        default = _default_of(f)
+        if default is MISSING:
+            kwargs[f.name] = raw[f.name]
+        elif f.name in raw:
+            kwargs[f.name] = _coercer_for(default)(raw[f.name])
+        else:
+            kwargs[f.name] = default
+    return cls(**kwargs)
+
+
 # --- setups -----------------------------------------------------------------
 
 
@@ -113,107 +177,88 @@ def serialize_setup(setup: SetupData) -> dict[str, Any]:
     return asdict(setup)
 
 
-def _external_generation_from(raw: dict[str, Any] | None) -> ExternalGenerationSpec:
-    if raw is None:
+def _generation_from(raw: Any) -> ExternalGenerationSpec:
+    if not raw:
         return ExternalGenerationSpec()
-    return ExternalGenerationSpec(
-        mode=str(raw.get("mode", "none")),
-        rate=float(raw.get("rate", 0.0)),
-        pulse_start=float(raw.get("pulse_start", 0.0)),
-        pulse_duration=float(raw.get("pulse_duration", 10.0)),
-        pulse_rate=float(raw.get("pulse_rate", 0.0)),
-        custom_body=str(raw.get("custom_body", "return 0.0")),
-        custom_params=dict(raw.get("custom_params", {})),
+    return _build_from_payload(ExternalGenerationSpec, raw)
+
+
+def _nullable_float(name: str) -> Callable[[dict], float | None]:
+    def pick(raw: dict) -> float | None:
+        val = raw.get(name)
+        return None if val is None else float(val)
+
+    return pick
+
+
+_PARAM_OVERRIDES: dict[str, Callable] = {
+    # Required numerics (no dataclass default) arrive as JSON numbers/strings.
+    "diffusion_coefficient": lambda p: float(p["diffusion_coefficient"]),
+    "dt": lambda p: float(p["dt"]),
+    "total_time": lambda p: float(p["total_time"]),
+    "mesh_size": lambda p: float(p["mesh_size"]),
+    # Falsy (null / "") means "use the registry default".
+    "collision_solver": lambda p: str(p.get("collision_solver") or "fischer_catelani_local"),
+    # tau_s / tau_r stay None when absent so tau_0 aliasing can resolve them.
+    "tau_s": _nullable_float("tau_s"),
+    "tau_r": _nullable_float("tau_r"),
+    "external_generation": lambda p: _generation_from(p.get("external_generation")),
+}
+
+
+def _parameters_from(raw: dict[str, Any]) -> SimulationParameters:
+    return _build_from_payload(SimulationParameters, raw, _PARAM_OVERRIDES)
+
+
+def _initial_condition_from(raw: dict[str, Any]) -> InitialConditionSpec:
+    # Every IC field defaults empty on load ("", {}, False by slot type) —
+    # deliberately NOT the dataclass defaults: a missing key in a hand-edited
+    # file must not resurrect an example expression body.
+    kwargs: dict[str, Any] = {}
+    for f in fields(InitialConditionSpec):
+        if f.name.endswith("_enabled"):
+            kwargs[f.name] = _as_bool(raw.get(f.name, False))
+        elif f.name.endswith("_params"):
+            kwargs[f.name] = raw.get(f.name, {})
+        else:
+            kwargs[f.name] = raw.get(f.name, "")
+    return InitialConditionSpec(**kwargs)
+
+
+def _geometry_from(raw: dict[str, Any]) -> GeometryData:
+    def edge_from(e: dict[str, Any]) -> EdgeSegment:
+        faces = [BoundaryFace(**face) for face in e["faces"]]
+        return EdgeSegment(**{**{k: e[k] for k in ("edge_id", "x0", "y0", "x1", "y1", "normal")}, "faces": faces})
+
+    return _build_from_payload(
+        GeometryData,
+        raw,
+        {
+            "layer": lambda g: int(g["layer"]),
+            "mesh_size": lambda g: float(g["mesh_size"]),
+            "edges": lambda g: [edge_from(e) for e in g["edges"]],
+            "bounds": lambda g: g.get("bounds"),
+        },
     )
 
 
 def deserialize_setup(payload: dict[str, Any]) -> SetupData:
-    geo_raw = payload["geometry"]
-    edges = [
-        EdgeSegment(
-            edge_id=e["edge_id"],
-            x0=e["x0"],
-            y0=e["y0"],
-            x1=e["x1"],
-            y1=e["y1"],
-            normal=e["normal"],
-            faces=[BoundaryFace(**f) for f in e["faces"]],
-        )
-        for e in geo_raw["edges"]
-    ]
-    geometry = GeometryData(
-        name=geo_raw["name"],
-        source_path=geo_raw["source_path"],
-        layer=int(geo_raw["layer"]),
-        mesh_size=float(geo_raw["mesh_size"]),
-        mask=geo_raw["mask"],
-        edges=edges,
-        bounds=geo_raw.get("bounds"),
-    )
-    bc_map = {
+    boundary_conditions = {
         edge_id: BoundaryCondition(
             kind=bc["kind"], value=bc.get("value"), aux_value=bc.get("aux_value")
         )
         for edge_id, bc in payload.get("boundary_conditions", {}).items()
     }
-    p = payload["parameters"]
-    params = SimulationParameters(
-        diffusion_coefficient=float(p["diffusion_coefficient"]),
-        dt=float(p["dt"]),
-        total_time=float(p["total_time"]),
-        mesh_size=float(p["mesh_size"]),
-        store_every=int(p.get("store_every", 1)),
-        energy_gap=float(p.get("energy_gap", 0.0)),
-        energy_min_factor=float(p.get("energy_min_factor", 1.0)),
-        energy_max_factor=float(p.get("energy_max_factor", 10.0)),
-        num_energy_bins=int(p.get("num_energy_bins", 50)),
-        dynes_gamma=float(p.get("dynes_gamma", 0.0)),
-        gap_expression=str(p.get("gap_expression", "")),
-        collision_solver=str(p.get("collision_solver") or "fischer_catelani_local"),
-        enable_diffusion=_coerce_bool(p.get("enable_diffusion", True)),
-        enable_recombination=_coerce_bool(p.get("enable_recombination", False)),
-        enable_scattering=_coerce_bool(p.get("enable_scattering", False)),
-        tau_0=float(p.get("tau_0", 440.0)),
-        tau_s=float(p["tau_s"]) if p.get("tau_s") is not None else None,
-        tau_r=float(p["tau_r"]) if p.get("tau_r") is not None else None,
-        T_c=float(p.get("T_c", 1.2)),
-        bath_temperature=float(p.get("bath_temperature", 0.1)),
-        export_phonon_history=_coerce_bool(p.get("export_phonon_history", False)),
-        external_generation=_external_generation_from(p.get("external_generation")),
-    )
-    ic_raw = payload.get("initial_condition", {})
-    ic = InitialConditionSpec(
-        spatial_kind=ic_raw.get("spatial_kind", ""),
-        spatial_params=ic_raw.get("spatial_params", {}),
-        spatial_custom_body=ic_raw.get("spatial_custom_body", ""),
-        spatial_custom_params=ic_raw.get("spatial_custom_params", {}),
-        energy_kind=ic_raw.get("energy_kind", ""),
-        energy_params=ic_raw.get("energy_params", {}),
-        energy_custom_body=ic_raw.get("energy_custom_body", ""),
-        energy_custom_params=ic_raw.get("energy_custom_params", {}),
-        qp_full_custom_enabled=_coerce_bool(ic_raw.get("qp_full_custom_enabled", False)),
-        qp_full_custom_body=ic_raw.get("qp_full_custom_body", ""),
-        qp_full_custom_params=ic_raw.get("qp_full_custom_params", {}),
-        phonon_spatial_kind=ic_raw.get("phonon_spatial_kind", ""),
-        phonon_spatial_params=ic_raw.get("phonon_spatial_params", {}),
-        phonon_spatial_custom_body=ic_raw.get("phonon_spatial_custom_body", ""),
-        phonon_spatial_custom_params=ic_raw.get("phonon_spatial_custom_params", {}),
-        phonon_energy_kind=ic_raw.get("phonon_energy_kind", ""),
-        phonon_energy_params=ic_raw.get("phonon_energy_params", {}),
-        phonon_energy_custom_body=ic_raw.get("phonon_energy_custom_body", ""),
-        phonon_energy_custom_params=ic_raw.get("phonon_energy_custom_params", {}),
-        phonon_full_custom_enabled=_coerce_bool(ic_raw.get("phonon_full_custom_enabled", False)),
-        phonon_full_custom_body=ic_raw.get("phonon_full_custom_body", ""),
-        phonon_full_custom_params=ic_raw.get("phonon_full_custom_params", {}),
-    )
     return SetupData(
         setup_id=payload["setup_id"],
         name=payload["name"],
         created_at=payload.get("created_at", utc_now_iso()),
-        geometry=geometry,
-        boundary_conditions=bc_map,
-        parameters=params,
-        initial_condition=canonicalize_initial_condition(ic),
+        geometry=_geometry_from(payload["geometry"]),
+        boundary_conditions=boundary_conditions,
+        parameters=_parameters_from(payload["parameters"]),
+        initial_condition=canonicalize_initial_condition(
+            _initial_condition_from(payload.get("initial_condition", {}))
+        ),
     )
 
 
@@ -221,8 +266,6 @@ def save_setup(setup: SetupData, path: Path | None = None) -> Path:
     if path is None:
         path = SETUPS_DIR / f"{slugify_name(setup.name, 'setup')}_{setup.setup_id}.json"
     return _write_json(path, serialize_setup(setup))
-
-
 
 
 def _deserialize_file(path: Path, what: str, fn):
@@ -240,8 +283,6 @@ def _deserialize_file(path: Path, what: str, fn):
         raise ValueError(
             f"Corrupt or invalid {what} file {path}: {type(exc).__name__}: {exc}"
         ) from exc
-
-
 
 
 def load_setup(path: str | Path) -> SetupData:
@@ -288,30 +329,18 @@ def serialize_simulation(result: SimulationResultData) -> dict[str, Any]:
     return asdict(result)
 
 
+_SIMULATION_OVERRIDES: dict[str, Callable] = {
+    "created_at": lambda p: p.get("created_at", utc_now_iso()),
+    "times": lambda p: _float_list(p["times"]),
+    "mass_over_time": lambda p: _float_list(p["mass_over_time"]),
+    "color_limits": lambda p: _float_list(p["color_limits"]),
+    "energy_bins": lambda p: _float_list_or_none(p.get("energy_bins")),
+    "phonon_energy_bins": lambda p: _float_list_or_none(p.get("phonon_energy_bins")),
+}
+
+
 def deserialize_simulation(payload: dict[str, Any]) -> SimulationResultData:
-    return SimulationResultData(
-        simulation_id=payload["simulation_id"],
-        setup_id=payload["setup_id"],
-        setup_name=payload["setup_name"],
-        created_at=payload.get("created_at", utc_now_iso()),
-        times=[float(v) for v in payload["times"]],
-        frames=payload["frames"],
-        mass_over_time=[float(v) for v in payload["mass_over_time"]],
-        color_limits=[float(v) for v in payload["color_limits"]],
-        metadata=payload.get("metadata", {}),
-        energy_frames=payload.get("energy_frames"),
-        energy_bins=(
-            [float(v) for v in payload["energy_bins"]] if payload.get("energy_bins") else None
-        ),
-        phonon_frames=payload.get("phonon_frames"),
-        phonon_energy_frames=payload.get("phonon_energy_frames"),
-        phonon_energy_bins=(
-            [float(v) for v in payload["phonon_energy_bins"]]
-            if payload.get("phonon_energy_bins")
-            else None
-        ),
-        phonon_metadata=payload.get("phonon_metadata"),
-    )
+    return _build_from_payload(SimulationResultData, payload, _SIMULATION_OVERRIDES)
 
 
 def save_simulation(result: SimulationResultData, path: Path | None = None) -> Path:
@@ -340,32 +369,32 @@ def create_simulation_id() -> str:
 
 
 def _test_case_from(case: dict[str, Any]) -> TestCaseResultData:
-    return TestCaseResultData(
-        case_id=case["case_id"],
-        title=case["title"],
-        boundary_label=case["boundary_label"],
-        formula_latex=case["formula_latex"],
-        initial_condition_latex=case["initial_condition_latex"],
-        description=case["description"],
-        x=[float(v) for v in case.get("x", [])],
-        times=[float(v) for v in case["times"]],
-        simulated=case["simulated"],
-        analytic=case["analytic"],
-        metadata=case.get("metadata", {}),
+    return _build_from_payload(
+        TestCaseResultData,
+        case,
+        {
+            "x": lambda c: _float_list(c.get("x", [])),
+            "times": lambda c: _float_list(c["times"]),
+        },
     )
+
+
+def _int_mask(rows: Any) -> list[list[int]]:
+    return [[int(v) for v in row] for row in rows]
 
 
 def _group_from_inline(group: dict[str, Any]) -> TestGeometryGroupData:
     cases = [_test_case_from(c) for c in group.get("cases", [])]
-    return TestGeometryGroupData(
-        geometry_id=group["geometry_id"],
-        title=group["title"],
-        description=group.get("description", ""),
-        view_mode=group.get("view_mode", "line1d"),
-        preview_mask=[[int(v) for v in row] for row in group.get("preview_mask", [])],
-        cases=cases,
-        case_count=int(group.get("case_count", len(cases))),
-        group_file=group.get("group_file"),
+    return _build_from_payload(
+        TestGeometryGroupData,
+        group,
+        {
+            "view_mode": lambda g: g.get("view_mode", "line1d"),
+            "preview_mask": lambda g: _int_mask(g.get("preview_mask", [])),
+            "cases": lambda g: cases,
+            "case_count": lambda g: int(g.get("case_count", len(cases))),
+            "group_file": lambda g: g.get("group_file"),
+        },
     )
 
 
@@ -403,7 +432,7 @@ def load_test_geometry_group(manifest_path: str | Path, geometry_id: str) -> Tes
     if group.case_count <= 0:
         group.case_count = int(raw.get("case_count", len(group.cases)))
     if not group.preview_mask:
-        group.preview_mask = [[int(v) for v in row] for row in raw.get("preview_mask", [])]
+        group.preview_mask = _int_mask(raw.get("preview_mask", []))
     group.group_file = group_file
     if group.case_count <= 0:
         group.case_count = len(group.cases)
@@ -466,18 +495,8 @@ def save_test_suite(suite: TestSuiteData, path: Path | None = None) -> Path:
             group_file=group_file,
         )
         _write_json(suite_dir / group_file, {"suite_id": suite.suite_id, "group": asdict(full)})
-        summaries.append(
-            {
-                "geometry_id": group.geometry_id,
-                "title": group.title,
-                "description": group.description,
-                "view_mode": group.view_mode,
-                "preview_mask": group.preview_mask,
-                "cases": [],
-                "case_count": len(group.cases),
-                "group_file": group_file,
-            }
-        )
+        summary = {**asdict(full), "cases": []}
+        summaries.append(summary)
     metadata = dict(suite.metadata or {})
     metadata["format_version"] = max(
         TEST_SUITE_FORMAT_VERSION, int(metadata.get("format_version", 0))

@@ -1,10 +1,10 @@
 """Typed configuration model for qpsim_tpu.
 
 These dataclasses are the JSON compatibility contract with the reference
-simulator (``/root/reference/qpsim/models.py``): field names and defaults
-match so that setups, simulations and test suites written by either
-implementation load in the other.  Validation is centralised in
-``__post_init__`` hooks, exactly as in the reference.
+simulator (``/root/reference/qpsim/models.py``): field NAMES, DEFAULTS and
+validation SEMANTICS match so that setups, simulations and test suites
+written by either implementation load in the other.  The prose around the
+contract — helpers, rule tables, error text — is this repo's own.
 """
 
 from __future__ import annotations
@@ -12,6 +12,14 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from datetime import datetime, timezone
 from typing import Any
+
+from .geometry_types import BoundaryFace, EdgeSegment, GeometryData
+from .results import (
+    SimulationResultData,
+    TestCaseResultData,
+    TestGeometryGroupData,
+    TestSuiteData,
+)
 
 __all__ = [
     "BOUNDARY_KINDS",
@@ -36,11 +44,31 @@ __all__ = [
 #: Supported per-edge boundary-condition kinds (reference models.py:8-14).
 BOUNDARY_KINDS = frozenset({"reflective", "neumann", "dirichlet", "absorbing", "robin"})
 
+#: Boundary kinds whose discretization consumes a numeric ``value``.
+_VALUE_CARRYING_KINDS = frozenset({"neumann", "dirichlet", "robin"})
+
 #: Registered collision integrators (reference models.py:15).
 COLLISION_SOLVERS = frozenset({"fischer_catelani_local"})
 
 #: External quasiparticle generation modes (reference models.py:16).
 EXTERNAL_GENERATION_MODES = frozenset({"none", "constant", "pulse", "custom"})
+
+#: Shared default expression bodies (deduplicated across IC fields).
+_DEFAULT_BLOB = "return np.exp(-((x-0.5)**2 + (y-0.5)**2) / 0.02)"
+_DEFAULT_FULL_CUSTOM = _DEFAULT_BLOB + " * np.exp(-E / 500.0)"
+_DEFAULT_FLAT_WEIGHTS = "return np.ones_like(E)"
+
+JsonDict = dict[str, Any]
+
+
+def _params_field() -> Any:
+    """A fresh-dict dataclass field (every *_params slot in the contract)."""
+    return field(default_factory=dict)
+
+
+def _check(ok: bool, problem: str) -> None:
+    if not ok:
+        raise ValueError(problem)
 
 
 def utc_now_iso() -> str:
@@ -49,9 +77,11 @@ def utc_now_iso() -> str:
 
 def normalize_collision_solver_name(value: str) -> str:
     name = str(value).strip().lower()
-    if name not in COLLISION_SOLVERS:
-        allowed = ", ".join(sorted(COLLISION_SOLVERS))
-        raise ValueError(f"Unsupported collision solver '{value}'. Supported values: {allowed}.")
+    _check(
+        name in COLLISION_SOLVERS,
+        f"Unsupported collision solver '{value}'. "
+        f"Supported values: {', '.join(sorted(COLLISION_SOLVERS))}.",
+    )
     return name
 
 
@@ -75,78 +105,44 @@ class BoundaryCondition:
 
     def validate(self) -> None:
         kind = self.normalized_kind()
-        if kind not in BOUNDARY_KINDS:
-            raise ValueError(f"Unsupported boundary condition kind: {self.kind}")
-        if kind in {"neumann", "dirichlet", "robin"} and self.value is None:
-            raise ValueError(f"Boundary condition '{kind}' requires a numeric value")
-
-
-@dataclass
-class BoundaryFace:
-    """One exposed face of an interior cell (row, col) in direction up/down/left/right."""
-
-    row: int
-    col: int
-    direction: str
-
-
-@dataclass
-class EdgeSegment:
-    """A maximal axis-aligned run of boundary faces sharing one outward normal."""
-
-    edge_id: str
-    x0: float
-    y0: float
-    x1: float
-    y1: float
-    normal: str
-    faces: list[BoundaryFace]
-
-
-@dataclass
-class GeometryData:
-    name: str
-    source_path: str
-    layer: int
-    mesh_size: float
-    mask: list[list[int]]
-    edges: list[EdgeSegment]
-    bounds: list[float] | None = None
+        _check(kind in BOUNDARY_KINDS, f"Unsupported boundary condition kind: {self.kind}")
+        if kind in _VALUE_CARRYING_KINDS:
+            _check(self.value is not None, f"Boundary condition '{kind}' requires a numeric value")
 
 
 @dataclass
 class InitialConditionSpec:
     """Split spatial × energy initial condition for QPs and phonons.
 
-    Mirrors reference models.py:82-108 field-for-field (JSON contract).
+    Mirrors reference models.py:82-108 field-for-field (JSON contract):
+    QP spatial kinds gaussian/uniform/point/custom, QP energy kinds
+    dos/fermi_dirac/uniform/custom, phonon energy kinds
+    bose_einstein/uniform/custom, plus optional non-separable full-custom
+    initializers F(x, y, E) on either species.
     """
 
     spatial_kind: str = ""
-    spatial_params: dict[str, Any] = field(default_factory=dict)
-    spatial_custom_body: str = "return np.exp(-((x-0.5)**2 + (y-0.5)**2) / 0.02)"
-    spatial_custom_params: dict[str, Any] = field(default_factory=dict)
-    energy_kind: str = ""  # dos / fermi_dirac / uniform / custom
-    energy_params: dict[str, Any] = field(default_factory=dict)
-    energy_custom_body: str = "return np.ones_like(E)"
-    energy_custom_params: dict[str, Any] = field(default_factory=dict)
+    spatial_params: JsonDict = _params_field()
+    spatial_custom_body: str = _DEFAULT_BLOB
+    spatial_custom_params: JsonDict = _params_field()
+    energy_kind: str = ""
+    energy_params: JsonDict = _params_field()
+    energy_custom_body: str = _DEFAULT_FLAT_WEIGHTS
+    energy_custom_params: JsonDict = _params_field()
     qp_full_custom_enabled: bool = False
-    qp_full_custom_body: str = (
-        "return np.exp(-((x-0.5)**2 + (y-0.5)**2) / 0.02) * np.exp(-E / 500.0)"
-    )
-    qp_full_custom_params: dict[str, Any] = field(default_factory=dict)
-    phonon_spatial_kind: str = ""  # gaussian / uniform / point / custom
-    phonon_spatial_params: dict[str, Any] = field(default_factory=dict)
+    qp_full_custom_body: str = _DEFAULT_FULL_CUSTOM
+    qp_full_custom_params: JsonDict = _params_field()
+    phonon_spatial_kind: str = ""
+    phonon_spatial_params: JsonDict = _params_field()
     phonon_spatial_custom_body: str = "return 1.0"
-    phonon_spatial_custom_params: dict[str, Any] = field(default_factory=dict)
-    phonon_energy_kind: str = ""  # bose_einstein / uniform / custom
-    phonon_energy_params: dict[str, Any] = field(default_factory=dict)
-    phonon_energy_custom_body: str = "return np.ones_like(E)"
-    phonon_energy_custom_params: dict[str, Any] = field(default_factory=dict)
+    phonon_spatial_custom_params: JsonDict = _params_field()
+    phonon_energy_kind: str = ""
+    phonon_energy_params: JsonDict = _params_field()
+    phonon_energy_custom_body: str = _DEFAULT_FLAT_WEIGHTS
+    phonon_energy_custom_params: JsonDict = _params_field()
     phonon_full_custom_enabled: bool = False
-    phonon_full_custom_body: str = (
-        "return np.exp(-((x-0.5)**2 + (y-0.5)**2) / 0.02) * np.exp(-E / 500.0)"
-    )
-    phonon_full_custom_params: dict[str, Any] = field(default_factory=dict)
+    phonon_full_custom_body: str = _DEFAULT_FULL_CUSTOM
+    phonon_full_custom_params: JsonDict = _params_field()
 
 
 @dataclass
@@ -159,25 +155,24 @@ class ExternalGenerationSpec:
     pulse_duration: float = 10.0
     pulse_rate: float = 0.0
     custom_body: str = "return 0.0"
-    custom_params: dict[str, Any] = field(default_factory=dict)
+    custom_params: JsonDict = _params_field()
 
     def normalized_mode(self) -> str:
         return self.mode.strip().lower()
 
     def validate(self) -> None:
-        mode = self.normalized_mode()
-        if mode not in EXTERNAL_GENERATION_MODES:
-            allowed = ", ".join(sorted(EXTERNAL_GENERATION_MODES))
-            raise ValueError(
-                f"Unsupported external generation mode '{self.mode}'. Supported: {allowed}."
-            )
-        for label, val in (
-            ("constant rate", self.rate),
-            ("pulse rate", self.pulse_rate),
-            ("pulse_duration", self.pulse_duration),
-        ):
-            if val < 0:
-                raise ValueError(f"External generation {label} must be non-negative.")
+        _check(
+            self.normalized_mode() in EXTERNAL_GENERATION_MODES,
+            f"Unsupported external generation mode '{self.mode}'. "
+            f"Supported: {', '.join(sorted(EXTERNAL_GENERATION_MODES))}.",
+        )
+        non_negative = {
+            "constant rate": self.rate,
+            "pulse rate": self.pulse_rate,
+            "pulse_duration": self.pulse_duration,
+        }
+        for label, val in non_negative.items():
+            _check(val >= 0, f"External generation {label} must be non-negative.")
 
 
 @dataclass
@@ -213,43 +208,42 @@ class SimulationParameters:
 
     def __post_init__(self) -> None:
         self.collision_solver = normalize_collision_solver_name(self.collision_solver)
-        # tau_0 is a convenience default for tau_s / tau_r; after resolution it
-        # is re-synchronised to their mean (reference models.py:168-175).
+        self._resolve_taus()
+        self._validate_timestep()
+        self._validate_collisions()
+        self._validate_energy_grid()
+        self.external_generation.validate()
+
+    def _resolve_taus(self) -> None:
+        # tau_0 is a convenience default for tau_s / tau_r; after resolution
+        # it is re-synchronised to their mean (reference models.py:168-175).
         if self.tau_s is None:
             self.tau_s = float(self.tau_0)
         if self.tau_r is None:
             self.tau_r = float(self.tau_0)
-        self.tau_0 = float(0.5 * (self.tau_s + self.tau_r))
+        self.tau_0 = 0.5 * (self.tau_s + self.tau_r)
 
-        positives = {"dt": self.dt, "total_time": self.total_time, "mesh_size": self.mesh_size}
-        for label, val in positives.items():
-            if val <= 0:
-                raise ValueError(f"{label} must be positive.")
-        if self.bath_temperature < 0:
-            raise ValueError("bath_temperature must be non-negative.")
-        if self.enable_recombination or self.enable_scattering:
-            if self.T_c <= 0:
-                raise ValueError(
-                    "T_c must be positive when recombination or scattering is enabled."
-                )
-            if self.tau_s <= 0:
-                raise ValueError(
-                    "tau_s must be positive when recombination or scattering is enabled."
-                )
-            if self.tau_r <= 0:
-                raise ValueError(
-                    "tau_r must be positive when recombination or scattering is enabled."
-                )
-        if self.energy_gap > 0:
-            if self.energy_min_factor < 1.0:
-                raise ValueError("energy_min_factor must be >= 1.0 when energy_gap > 0.")
-            if self.energy_max_factor <= self.energy_min_factor:
-                raise ValueError(
-                    "energy_max_factor must be > energy_min_factor when energy_gap > 0."
-                )
-            if self.num_energy_bins < 2:
-                raise ValueError("num_energy_bins must be >= 2 when energy_gap > 0.")
-        self.external_generation.validate()
+    def _validate_timestep(self) -> None:
+        for label in ("dt", "total_time", "mesh_size"):
+            _check(getattr(self, label) > 0, f"{label} must be positive.")
+        _check(self.bath_temperature >= 0, "bath_temperature must be non-negative.")
+
+    def _validate_collisions(self) -> None:
+        if not (self.enable_recombination or self.enable_scattering):
+            return
+        suffix = "must be positive when recombination or scattering is enabled."
+        for label in ("T_c", "tau_s", "tau_r"):
+            _check(getattr(self, label) > 0, f"{label} {suffix}")
+
+    def _validate_energy_grid(self) -> None:
+        if self.energy_gap <= 0:
+            return
+        _check(self.energy_min_factor >= 1.0, "energy_min_factor must be >= 1.0 when energy_gap > 0.")
+        _check(
+            self.energy_max_factor > self.energy_min_factor,
+            "energy_max_factor must be > energy_min_factor when energy_gap > 0.",
+        )
+        _check(self.num_energy_bins >= 2, "num_energy_bins must be >= 2 when energy_gap > 0.")
 
 
 @dataclass
@@ -261,61 +255,3 @@ class SetupData:
     boundary_conditions: dict[str, BoundaryCondition]
     parameters: SimulationParameters
     initial_condition: InitialConditionSpec
-
-
-@dataclass
-class SimulationResultData:
-    simulation_id: str
-    setup_id: str
-    setup_name: str
-    created_at: str
-    times: list[float]
-    frames: list[list[list[float | None]]]
-    mass_over_time: list[float]
-    color_limits: list[float]
-    metadata: dict[str, Any] = field(default_factory=dict)
-    energy_frames: list[list[list[list[float | None]]]] | None = None
-    phonon_frames: list[list[list[float | None]]] | None = None
-    phonon_energy_frames: list[list[list[list[float | None]]]] | None = None
-    phonon_energy_bins: list[float] | None = None
-    phonon_metadata: dict[str, Any] | None = None
-    energy_bins: list[float] | None = None
-
-
-@dataclass
-class TestCaseResultData:
-    __test__ = False  # keep pytest from collecting this as a test class
-    case_id: str
-    title: str
-    boundary_label: str
-    formula_latex: str
-    initial_condition_latex: str
-    description: str
-    x: list[float]
-    times: list[float]
-    simulated: list[Any]
-    analytic: list[Any]
-    metadata: dict[str, Any] = field(default_factory=dict)
-
-
-@dataclass
-class TestGeometryGroupData:
-    __test__ = False
-    geometry_id: str
-    title: str
-    description: str
-    view_mode: str
-    preview_mask: list[list[int]]
-    cases: list[TestCaseResultData] = field(default_factory=list)
-    case_count: int = 0
-    group_file: str | None = None
-
-
-@dataclass
-class TestSuiteData:
-    __test__ = False
-    suite_id: str
-    created_at: str
-    cases: list[TestCaseResultData] = field(default_factory=list)
-    geometry_groups: list[TestGeometryGroupData] = field(default_factory=list)
-    metadata: dict[str, Any] = field(default_factory=dict)
