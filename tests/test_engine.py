@@ -745,6 +745,7 @@ def test_fused_generation_engages_and_matches_xla_path():
     the XLA array path (gen.traced_fn) must never be traced on a fusable
     config, and results must match the XLA collision backend."""
     import qpsim_tpu.solver.engine as eng
+    import qpsim_tpu.solver.program_build as pb
     from qpsim_tpu.geometry.mask import create_intrinsic_geometry, mask_from_lists
 
     geo = create_intrinsic_geometry(width=18, height=9)
@@ -763,7 +764,7 @@ def test_fused_generation_engages_and_matches_xla_path():
         bath_temperature=0.2, external_generation=gen,
     )
 
-    real_builder = eng.build_generation_program
+    real_builder = pb.build_generation_program
     trips = []
 
     def trapped_builder(*a, **k):
@@ -780,14 +781,14 @@ def test_fused_generation_engages_and_matches_xla_path():
 
     eng.clear_engine_program_cache()
     try:
-        eng.build_generation_program, saved = trapped_builder, real_builder
+        pb.build_generation_program, saved = trapped_builder, real_builder
         for sm in ("exact", "merged"):
             out_pallas = run_2d_crank_nicolson(
                 **kw, strang_mode=sm, collision_backend="pallas"
             )
             assert not trips, f"XLA gen path traced under fusion ({sm})"
     finally:
-        eng.build_generation_program = saved
+        pb.build_generation_program = saved
         eng.clear_engine_program_cache()
 
     out_xla = run_2d_crank_nicolson(
