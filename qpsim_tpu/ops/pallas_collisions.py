@@ -221,6 +221,15 @@ def _make_kernel(phys: _Physics, dt: float, gen_input: bool = False):
                 _rows[idx] = ph_ref[idx]
             return _rows[idx]
 
+        # 1 + D hoisted per distinct ω row: every pair on a Toeplitz diagonal
+        # shares it, turning the per-pair emission weight into one multiply
+        _rows1: dict[int, jax.Array] = {}
+
+        def ph_row_plus1(idx):
+            if idx not in _rows1:
+                _rows1[idx] = ph_row(idx) + 1.0
+            return _rows1[idx]
+
         zeros = jnp.zeros_like(q[0])
         gain_s = [zeros for _ in range(ne)]  # Σ_i Ks[i,j]·Np(i,j)·q_i  (pre partner_j)
         loss = [zeros for _ in range(ne)]
@@ -249,18 +258,23 @@ def _make_kernel(phys: _Physics, dt: float, gen_input: bool = False):
             for j in range(i + 1):
                 if Ks is not None and i != j:
                     # scattering at offset k = i−j: emission (i→j) dressed by
-                    # 1+D, absorption (j→i) dressed by D at the pair's ω bin
-                    Dk = ph_row(idx_diff[i][j])
-                    ce = blend([dE * Ks[g][i][j] for g in range(G)])
-                    ca = blend([dE * Ks[g][j][i] for g in range(G)])
+                    # 1+D, absorption (j→i) dressed by D at the pair's ω bin.
+                    # The base kernel is symmetric (K_s0[i,j] = K_s0[j,i] —
+                    # shared (Eᵢ−Eⱼ)²·(1−Δ²/EᵢEⱼ) form), so ce == ca and one
+                    # blend serves both orderings; the asymmetric branch is
+                    # kept for generality but never taken by the physics.
+                    ce_vals = [dE * Ks[g][i][j] for g in range(G)]
+                    ca_vals = [dE * Ks[g][j][i] for g in range(G)]
+                    ce = blend(ce_vals)
+                    ca = ce if ce_vals == ca_vals else blend(ca_vals)
                     if not is_zero(ce):
-                        we = ce * Dk + ce
+                        we = ce * ph_row_plus1(idx_diff[i][j])
                         loss[i] = loss[i] + we * partner[j]
                         gain_s[j] = gain_s[j] + we * q[i]
                         if phys.update_phonons:
                             acc(ph_pos, idx_diff[i][j], ce * (q[i] * partner[j]))
                     if not is_zero(ca):
-                        wa = ca * Dk
+                        wa = ca * ph_row(idx_diff[i][j])
                         loss[j] = loss[j] + wa * partner[i]
                         gain_s[i] = gain_s[i] + wa * q[j]
                         if phys.update_phonons:
@@ -310,12 +324,18 @@ def _make_kernel(phys: _Physics, dt: float, gen_input: bool = False):
                                 acc(ph_pos, m, c2 * (q[i] * q[j]))
                                 acc(ph_neg, m, c2 * (partner[i] * partner[j]))
 
-        # QP update: positivity-preserving exponential relaxation
+        # QP update: positivity-preserving exponential relaxation.  The
+        # expm1 substitute reuses the already-computed decay for its
+        # large-|x| branch (1 − e⁻ˣ is cancellation-free there), keeping the
+        # Taylor guard for small x — one transcendental per bin, not two.
         for i in range(ne):
             gain = partner[i] * (gain_s[i] + gain_r[i])
             mu = jnp.maximum(loss[i], 0.0)
-            decay = jnp.exp(-mu * dt)
-            coeff = jnp.where(mu < _MU_FLOOR, dt, -_expm1(-mu * dt) / jnp.maximum(mu, _MU_FLOOR))
+            x = mu * dt
+            decay = jnp.exp(-x)
+            taylor = x * (1.0 - x * (0.5 - x * ((1.0 / 6.0) - x * (1.0 / 24.0))))
+            one_minus_decay = jnp.where(x < 1e-2, taylor, 1.0 - decay)
+            coeff = jnp.where(mu < _MU_FLOOR, dt, one_minus_decay / jnp.maximum(mu, _MU_FLOOR))
             q_out[i] = jnp.maximum(decay * q[i] + coeff * jnp.maximum(gain, 0.0), 0.0)
 
         # phonon update: frozen-coefficient affine growth on touched ω rows
@@ -412,6 +432,14 @@ def _make_analytic_kernel(phys: _AnalyticPhysics, dt: float, gen_input: bool = F
                 _rows[idx] = ph_ref[idx]
             return _rows[idx]
 
+        # 1 + D hoisted once per distinct ω row (shared along each diagonal)
+        _rows1: dict[int, jax.Array] = {}
+
+        def ph_row_plus1(idx):
+            if idx not in _rows1:
+                _rows1[idx] = ph_row(idx) + 1.0
+            return _rows1[idx]
+
         zeros = jnp.zeros_like(q[0])
         gain_s = [zeros for _ in range(ne)]
         loss = [zeros for _ in range(ne)]
@@ -433,7 +461,7 @@ def _make_analytic_kernel(phys: _AnalyticPhysics, dt: float, gen_input: bool = F
                     cs = jnp.maximum(
                         phys.dEa_s[i][j] - phys.dEb_s[i][j] * g2, 0.0
                     )
-                    we = cs * Dk + cs
+                    we = cs * ph_row_plus1(idx_diff[i][j])
                     wa = cs * Dk
                     loss[i] = loss[i] + we * partner[j]
                     gain_s[j] = gain_s[j] + we * q[i]
@@ -465,11 +493,15 @@ def _make_analytic_kernel(phys: _AnalyticPhysics, dt: float, gen_input: bool = F
                             acc(ph_pos, m, c * (q[i] * q[j]))
                             acc(ph_neg, m, c * (partner[i] * partner[j]))
 
+        # same decay-reusing relaxation as _make_kernel: one exp per bin
         for i in range(ne):
             gain = partner[i] * (gain_s[i] + gain_r[i])
             mu = jnp.maximum(loss[i], 0.0)
-            decay = jnp.exp(-mu * dt)
-            coeff = jnp.where(mu < _MU_FLOOR, dt, -_expm1(-mu * dt) / jnp.maximum(mu, _MU_FLOOR))
+            x = mu * dt
+            decay = jnp.exp(-x)
+            taylor = x * (1.0 - x * (0.5 - x * ((1.0 / 6.0) - x * (1.0 / 24.0))))
+            one_minus_decay = jnp.where(x < 1e-2, taylor, 1.0 - decay)
+            coeff = jnp.where(mu < _MU_FLOOR, dt, one_minus_decay / jnp.maximum(mu, _MU_FLOOR))
             q_out[i] = jnp.maximum(decay * q[i] + coeff * jnp.maximum(gain, 0.0), 0.0)
 
         for w in range(phys.nw_pad):

@@ -786,12 +786,16 @@ def build_pallas_collision_step_blocked(
 
         @pl.when(kb == nkb - 1)
         def _finish():
-            # QP update: positivity-preserving exponential relaxation
+            # QP update: positivity-preserving exponential relaxation;
+            # decay is reused for expm1's large-|x| branch (one exp per bin)
             mu = jnp.maximum(loss_ref[:], 0.0)
             gain_t = jnp.maximum(partner * gain_ref[:], 0.0)
-            decay = jnp.exp(-mu * dt)
+            x = mu * dt
+            decay = jnp.exp(-x)
+            taylor = x * (1.0 - x * (0.5 - x * ((1.0 / 6.0) - x * (1.0 / 24.0))))
+            one_minus_decay = jnp.where(x < 1e-2, taylor, 1.0 - decay)
             coeff = jnp.where(
-                mu < _MU_FLOOR, dt, -_expm1(-mu * dt) / jnp.maximum(mu, _MU_FLOOR)
+                mu < _MU_FLOOR, dt, one_minus_decay / jnp.maximum(mu, _MU_FLOOR)
             )
             q_out[:] = jnp.maximum(decay * q + coeff * gain_t, 0.0)
             # phonon update: frozen-coefficient affine growth (untouched

@@ -1,0 +1,299 @@
+#!/usr/bin/env python
+"""Hardware (Mosaic) parity validation of the round-3/4 device paths.
+
+Interpret-clean is NOT Mosaic-clean on this repo's record (dynamic
+pltpu.roll silently mis-compiles; 8-alignment instruction-selection —
+CLAUDE.md), so every device path added since the last hardware run is
+compiled ON THE REAL CHIP here and compared against the XLA integrator:
+
+  1. gen-fused pair-unrolled collision kernel (gen_input=True)
+  2. gen-fused analytic-gap collision kernel
+  3. sharded step with gen_input=True (1-device TPU mesh)
+  4. light-snapshot on-device reductions (snapshot_detail='integrated')
+  5. mesh-merged pieces on a 1-device TPU mesh
+  6. r4 op-reduced kernels (hoisted 1+D rows, single-exp epilogue) vs XLA
+
+Tolerances follow the r2 hardware-parity precedent: f32 kernels vs the f32
+XLA path at scaled-absolute ~2.5e-7 for QPs (f32 ulp-scale differences in
+weight assembly), 1e-6 relative on phonons.  Prints one JSON dict; nonzero
+exit if any check fails.  One TPU client at a time.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import traceback
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+RESULTS: dict = {}
+
+
+def _scaled_max_err(a, b) -> float:
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    scale = max(1e-30, float(np.max(np.abs(b))))
+    return float(np.max(np.abs(a - b))) / scale
+
+
+def check(name: str, fn, tol: float) -> None:
+    import jax
+
+    try:
+        err = fn()
+        ok = err <= tol
+        RESULTS[name] = {"err": err, "tol": tol, "ok": ok}
+        print(f"{name}: err={err:.3e} tol={tol:.0e} {'OK' if ok else 'FAIL'}", file=sys.stderr)
+    except Exception as exc:
+        RESULTS[name] = {"error": f"{type(exc).__name__}: {exc}", "ok": False}
+        traceback.print_exc()
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from qpsim_tpu.ops.collisions import build_collision_plan_arrays, make_collision_step
+    from qpsim_tpu.ops.dos import dynes_density_of_states, thermal_phonon_occupation
+    from qpsim_tpu.ops.energy_grid import build_energy_grid
+    from qpsim_tpu.ops.kernels import recombination_kernel_base, scattering_kernel_base
+    from qpsim_tpu.ops.pallas_collisions import (
+        build_pallas_collision_step,
+        build_pallas_collision_step_analytic,
+    )
+    from qpsim_tpu.ops.phonon_map import build_phonon_frequency_map
+    from qpsim_tpu.utils.compile_cache import maybe_enable_persistent_cache
+
+    maybe_enable_persistent_cache()
+    # CPU fallback (interpret mode) exists so the script's API usage stays
+    # testable without the tunnel; the hardware answer needs the real chip.
+    interpret = jax.default_backend() != "tpu"
+    if interpret:
+        print("WARNING: not on TPU - interpret-mode dry run only", file=sys.stderr)
+    RESULTS["backend"] = {"ok": True, "backend": jax.default_backend()}
+    dtype = jnp.float32
+    gap, tau, tc, tbath = 180.0, 440.0, 1.2, 0.2
+    ny, nx, ne = 64, 256, 16
+    dt = 0.05
+
+    E, dE = build_energy_grid(gap, 1.0, 4.0, ne)
+    pm = build_phonon_frequency_map(E)
+    rho = dynes_density_of_states(E, gap, 0.0)
+    Ks0 = scattering_kernel_base(E, gap, tau, tc)
+    Kr0 = recombination_kernel_base(E, gap, tau, tc)
+    mask = np.ones((ny, nx), dtype=bool)
+    gap_id = np.zeros((ny, nx), dtype=np.int32)
+
+    rng = np.random.default_rng(7)
+    q0 = jnp.asarray(rng.uniform(0, 1e-5, (ne, ny, nx)) * rho[:, None, None], dtype=dtype)
+    ph0 = jnp.asarray(
+        np.broadcast_to(
+            thermal_phonon_occupation(pm.omega_bins, tbath)[:, None, None],
+            (pm.num_omega, ny, nx),
+        ).copy()
+        * (1.0 + 0.1 * rng.uniform(size=(pm.num_omega, ny, nx))),
+        dtype=dtype,
+    )
+    gen_plane = jnp.asarray(
+        dt * 2e-6 * (1.0 + rng.uniform(size=(ny, nx))), dtype=dtype
+    )
+
+    # XLA oracle (same dtype): gen pre-add then collision substep
+    plan = build_collision_plan_arrays(
+        dE=dE,
+        rho_by_gap=rho[None],
+        K_r0_by_gap=Kr0[None],
+        K_s0_by_gap=Ks0[None],
+        gap_id=gap_id,
+        pmap=pm,
+        enable_recombination=True,
+        enable_scattering=True,
+        update_phonons=True,
+        dtype=dtype,
+        pixel_chunk=ny * nx,
+    )
+    xla_col = make_collision_step(plan, dt)
+    q_gen = q0 + gen_plane[None]
+    q_ref, ph_ref = jax.jit(xla_col)(q_gen, ph0)
+    q_ref, ph_ref = np.asarray(q_ref), np.asarray(ph_ref)
+
+    # 1 + 6: r4 pair-unrolled kernel, gen-fused
+    def pair_gen():
+        col = build_pallas_collision_step(
+            E_bins=E, dE=dE, rho=rho, K_s0=Ks0, K_r0=Kr0, pmap=pm, dt=dt,
+            update_phonons=True, interpret=interpret, gen_input=True,
+        )
+        assert getattr(col, "takes_gen", False)
+        q1, ph1 = jax.jit(col)(q0, ph0, gen_plane)
+        return max(_scaled_max_err(q1, q_ref), _scaled_max_err(ph1, ph_ref))
+
+    check("pair_unrolled_gen_fused_r4", pair_gen, 5e-7)
+
+    # plain (no gen) r4 kernel — validates the op-reduction rewrite alone
+    def pair_plain():
+        col = build_pallas_collision_step(
+            E_bins=E, dE=dE, rho=rho, K_s0=Ks0, K_r0=Kr0, pmap=pm, dt=dt,
+            update_phonons=True, interpret=interpret,
+        )
+        q1, ph1 = jax.jit(col)(q_gen, ph0)
+        return max(_scaled_max_err(q1, q_ref), _scaled_max_err(ph1, ph_ref))
+
+    check("pair_unrolled_r4_opcut", pair_plain, 5e-7)
+
+    # 2: analytic-gap kernel, gen-fused (continuous gap plane)
+    def analytic_gen():
+        gap_plane = np.full((ny, nx), gap) * (1.0 + 1e-3 * rng.uniform(size=(ny, nx)))
+        # XLA oracle with per-pixel gaps: unique-gap stacked tables
+        # keep the XLA oracle tractable: quantize to 16 unique gaps
+        qs = np.quantile(gap_plane, np.linspace(0, 1, 16))
+        gid = np.clip(np.searchsorted(qs, gap_plane) - 1, 0, 14).astype(np.int32)
+        gp_q = qs[gid + 1]
+        rho_g = np.stack([dynes_density_of_states(E, g, 0.0) for g in qs[1:]])
+        Ks_g = np.stack([scattering_kernel_base(E, g, tau, tc) for g in qs[1:]])
+        Kr_g = np.stack([recombination_kernel_base(E, g, tau, tc) for g in qs[1:]])
+        plan_g = build_collision_plan_arrays(
+            dE=dE, rho_by_gap=rho_g, K_r0_by_gap=Kr_g, K_s0_by_gap=Ks_g,
+            gap_id=gid, pmap=pm, enable_recombination=True,
+            enable_scattering=True, update_phonons=True, dtype=dtype,
+            pixel_chunk=ny * nx,
+        )
+        qg_ref, phg_ref = jax.jit(make_collision_step(plan_g, dt))(q_gen, ph0)
+        col = build_pallas_collision_step_analytic(
+            E_bins=E, dE=dE, gap_plane=gp_q, pmap=pm, dt=dt, tau_s=tau,
+            tau_r=tau, T_c=tc, dynes_gamma=0.0, update_phonons=True,
+            interpret=interpret, gen_input=True,
+        )
+        assert col is not None and getattr(col, "takes_gen", False)
+        q1, ph1 = jax.jit(col)(q0, ph0, gen_plane)
+        return max(
+            _scaled_max_err(q1, np.asarray(qg_ref)),
+            _scaled_max_err(ph1, np.asarray(phg_ref)),
+        )
+
+    check("analytic_gap_gen_fused", analytic_gen, 5e-6)
+
+    # 3 + 5: sharded step on a 1-device TPU mesh, gen-fused and merged pieces
+    def sharded_checks():
+        from jax.sharding import Mesh
+
+        from qpsim_tpu.geometry.mask import extract_edge_segments
+        from qpsim_tpu.models.params import BoundaryCondition
+        from qpsim_tpu.ops.diffusion import build_directional_stencils, fold_diffusion
+        from qpsim_tpu.ops.dos import diffusion_coefficient_of_energy
+        from qpsim_tpu.parallel.mesh import ENSEMBLE_AXIS, SPACE_AXIS
+        from qpsim_tpu.parallel.sharded import build_sharded_step
+
+        edges = extract_edge_segments(mask)
+        bcs = {e.edge_id: BoundaryCondition(kind="reflective") for e in edges}
+        x_st, y_st = build_directional_stencils(mask, edges, bcs, 1.0)
+        op = fold_diffusion(
+            x_st, y_st, mask, 1.0, diffusion_coefficient_of_energy(6.0, E, gap)
+        )
+        mesh = Mesh(
+            np.asarray(jax.devices()[:1]).reshape(1, 1), (ENSEMBLE_AXIS, SPACE_AXIS)
+        )
+        collisions = dict(
+            E_bins=E, dE=dE, rho=rho, pmap=pm, K_r0=Kr0, K_s0=Ks0,
+            enable_recombination=True, enable_scattering=True,
+            update_phonons=True, pixel_chunk=ny * nx,
+        )
+        sh = build_sharded_step(
+            mesh, op, dt, dx=1.0, collisions=collisions, dtype=dtype,
+            gen_input=True, pieces=True,
+        )
+        # single-chip oracle: C(dt/2) D C(dt/2) with the XLA collision path
+        from qpsim_tpu.solver.diffusion_backends import ADIDiffusion
+
+        col_half = make_collision_step(
+            build_collision_plan_arrays(
+                dE=dE, rho_by_gap=rho[None], K_r0_by_gap=Kr0[None],
+                K_s0_by_gap=Ks0[None], gap_id=gap_id, pmap=pm,
+                enable_recombination=True, enable_scattering=True,
+                update_phonons=True, dtype=dtype, pixel_chunk=ny * nx,
+            ),
+            0.5 * dt,
+        )
+        diff_step, daux = ADIDiffusion(op, dtype).make_step_aux(dt)
+
+        @jax.jit
+        def oracle(q, ph, daux):
+            q = q + gen_plane[None]
+            q, ph = col_half(q, ph)
+            q = diff_step(q, daux)
+            q, ph = col_half(q, ph)
+            return q, ph
+
+        qo, pho = oracle(q0, ph0, daux)
+        q1, ph1, _mass = jax.jit(
+            lambda q, ph, g, *aux: sh.apply(q, ph, g, *aux)
+        )(q0, ph0, gen_plane, *sh.aux)
+        err_full = max(
+            _scaled_max_err(q1, np.asarray(qo)), _scaled_max_err(ph1, np.asarray(pho))
+        )
+        RESULTS["sharded_gen_fused_1dev"] = {
+            "err": err_full, "tol": 2e-5, "ok": err_full <= 2e-5
+        }
+        print(f"sharded_gen_fused_1dev: err={err_full:.3e}", file=sys.stderr)
+
+        # merged pieces: C(dt/2) at the seam == oracle half-step composition
+        raw, src = sh.aux
+
+        @jax.jit
+        def pieces_once(q, ph, g, raw, src):
+            q, ph = sh.apply_col_half_gen(q, ph, g, raw)
+            q = sh.apply_diffuse(q, raw, src)
+            q, ph = sh.apply_col_half(q, ph, raw)
+            return q, ph
+
+        q2, ph2 = pieces_once(q0, ph0, gen_plane, raw, src)
+        err_pieces = max(
+            _scaled_max_err(q2, np.asarray(qo)), _scaled_max_err(ph2, np.asarray(pho))
+        )
+        RESULTS["mesh_merged_pieces_1dev"] = {
+            "err": err_pieces, "tol": 2e-5, "ok": err_pieces <= 2e-5
+        }
+        print(f"mesh_merged_pieces_1dev: err={err_pieces:.3e}", file=sys.stderr)
+        return 0.0
+
+    check("sharded_block", sharded_checks, 1.0)
+
+    # 4: light-snapshot on-device reductions through the engine surface
+    def light_snapshots():
+        from qpsim_tpu.geometry.mask import extract_edge_segments
+        from qpsim_tpu.models.params import BoundaryCondition
+        from qpsim_tpu.solver.engine import run_2d_crank_nicolson
+
+        m = np.ones((32, 128), dtype=bool)
+        edges = extract_edge_segments(m)
+        bcs = {e.edge_id: BoundaryCondition(kind="reflective") for e in edges}
+        init = np.zeros(m.shape)
+        init[m] = 1e-5
+        kw = dict(
+            mask=m, edges=edges, edge_conditions=bcs, initial_field=init,
+            diffusion_coefficient=6.0, dt=0.05, total_time=1.0, dx=1.0,
+            store_every=4, energy_gap=gap, energy_max_factor=4.0,
+            num_energy_bins=8, enable_recombination=True,
+            enable_scattering=True, bath_temperature=0.2, dtype=dtype,
+        )
+        full = run_2d_crank_nicolson(**kw, snapshot_detail="full")
+        light = run_2d_crank_nicolson(**kw, snapshot_detail="integrated")
+        errs = [
+            _scaled_max_err(lf[np.isfinite(lf)], ff[np.isfinite(ff)])
+            for lf, ff in zip(light[1], full[1])
+        ]
+        errs.append(_scaled_max_err(light[2], full[2]))
+        return float(np.max(errs))
+
+    check("light_snapshot_reductions", light_snapshots, 5e-6)
+
+    ok = all(v.get("ok") for v in RESULTS.values())
+    print(json.dumps({"ok": ok, "checks": RESULTS}))
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
