@@ -18,6 +18,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 BENCH = os.path.join(REPO, "bench.py")
 
 
+@pytest.mark.slow
 def test_bench_emits_degraded_json_line_when_backend_unavailable():
     env = dict(os.environ)
     # An unknown platform makes the probe child's backend init raise quickly —

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from qpsim_tpu.ops.collisions import build_collision_plan_arrays, make_collision_step
 from qpsim_tpu.ops.dos import (
@@ -238,6 +239,7 @@ def test_pallas_analytic_gap_matches_xla_interpret():
         np.testing.assert_allclose(np.asarray(p2), np.asarray(p1), rtol=1e-9, atol=1e-22)
 
 
+@pytest.mark.slow
 def test_pallas_multi_gap_matches_xla_interpret():
     # piecewise-constant gap map (G=3): the unrolled kernel blends per-gap
     # tables with lane selects; parity vs the XLA integrator's gather path
@@ -402,6 +404,7 @@ def test_split_omega_diagonal_binning_exact():
         update_phonons=True, tile=128, interpret=True) is None
 
 
+@pytest.mark.slow
 def test_dispatch_above_unroll_cap():
     """NE>64 with a split ω diagonal: the dispatcher must REFUSE (the
     fori_loop kernel cannot represent split diagonals and the rows kernel
@@ -448,6 +451,7 @@ def test_dispatch_above_unroll_cap():
     np.testing.assert_allclose(np.asarray(p2), np.asarray(p1), rtol=1e-9, atol=1e-22)
 
 
+@pytest.mark.slow
 def test_pallas_blocked_matches_xla_interpret():
     """Block-gridded kernel (pallas_collisions_blocked) ≡ the XLA integrator.
 
@@ -688,6 +692,7 @@ def test_pallas_blocked_envelope_refusals():
     )
 
 
+@pytest.mark.slow
 def test_pallas_blocked_analytic_matches_analytic_and_xla_interpret():
     """Blocked analytic-gap kernel (NE>64 continuous gap maps) ≡ the ≤64
     analytic kernel ≡ the XLA integrator with per-unique-gap tables."""
@@ -778,6 +783,7 @@ def test_pallas_blocked_analytic_matches_analytic_and_xla_interpret():
     np.testing.assert_allclose(np.asarray(pa), np.asarray(pb), rtol=0, atol=0)
 
 
+@pytest.mark.slow
 def test_pallas_gen_input_fuses_forward_euler_bit_exact():
     # gen_input=True pre-adds dt·g on the VMEM tile; must be bit-identical
     # to adding in XLA first, and a zero plane must equal the plain step

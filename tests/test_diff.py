@@ -261,6 +261,7 @@ def test_pulse_energy_is_differentiable_and_recoverable():
     assert abs(float(fitted["pulse_rate"]) - true_rate) / true_rate < 0.02
 
 
+@pytest.mark.slow
 def test_remat_modes_agree():
     """Rematerialized backward passes change memory, never results.
 

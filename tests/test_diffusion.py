@@ -179,6 +179,7 @@ def test_variable_diffusion_harmonic_mean_blocks_zero_D_interface():
     np.testing.assert_allclose(out[:3].sum(), 3.0, rtol=1e-12)
 
 
+@pytest.mark.slow
 def test_pcr_matches_thomas():
     from qpsim_tpu.ops.tridiag import tridiag_solve_pcr, _tridiag_solve_thomas
 
@@ -198,6 +199,7 @@ def test_pcr_matches_thomas():
         np.testing.assert_allclose(x_pcr, x_tho, atol=1e-11, err_msg=f"n={n}")
 
 
+@pytest.mark.slow
 def test_wang_partition_matches_thomas():
     from qpsim_tpu.ops.tridiag import _tridiag_solve_thomas, tridiag_solve_wang
 
@@ -219,6 +221,7 @@ def test_wang_partition_matches_thomas():
         np.testing.assert_allclose(x_w, x_t, atol=1e-11, err_msg=f"n={n}")
 
 
+@pytest.mark.slow
 def test_wang_as_default_solver_in_adi_step():
     from qpsim_tpu.ops.tridiag import set_default_solver
 
@@ -239,6 +242,7 @@ def test_wang_as_default_solver_in_adi_step():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-12)
 
 
+@pytest.mark.slow
 def test_prefactored_wang_backend_matches_adi():
     from qpsim_tpu.solver.diffusion_backends import PrefactoredWangADI
 

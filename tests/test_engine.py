@@ -358,6 +358,7 @@ def test_pallas_collision_backend_matches_xla():
         np.testing.assert_allclose(np.nan_to_num(a), np.nan_to_num(b), atol=1e-18, rtol=1e-10)
 
 
+@pytest.mark.slow
 def test_pallas_collision_backend_matches_xla_above_32_bins():
     # 40 bins stays inside the static pair-unroll envelope (cap 64, which
     # covers the reference's default 50-bin grid, solver.py:999) — same

@@ -141,6 +141,7 @@ def test_choose_backend_pallas_contract():
     assert not isinstance(choose_backend(op, jnp.float32, "auto"), PallasADI)
 
 
+@pytest.mark.slow
 def test_fused_step_bf16_state_tracks_f32():
     """state_dtype=bfloat16: bf16 in HBM, f32 compute — result within bf16
     rounding of the full-f32 step, and the step's I/O contract is bf16."""

@@ -708,6 +708,7 @@ def test_engine_mesh_gap_map_and_generation_match_single_chip():
     np.testing.assert_allclose(m_m, m_ref, rtol=1e-11)
 
 
+@pytest.mark.slow
 def test_film_ensemble_pulse_energy_sweep():
     """Per-member pulse injection: the docstring's '32 pulse energies' use
     case.  Injected totals scale with the per-member rate, the window

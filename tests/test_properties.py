@@ -3,6 +3,7 @@ randomized inputs, not just hand-picked fixtures."""
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from hypothesis import given, settings, strategies as st
 
 from qpsim_tpu.ops.tridiag import (
@@ -47,6 +48,7 @@ def _dense_solve(sub, diag, sup, rhs):
 
 @settings(max_examples=15, deadline=None)
 @given(seed=_noisy, n=st.integers(min_value=1, max_value=120), chunk=st.sampled_from([4, 16, 64, 128]))
+@pytest.mark.slow
 def test_all_tridiag_solvers_agree_with_dense(seed, n, chunk):
     sub, diag, sup, rhs = _random_system(seed, 3, n)
     ref = _dense_solve(sub, diag, sup, rhs)
