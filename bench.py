@@ -101,9 +101,11 @@ def _timed_chunk(fn, state, length: int, label: str):
     return per_step, out
 
 
-def _best_diffusion(op, dtype):
+def _best_diffusion(op, dtype, coupled: bool = False):
     """Fused Pallas ADI on TPU-f32 2D grids; XLA ADI elsewhere (1D wires
-    would spend the kernel's lane tile on padding)."""
+    would spend the kernel's lane tile on padding).  ``coupled=True`` when
+    the step shares a compiled program with collision kernels (tighter
+    Pallas scoped-VMEM budget — see PallasADI)."""
     import jax
     import jax.numpy as jnp
 
@@ -115,7 +117,7 @@ def _best_diffusion(op, dtype):
         and jnp.dtype(dtype) == jnp.float32
         and min(ny, nx) >= 8
     ):
-        return PallasADI(op, dtype)
+        return PallasADI(op, dtype, coupled=coupled)
     return ADIDiffusion(op, dtype)
 
 
@@ -172,7 +174,7 @@ def _coupled_pieces(ny, nx, ne, dt, dtype):
     rho = dynes_density_of_states(E, gap, 0.0)
     x_st, y_st = build_directional_stencils(mask, edges, bcs, 1.0)
     op = fold_diffusion(x_st, y_st, mask, 1.0, diffusion_coefficient_of_energy(d0, E, gap))
-    diff_step, diff_aux = _best_diffusion(op, dtype).make_step_aux(dt)
+    diff_step, diff_aux = _best_diffusion(op, dtype, coupled=True).make_step_aux(dt)
     col_half = build_pallas_collision_step(
         E_bins=E,
         dE=dE,

@@ -485,7 +485,7 @@ def build_pallas_adi_step(op, dt: float, dtype=jnp.float32, *, lanes: int = _LAN
 def build_pallas_adi_fused_step(op, dt: float, dtype=jnp.float32, *,
                                 tile: int | None = None, chunks: int | None = None,
                                 state_dtype=None, as_aux: bool = False,
-                                interpret: bool = False):
+                                interpret: bool = False, coupled: bool = False):
     """Return ``step(state) -> state`` — PR-ADI in TWO fused Pallas passes.
 
     Each half-step is a single kernel: the explicit-direction stencil (halo
@@ -517,8 +517,14 @@ def build_pallas_adi_fused_step(op, dt: float, dtype=jnp.float32, *,
     # excluded: the bin-innermost grid order that lets Mosaic skip the
     # plane-block refetch (and its double buffering) needs nb > 1 — at
     # nb=1 the same shape measured 18 MB of scoped VMEM and failed.
+    # Coupled compositions (this step scanned together with collision
+    # kernels) get a tighter budget: the 2026-08 libtpu charges the wide
+    # config 16.12 MB of scoped VMEM there (128 KB over the limit, driver
+    # capture r4) while the identical standalone kernel fits.
+    vmem_budget = 12_500_000 if coupled else 14_000_000
+
     def auto_tile(other_extent: int) -> int:
-        wide_ok = op.num_bins > 1 and 13 * 256 * other_extent * 4 <= 14_000_000
+        wide_ok = op.num_bins > 1 and 13 * 256 * other_extent * 4 <= vmem_budget
         return 256 if wide_ok else 128
 
     ly = _pick_tile(ny, auto_tile(nx) if tile is None else tile)

@@ -180,11 +180,14 @@ def build_pallas_collision_step_blocked(
     # loss/gain + a/b) plus pipelined in/out blocks ≈ (18·ne_pad + 6·nw_pad)
     # rows per lane tile in f32, PLUS the tile-independent resident
     # coefficient tables (per-gap offset/anti-diagonal tables + rho columns).
-    # Measured envelope (single gap): NE=100 compiles at tile 512 (~7 MB
-    # est), NE=192 at 512 exceeds the 16 MB budget (est ~13 MB) but
-    # compiles at 256, NE=256 runs at 256 — clamp the estimate to 10 MB.
-    # When even tile 128 does not fit (large G × large NE), return None
-    # so the caller falls back to the XLA integrator.
+    # Measured envelope (single gap): on the r2 libtpu NE=100 compiled at
+    # tile 512 (~7 MB est) with a 10 MB budget, but the 2026-08 libtpu
+    # charges the same kernel 19.2 MB of scoped stack (driver capture r4) —
+    # ~2.5x this model.  Budget 7 MB so the estimate stays under the real
+    # 16 MB limit with that charging: NE=100 → tile 256 (r2 measured
+    # 256/512 equal-speed), NE≥192 → tile 128.  When even tile 128 does
+    # not fit (large G × large NE), return None so the caller falls back
+    # to the XLA integrator.
     if analytic:
         # A + B tables per enabled channel; no per-gap rho tables
         n_scatter_tabs = 4 if scattering else 0
@@ -203,9 +206,9 @@ def build_pallas_collision_step_blocked(
         # scoped-VMEM allocation (measured); 256 runs
         tile = min(tile, 256)
     row_bytes_per_lane = (18 * ne_pad + 6 * nw_pad) * 4
-    while tile > 128 and row_bytes_per_lane * tile + table_bytes > 10 * 2**20:
+    while tile > 128 and row_bytes_per_lane * tile + table_bytes > 7 * 2**20:
         tile = max(128, (tile // 2 // 128) * 128)
-    if row_bytes_per_lane * 128 + table_bytes > 10 * 2**20:
+    if row_bytes_per_lane * 128 + table_bytes > 7 * 2**20:
         return None
 
     if not analytic:

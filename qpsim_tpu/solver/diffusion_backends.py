@@ -393,19 +393,37 @@ class PallasADI(_AuxStepMixin):
     single-solve kernels with XLA glue (still fused coefficients).
     """
 
-    def __init__(self, op: SplitOperator, dtype=jnp.float32, *, interpret: bool = False):
+    def __init__(
+        self,
+        op: SplitOperator,
+        dtype=jnp.float32,
+        *,
+        interpret: bool = False,
+        tile: int | None = None,
+        chunks: int | None = None,
+        coupled: bool = False,
+    ):
         self.dtype = dtype
         self.mask = np.asarray(op.mask, dtype=bool)
         self.num_bins = op.num_bins
         self._op = op
         self._interpret = interpret
+        # explicit lane-tile / Wang-chunk overrides (None = measured auto
+        # defaults).  The 2026-08 libtpu charges the auto (256, K=16) config
+        # 16.12 MB of scoped VMEM inside coupled compositions (128 KB over
+        # the limit) while standalone it fits — callers composing this step
+        # with collision kernels pass a smaller config.
+        self._tile = tile
+        self._chunks = chunks
+        self._coupled = coupled
 
     def make_step(self, dt: float):
         from ..ops.pallas_adi import build_pallas_adi_fused_step, build_pallas_adi_step
 
         try:
             return build_pallas_adi_fused_step(
-                self._op, dt, self.dtype, interpret=self._interpret
+                self._op, dt, self.dtype, interpret=self._interpret,
+                tile=self._tile, chunks=self._chunks, coupled=self._coupled,
             )
         except ValueError:
             return build_pallas_adi_step(
@@ -423,7 +441,8 @@ class PallasADI(_AuxStepMixin):
 
         try:
             return build_pallas_adi_fused_step(
-                self._op, dt, self.dtype, as_aux=True, interpret=self._interpret
+                self._op, dt, self.dtype, as_aux=True, interpret=self._interpret,
+                tile=self._tile, chunks=self._chunks, coupled=self._coupled,
             )
         except ValueError:
             return super().make_step_aux(dt)
@@ -438,8 +457,15 @@ def _pallas_adi_ok(dtype) -> str | None:
     return None
 
 
-def choose_backend(op: SplitOperator, dtype, preference: str = "auto"):
-    """Pick a diffusion backend: 'dense', 'adi', 'wang', 'cg', 'pallas', or 'auto'."""
+def choose_backend(op: SplitOperator, dtype, preference: str = "auto", *, coupled: bool = False):
+    """Pick a diffusion backend: 'dense', 'adi', 'wang', 'cg', 'pallas', or 'auto'.
+
+    ``coupled=True`` means the step will be composed with collision kernels
+    in one compiled program — the Pallas ADI backend then uses its
+    conservative lane-tile budget (the 2026-08 libtpu charges the wide-tile
+    config ~130 KB over the 16 MB scoped-VMEM limit in that context while
+    standalone it fits).
+    """
     if preference == "dense":
         return DenseSpectralDiffusion(op, dtype)
     if preference == "adi":
@@ -452,7 +478,7 @@ def choose_backend(op: SplitOperator, dtype, preference: str = "auto"):
         reason = _pallas_adi_ok(dtype)
         if reason is not None:
             raise ValueError(f"diffusion_backend='pallas' requested but {reason}")
-        return PallasADI(op, dtype)
+        return PallasADI(op, dtype, coupled=coupled)
     if preference != "auto":
         raise ValueError(f"Unknown diffusion backend: {preference!r}")
     n_cells = int(np.asarray(op.mask, dtype=bool).sum())
@@ -463,7 +489,7 @@ def choose_backend(op: SplitOperator, dtype, preference: str = "auto"):
         # short axis to full 128-lane tiles (~128x wasted work on a 1xN
         # wire), and a long wire's single-tile working set (5 line blocks +
         # 4 Wang scratch buffers) presses against the 16 MB VMEM budget.
-        return PallasADI(op, dtype)
+        return PallasADI(op, dtype, coupled=coupled)
     # NOTE: PrefactoredWangADI stays out of 'auto': on v5e at 1024²×16 its
     # factor-array traffic (10 full-size reads/step) costs more than the
     # coefficient eliminations it saves, because the uniform-gap operators

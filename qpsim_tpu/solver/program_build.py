@@ -84,7 +84,18 @@ def _build_engine_program(
         else:
             op = fold_diffusion(x_st, y_st, mask, dx, D_array[:, 0])
         # mesh mode builds its own local solves inside the sharded step
-        backend = None if mesh is not None else choose_backend(op, dtype, diffusion_backend)
+        backend = (
+            None
+            if mesh is not None
+            else choose_backend(
+                op,
+                dtype,
+                diffusion_backend,
+                # collision kernels share the compiled program with the
+                # diffusion step — Pallas ADI must use its coupled VMEM budget
+                coupled=bool(enable_recombination or enable_scattering),
+            )
+        )
 
     # --- collision data ------------------------------------------------------
     pmap = build_phonon_frequency_map(E_bins)

@@ -120,7 +120,7 @@ def main() -> int:
     # exact-tier coupled step with the best tile: C(dt/2) D C(dt/2)
     x_st, y_st = build_directional_stencils(mask, edges, bcs, 1.0)
     op = fold_diffusion(x_st, y_st, mask, 1.0, diffusion_coefficient_of_energy(d0, E, gap))
-    diff_step, diff_aux = _best_diffusion(op, dtype).make_step_aux(dt)
+    diff_step, diff_aux = _best_diffusion(op, dtype, coupled=True).make_step_aux(dt)
     col_half = build_pallas_collision_step(
         E_bins=E, dE=dE, rho=rho, K_s0=Ks0, K_r0=Kr0, pmap=pm,
         dt=0.5 * dt, update_phonons=True, tile=best_tile,

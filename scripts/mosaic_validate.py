@@ -77,7 +77,9 @@ def main() -> int:
     RESULTS["backend"] = {"ok": True, "backend": jax.default_backend()}
     dtype = jnp.float32
     gap, tau, tc, tbath = 180.0, 440.0, 1.2, 0.2
-    ny, nx, ne = 64, 256, 16
+    # interpret mode is ~1000x slower per element: the dry run only needs
+    # the API surface to execute, so it shrinks the grid
+    ny, nx, ne = (8, 128, 8) if interpret else (64, 256, 16)
     dt = 0.05
 
     E, dE = build_energy_grid(gap, 1.0, 4.0, ne)
@@ -267,14 +269,14 @@ def main() -> int:
         from qpsim_tpu.models.params import BoundaryCondition
         from qpsim_tpu.solver.engine import run_2d_crank_nicolson
 
-        m = np.ones((32, 128), dtype=bool)
+        m = np.ones((16, 128) if not interpret else (4, 32), dtype=bool)
         edges = extract_edge_segments(m)
         bcs = {e.edge_id: BoundaryCondition(kind="reflective") for e in edges}
         init = np.zeros(m.shape)
         init[m] = 1e-5
         kw = dict(
             mask=m, edges=edges, edge_conditions=bcs, initial_field=init,
-            diffusion_coefficient=6.0, dt=0.05, total_time=1.0, dx=1.0,
+            diffusion_coefficient=6.0, dt=0.05, total_time=0.5, dx=1.0,
             store_every=4, energy_gap=gap, energy_max_factor=4.0,
             num_energy_bins=8, enable_recombination=True,
             enable_scattering=True, bath_temperature=0.2, dtype=dtype,

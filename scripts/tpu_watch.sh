@@ -13,9 +13,9 @@ mkdir -p .dev
 
 while true; do
   if python scripts/tpu_probe.py 90 >> .dev/tpu_watch.log 2>&1; then
-    echo "$(date -u +%FT%TZ) tunnel UP — launching bench" >> .dev/tpu_watch.log
-    nohup python bench.py > .dev/bench_live.json 2> .dev/bench_live.log &
-    echo $! > .dev/bench_live.pid
+    echo "$(date -u +%FT%TZ) tunnel UP — launching measurement session" >> .dev/tpu_watch.log
+    nohup bash scripts/tpu_session.sh > .dev/tpu_session_nohup.log 2>&1 &
+    echo $! > .dev/tpu_session.pid
     exit 0
   fi
   echo "$(date -u +%FT%TZ) tunnel still down" >> .dev/tpu_watch.log
