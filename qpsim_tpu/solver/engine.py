@@ -231,7 +231,12 @@ def run_2d_crank_nicolson(
         # 'merged' composes the sharded step's pieces — one collision
         # substep per step, identical communication.
         if mesh_y_solve is None:
-            mesh_y_solve = os.environ.get("QPSIM_MESH_Y_SOLVE", "pencil")
+            # 'wang' default since r4: the distributed Wang partition beat
+            # the pencil transposes even WITHOUT communication to save
+            # (0.284 vs 0.303 ms/step, 1-dev 256²×16 hardware capture,
+            # BENCH_CAPTURED_r04.json) and the comm model favors it ~40x
+            # at 8 chips (ROADMAP).  QPSIM_MESH_Y_SOLVE=pencil flips back.
+            mesh_y_solve = os.environ.get("QPSIM_MESH_Y_SOLVE", "wang")
         if mesh_y_solve not in ("pencil", "wang"):
             raise ValueError(
                 f"Unknown mesh_y_solve: {mesh_y_solve!r} (use 'pencil' or "

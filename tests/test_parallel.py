@@ -1045,7 +1045,9 @@ def test_engine_mesh_program_cache_zero_retrace(monkeypatch):
     assert engine.engine_trace_count() == traces
     np.testing.assert_array_equal(out1[2], out2[2])
 
-    monkeypatch.setenv("QPSIM_MESH_Y_SOLVE", "wang")
+    # flipping the y-solve strategy off the default ('wang' since r4) must
+    # miss the cache — the env var is part of the program fingerprint
+    monkeypatch.setenv("QPSIM_MESH_Y_SOLVE", "pencil")
     out3 = run_2d_crank_nicolson(**kw, mesh=mesh)
     assert engine.engine_trace_count() > traces  # new program, not a stale hit
     np.testing.assert_allclose(out3[2], out1[2], rtol=1e-12)
