@@ -50,17 +50,21 @@ def collision_vpu_op_model(ne: int) -> float:
     """Modeled VPU ops per pixel per substep for the unrolled collision
     kernel (G=1, scattering+recombination+phonon updates).
 
-    Counted from the kernel body (ops/pallas_collisions.py):
+    Counted from the r4 kernel body (ops/pallas_collisions.py — hoisted
+    1+D diagonal rows, shared symmetric scattering constant, single-exp
+    relaxation epilogue):
       partner assembly          4·NE
-      off-diagonal pairs        31·NE(NE−1)/2   (15 scattering + 16 recomb)
+      off-diagonal pairs        30·NE(NE−1)/2   (14 scattering + 16 recomb)
       diagonal pairs            12·NE
-      QP exponential update     24·NE           (expm1 Taylor/exp hybrid)
+      1+D row hoists            1·NE
+      QP exponential update     17·NE           (one exp; Taylor small-x)
       phonon-row updates        26·(3NE−2)
-    → 15.5·NE² + 102.5·NE − 52.  The achieved fraction of
+    → 15·NE² + 97·NE − 52.  (The pre-r4 kernel modeled
+    15.5·NE² + 102.5·NE − 52.)  The achieved fraction of
     ``V5E_VPU_F32_OPS_PER_S`` is the scoreboard for the kernel's
     "percent of VPU issue peak" claims (ROADMAP.md).
     """
-    return 15.5 * ne * ne + 102.5 * ne - 52.0
+    return 15.0 * ne * ne + 97.0 * ne - 52.0
 
 
 def adi_traffic_bytes_model(nb: int, ny: int, nx: int) -> float:
@@ -352,7 +356,23 @@ def bench_rooflines(n=1024, ne=16, length=1200, adi_length=2400) -> dict:
     import jax
     import jax.numpy as jnp
 
-    diff_step, diff_aux, col_half, q0, ph0 = _coupled_pieces(n, n, ne, 0.05, jnp.float32)
+    _, _, col_half, q0, ph0 = _coupled_pieces(n, n, ne, 0.05, jnp.float32)
+    # the ADI roofline times diffusion ALONE — use the standalone (wide-tile)
+    # config, not the coupled-composition budget _coupled_pieces selects
+    # (tile 256×K=16 measures 0.805 ms vs 0.937 at the coupled 128×K=32)
+    from qpsim_tpu.geometry.mask import extract_edge_segments
+    from qpsim_tpu.models.params import BoundaryCondition
+    from qpsim_tpu.ops.diffusion import build_directional_stencils, fold_diffusion
+    from qpsim_tpu.ops.dos import diffusion_coefficient_of_energy
+    from qpsim_tpu.ops.energy_grid import build_energy_grid
+
+    _mask = np.ones((n, n), dtype=bool)
+    _edges = extract_edge_segments(_mask)
+    _bcs = {e.edge_id: BoundaryCondition(kind="reflective") for e in _edges}
+    _E, _ = build_energy_grid(180.0, 1.0, 4.0, ne)
+    _xs, _ys = build_directional_stencils(_mask, _edges, _bcs, 1.0)
+    _op = fold_diffusion(_xs, _ys, _mask, 1.0, diffusion_coefficient_of_energy(6.0, _E, 180.0))
+    diff_step, diff_aux = _best_diffusion(_op, jnp.float32).make_step_aux(0.05)
 
     @jax.jit
     def col_chunk(state):
