@@ -33,6 +33,7 @@ module's docstring); parity is tested in interpret mode and on hardware.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 import jax
@@ -151,7 +152,21 @@ class _Physics:
     update_phonons: bool
 
 
-def _make_kernel(phys: _Physics, dt: float, gen_input: bool = False):
+def _walk_order(walk: str | None) -> str:
+    """Resolve the pair-walk emission order ('pair' | 'diag').
+
+    ``None`` defers to ``QPSIM_COLL_WALK`` (hardware A/B lever; the engine
+    program cache fingerprints it).  Both orders compute identical op sets —
+    they differ only in instruction order, i.e. in register live ranges and
+    float accumulation order (roundoff-level result differences).
+    """
+    w = walk if walk is not None else os.environ.get("QPSIM_COLL_WALK", "pair")
+    if w not in ("pair", "diag"):
+        raise ValueError(f"unknown collision walk order: {w!r}")
+    return w
+
+
+def _make_kernel(phys: _Physics, dt: float, gen_input: bool = False, walk: str = "pair"):
     ne = phys.ne
     dE = phys.dE
     G = phys.n_gaps
@@ -254,75 +269,97 @@ def _make_kernel(phys: _Physics, dt: float, gen_input: bool = False):
         # With G > 1 every kernel constant is a per-pixel blend (G−1 selects)
         # of the per-gap tables — the unique-gap cache of the reference
         # (solver.py:1203-1232) in kernel form.
-        for i in range(ne):
-            for j in range(i + 1):
-                if Ks is not None and i != j:
-                    # scattering at offset k = i−j: emission (i→j) dressed by
-                    # 1+D, absorption (j→i) dressed by D at the pair's ω bin.
-                    # The base kernel is symmetric (K_s0[i,j] = K_s0[j,i] —
-                    # shared (Eᵢ−Eⱼ)²·(1−Δ²/EᵢEⱼ) form), so ce == ca and one
-                    # blend serves both orderings; the asymmetric branch is
-                    # kept for generality but never taken by the physics.
-                    ce_vals = [dE * Ks[g][i][j] for g in range(G)]
-                    ca_vals = [dE * Ks[g][j][i] for g in range(G)]
-                    ce = blend(ce_vals)
-                    ca = ce if ce_vals == ca_vals else blend(ca_vals)
-                    if not is_zero(ce):
-                        we = ce * ph_row_plus1(idx_diff[i][j])
-                        loss[i] = loss[i] + we * partner[j]
-                        gain_s[j] = gain_s[j] + we * q[i]
-                        if phys.update_phonons:
-                            acc(ph_pos, idx_diff[i][j], ce * (q[i] * partner[j]))
-                    if not is_zero(ca):
-                        wa = ca * ph_row(idx_diff[i][j])
-                        loss[j] = loss[j] + wa * partner[i]
-                        gain_s[i] = gain_s[i] + wa * q[j]
-                        if phys.update_phonons:
-                            acc(ph_neg, idx_diff[i][j], ca * (q[j] * partner[i]))
-                if Kr is not None:
-                    kr_ij = [Kr[g][i][j] for g in range(G)]
-                    kr_ji = [Kr[g][j][i] for g in range(G)]
-                    s_ij = ph_row(idx_sum[i][j])
-                    if i == j:
-                        c = blend([2.0 * dE * v for v in kr_ij])
-                        if not is_zero(c):
-                            A = c * s_ij
-                            loss[i] = loss[i] + (A + c) * q[i]
-                            gain_r[i] = gain_r[i] + A * partner[i]
-                            if phys.update_phonons:
-                                m = idx_sum[i][i]
-                                hb = 0.5 * c
-                                acc(ph_pos, m, hb * (q[i] * q[i]))
-                                acc(ph_neg, m, hb * (partner[i] * partner[i]))
-                    else:
-                        symmetric = kr_ij == kr_ji
-                        c = blend([2.0 * dE * v for v in kr_ij])
-                        if symmetric:
-                            if not is_zero(c):
-                                # symmetric kernel (the physical case): share
-                                # the dressed weights across both orderings
-                                A = c * s_ij
-                                B = A + c
-                                loss[i] = loss[i] + B * q[j]
-                                loss[j] = loss[j] + B * q[i]
-                                gain_r[i] = gain_r[i] + A * partner[j]
-                                gain_r[j] = gain_r[j] + A * partner[i]
-                        else:
-                            cr = blend([2.0 * dE * v for v in kr_ji])
-                            for a, b, cab in ((i, j, c), (j, i, cr)):
-                                if not is_zero(cab):
-                                    Aab = cab * s_ij
-                                    loss[a] = loss[a] + (Aab + cab) * q[b]
-                                    gain_r[a] = gain_r[a] + Aab * partner[b]
-                        if phys.update_phonons:
-                            # both orderings emit the same ω row; constants add
-                            c2 = blend(
-                                [dE * (u + v) for u, v in zip(kr_ij, kr_ji)]
-                            )
-                            if not is_zero(c2):
-                                m = idx_sum[i][j]
-                                acc(ph_pos, m, c2 * (q[i] * q[j]))
-                                acc(ph_neg, m, c2 * (partner[i] * partner[j]))
+        def scatter_pair(i, j):
+            # scattering at offset k = i−j: emission (i→j) dressed by
+            # 1+D, absorption (j→i) dressed by D at the pair's ω bin.
+            # The base kernel is symmetric (K_s0[i,j] = K_s0[j,i] —
+            # shared (Eᵢ−Eⱼ)²·(1−Δ²/EᵢEⱼ) form), so ce == ca and one
+            # blend serves both orderings; the asymmetric branch is
+            # kept for generality but never taken by the physics.
+            ce_vals = [dE * Ks[g][i][j] for g in range(G)]
+            ca_vals = [dE * Ks[g][j][i] for g in range(G)]
+            ce = blend(ce_vals)
+            ca = ce if ce_vals == ca_vals else blend(ca_vals)
+            if not is_zero(ce):
+                we = ce * ph_row_plus1(idx_diff[i][j])
+                loss[i] = loss[i] + we * partner[j]
+                gain_s[j] = gain_s[j] + we * q[i]
+                if phys.update_phonons:
+                    acc(ph_pos, idx_diff[i][j], ce * (q[i] * partner[j]))
+            if not is_zero(ca):
+                wa = ca * ph_row(idx_diff[i][j])
+                loss[j] = loss[j] + wa * partner[i]
+                gain_s[i] = gain_s[i] + wa * q[j]
+                if phys.update_phonons:
+                    acc(ph_neg, idx_diff[i][j], ca * (q[j] * partner[i]))
+
+        def recomb_pair(i, j):
+            kr_ij = [Kr[g][i][j] for g in range(G)]
+            kr_ji = [Kr[g][j][i] for g in range(G)]
+            s_ij = ph_row(idx_sum[i][j])
+            if i == j:
+                c = blend([2.0 * dE * v for v in kr_ij])
+                if not is_zero(c):
+                    A = c * s_ij
+                    loss[i] = loss[i] + (A + c) * q[i]
+                    gain_r[i] = gain_r[i] + A * partner[i]
+                    if phys.update_phonons:
+                        m = idx_sum[i][i]
+                        hb = 0.5 * c
+                        acc(ph_pos, m, hb * (q[i] * q[i]))
+                        acc(ph_neg, m, hb * (partner[i] * partner[i]))
+                return
+            symmetric = kr_ij == kr_ji
+            c = blend([2.0 * dE * v for v in kr_ij])
+            if symmetric:
+                if not is_zero(c):
+                    # symmetric kernel (the physical case): share
+                    # the dressed weights across both orderings
+                    A = c * s_ij
+                    B = A + c
+                    loss[i] = loss[i] + B * q[j]
+                    loss[j] = loss[j] + B * q[i]
+                    gain_r[i] = gain_r[i] + A * partner[j]
+                    gain_r[j] = gain_r[j] + A * partner[i]
+            else:
+                cr = blend([2.0 * dE * v for v in kr_ji])
+                for a, b, cab in ((i, j, c), (j, i, cr)):
+                    if not is_zero(cab):
+                        Aab = cab * s_ij
+                        loss[a] = loss[a] + (Aab + cab) * q[b]
+                        gain_r[a] = gain_r[a] + Aab * partner[b]
+            if phys.update_phonons:
+                # both orderings emit the same ω row; constants add
+                c2 = blend([dE * (u + v) for u, v in zip(kr_ij, kr_ji)])
+                if not is_zero(c2):
+                    m = idx_sum[i][j]
+                    acc(ph_pos, m, c2 * (q[i] * q[j]))
+                    acc(ph_neg, m, c2 * (partner[i] * partner[j]))
+
+        if walk == "diag":
+            # Diagonal-major emission order: scattering walks Toeplitz
+            # diagonals k = i−j (each diff ω row's loads and accumulator
+            # touches become NE−k consecutive pairs), recombination walks
+            # Hankel anti-diagonals m = i+j (ditto for sum rows).  Op count
+            # is identical to the pair-major walk — only instruction order
+            # changes, compacting each ω row's live range so the register
+            # allocator can retire it instead of spilling it across the
+            # whole unrolled body.
+            if Ks is not None:
+                for k in range(1, ne):
+                    for j in range(ne - k):
+                        scatter_pair(j + k, j)
+            if Kr is not None:
+                for m in range(2 * ne - 1):
+                    for j in range(max(0, m - ne + 1), m // 2 + 1):
+                        recomb_pair(m - j, j)
+        else:
+            for i in range(ne):
+                for j in range(i + 1):
+                    if Ks is not None and i != j:
+                        scatter_pair(i, j)
+                    if Kr is not None:
+                        recomb_pair(i, j)
 
         # QP update: positivity-preserving exponential relaxation.  The
         # expm1 substitute reuses the already-computed decay for its
@@ -381,7 +418,9 @@ class _AnalyticPhysics:
     update_phonons: bool
 
 
-def _make_analytic_kernel(phys: _AnalyticPhysics, dt: float, gen_input: bool = False):
+def _make_analytic_kernel(
+    phys: _AnalyticPhysics, dt: float, gen_input: bool = False, walk: str = "pair"
+):
     ne = phys.ne
     gamma = phys.gamma
     scattering = phys.dEa_s is not None
@@ -453,45 +492,60 @@ def _make_analytic_kernel(phys: _AnalyticPhysics, dt: float, gen_input: bool = F
 
         # unordered pair walk — same structure as _make_kernel, with the
         # kernel constants evaluated per pixel from Δ² (2-3 ops per pair)
-        for i in range(ne):
-            for j in range(i + 1):
-                if scattering and i != j:
-                    Dk = ph_row(idx_diff[i][j])
-                    # symmetric in (i,j): one constant serves both orders
-                    cs = jnp.maximum(
-                        phys.dEa_s[i][j] - phys.dEb_s[i][j] * g2, 0.0
-                    )
-                    we = cs * ph_row_plus1(idx_diff[i][j])
-                    wa = cs * Dk
-                    loss[i] = loss[i] + we * partner[j]
-                    gain_s[j] = gain_s[j] + we * q[i]
-                    loss[j] = loss[j] + wa * partner[i]
-                    gain_s[i] = gain_s[i] + wa * q[j]
-                    if phys.update_phonons:
-                        acc(ph_pos, idx_diff[i][j], cs * (q[i] * partner[j]))
-                        acc(ph_neg, idx_diff[i][j], cs * (q[j] * partner[i]))
-                if recombination:
-                    s_ij = ph_row(idx_sum[i][j])
-                    c = phys.dEa2_r[i][j] + phys.dEb2_r[i][j] * g2  # = 2dE·K^r₀
-                    A = c * s_ij
-                    B = A + c
-                    if i == j:
-                        loss[i] = loss[i] + B * q[i]
-                        gain_r[i] = gain_r[i] + A * partner[i]
-                        if phys.update_phonons:
-                            m = idx_sum[i][i]
-                            hb = 0.5 * c
-                            acc(ph_pos, m, hb * (q[i] * q[i]))
-                            acc(ph_neg, m, hb * (partner[i] * partner[i]))
-                    else:
-                        loss[i] = loss[i] + B * q[j]
-                        loss[j] = loss[j] + B * q[i]
-                        gain_r[i] = gain_r[i] + A * partner[j]
-                        gain_r[j] = gain_r[j] + A * partner[i]
-                        if phys.update_phonons:
-                            m = idx_sum[i][j]
-                            acc(ph_pos, m, c * (q[i] * q[j]))
-                            acc(ph_neg, m, c * (partner[i] * partner[j]))
+        def scatter_pair(i, j):
+            Dk = ph_row(idx_diff[i][j])
+            # symmetric in (i,j): one constant serves both orders
+            cs = jnp.maximum(phys.dEa_s[i][j] - phys.dEb_s[i][j] * g2, 0.0)
+            we = cs * ph_row_plus1(idx_diff[i][j])
+            wa = cs * Dk
+            loss[i] = loss[i] + we * partner[j]
+            gain_s[j] = gain_s[j] + we * q[i]
+            loss[j] = loss[j] + wa * partner[i]
+            gain_s[i] = gain_s[i] + wa * q[j]
+            if phys.update_phonons:
+                acc(ph_pos, idx_diff[i][j], cs * (q[i] * partner[j]))
+                acc(ph_neg, idx_diff[i][j], cs * (q[j] * partner[i]))
+
+        def recomb_pair(i, j):
+            s_ij = ph_row(idx_sum[i][j])
+            c = phys.dEa2_r[i][j] + phys.dEb2_r[i][j] * g2  # = 2dE·K^r₀
+            A = c * s_ij
+            B = A + c
+            if i == j:
+                loss[i] = loss[i] + B * q[i]
+                gain_r[i] = gain_r[i] + A * partner[i]
+                if phys.update_phonons:
+                    m = idx_sum[i][i]
+                    hb = 0.5 * c
+                    acc(ph_pos, m, hb * (q[i] * q[i]))
+                    acc(ph_neg, m, hb * (partner[i] * partner[i]))
+            else:
+                loss[i] = loss[i] + B * q[j]
+                loss[j] = loss[j] + B * q[i]
+                gain_r[i] = gain_r[i] + A * partner[j]
+                gain_r[j] = gain_r[j] + A * partner[i]
+                if phys.update_phonons:
+                    m = idx_sum[i][j]
+                    acc(ph_pos, m, c * (q[i] * q[j]))
+                    acc(ph_neg, m, c * (partner[i] * partner[j]))
+
+        if walk == "diag":
+            # diagonal-major order — see _make_kernel for the rationale
+            if scattering:
+                for k in range(1, ne):
+                    for j in range(ne - k):
+                        scatter_pair(j + k, j)
+            if recombination:
+                for m in range(2 * ne - 1):
+                    for j in range(max(0, m - ne + 1), m // 2 + 1):
+                        recomb_pair(m - j, j)
+        else:
+            for i in range(ne):
+                for j in range(i + 1):
+                    if scattering and i != j:
+                        scatter_pair(i, j)
+                    if recombination:
+                        recomb_pair(i, j)
 
         # same decay-reusing relaxation as _make_kernel: one exp per bin
         for i in range(ne):
@@ -535,6 +589,7 @@ def build_pallas_collision_step_analytic(
     tile: int = _DEFAULT_TILE,
     interpret: bool = False,
     gen_input: bool = False,
+    walk: str | None = None,
 ):
     """Analytic-gap collision substep: exact per-pixel kernels from Δ(x, y).
 
@@ -606,7 +661,7 @@ def build_pallas_collision_step_analytic(
         idx_sum=idx_sum,
         update_phonons=bool(update_phonons),
     )
-    kernel = _make_analytic_kernel(phys, dt, gen_input=gen_input)
+    kernel = _make_analytic_kernel(phys, dt, gen_input=gen_input, walk=_walk_order(walk))
     if gap_plane is not None:
         g2_row = np.zeros((8, int(np.asarray(gap_plane).size)), np.float64)
         g2_row[:] = (np.asarray(gap_plane, np.float64) ** 2).reshape(1, -1)
@@ -692,6 +747,7 @@ def build_pallas_collision_step(
     gap_id: np.ndarray | None = None,
     block3d: bool = False,
     gen_input: bool = False,
+    walk: str | None = None,
 ):
     """Build ``(n_qp, n_ph) -> (n_qp, n_ph)`` backed by the Pallas kernel.
 
@@ -779,7 +835,7 @@ def build_pallas_collision_step(
         idx_sum=idx_sum,
         update_phonons=bool(update_phonons),
     )
-    kernel = _make_kernel(phys, dt, gen_input=gen_input)
+    kernel = _make_kernel(phys, dt, gen_input=gen_input, walk=_walk_order(walk))
     if multi_gap:
         gid_row = np.zeros((8, int(np.asarray(gap_id).size)), np.int32)
         gid_row[:] = np.asarray(gap_id, np.int32).reshape(1, -1)

@@ -14,6 +14,7 @@ traces via ``engine_trace_count``).
 from __future__ import annotations
 
 import hashlib
+import os
 import threading
 from collections import OrderedDict
 from dataclasses import dataclass
@@ -136,6 +137,9 @@ def _engine_program_key(
         int(pixel_chunk),
         float(pauli_density_floor),
         str(strang_mode),
+        # pair-walk emission order of the Pallas collision kernels — changes
+        # float accumulation order, so programs are not interchangeable
+        os.environ.get("QPSIM_COLL_WALK", "pair"),
     )
     if mesh is not None:
         put(

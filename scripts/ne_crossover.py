@@ -16,7 +16,10 @@ from __future__ import annotations
 import json
 import os
 import pathlib
+import sys
 import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 os.environ["QPSIM_PERSISTENT_CACHE"] = "0"
 

@@ -884,3 +884,80 @@ def test_pallas_analytic_gen_input_bit_exact():
     qb, pb = fused(q, ph, grow)
     np.testing.assert_array_equal(np.asarray(qa), np.asarray(qb))
     np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
+
+
+def test_pallas_diag_walk_matches_xla_interpret():
+    """Diagonal-major pair walk ≡ the XLA integrator (and the pair walk).
+
+    The walk order changes only instruction order (register live ranges on
+    hardware) and float accumulation order; physics must be identical.
+    Covers the unrolled kernel (single- and multi-gap) and the analytic-gap
+    kernel, interpret mode.
+    """
+    from qpsim_tpu.ops.pallas_collisions import (
+        build_pallas_collision_step,
+        build_pallas_collision_step_analytic,
+    )
+
+    E, dE = build_energy_grid(180.0, 1.0, 4.0, 9)
+    pm = build_phonon_frequency_map(E)
+    rho = dynes_density_of_states(E, 180.0, 0.0)
+    Ks = scattering_kernel_base(E, 180.0, 440.0, 1.2)
+    Kr = recombination_kernel_base(E, 180.0, 440.0, 1.2)
+    ny, nx = 2, 6
+    plan = build_collision_plan_arrays(
+        dE=dE, rho_by_gap=rho[None], K_r0_by_gap=Kr[None], K_s0_by_gap=Ks[None],
+        gap_id=np.zeros((ny, nx), np.int32), pmap=pm,
+        enable_recombination=True, enable_scattering=True, update_phonons=True)
+    xla = make_collision_step(plan, 0.02)
+    rng = np.random.default_rng(7)
+    q0 = jnp.asarray(rng.uniform(0, 1e-4, (9, ny, nx)) * rho[:, None, None])
+    ph0 = jnp.asarray(
+        np.broadcast_to(
+            thermal_phonon_occupation(pm.omega_bins, 0.25)[:, None, None],
+            (pm.num_omega, ny, nx),
+        ).copy()
+    )
+    q1, p1 = xla(q0, ph0)
+
+    diag = build_pallas_collision_step(
+        E_bins=E, dE=dE, rho=rho, K_s0=Ks, K_r0=Kr, pmap=pm, dt=0.02,
+        update_phonons=True, tile=128, interpret=True, walk="diag")
+    assert diag is not None
+    q2, p2 = diag(q0, ph0)
+    np.testing.assert_allclose(np.asarray(q2), np.asarray(q1), rtol=1e-12, atol=1e-22)
+    np.testing.assert_allclose(np.asarray(p2), np.asarray(p1), rtol=1e-9, atol=1e-22)
+
+    # multi-gap blend path under the diag walk
+    gaps = np.array([180.0, 150.0])
+    rho_g = np.stack([dynes_density_of_states(E, g, 0.0) for g in gaps])
+    Ks_g = np.stack([scattering_kernel_base(E, g, 440.0, 1.2) for g in gaps])
+    Kr_g = np.stack([recombination_kernel_base(E, g, 440.0, 1.2) for g in gaps])
+    gid = (np.arange(ny * nx).reshape(ny, nx) % 2).astype(np.int32)
+    plan_g = build_collision_plan_arrays(
+        dE=dE, rho_by_gap=rho_g, K_r0_by_gap=Kr_g, K_s0_by_gap=Ks_g,
+        gap_id=gid, pmap=pm,
+        enable_recombination=True, enable_scattering=True, update_phonons=True)
+    q1g, p1g = make_collision_step(plan_g, 0.02)(q0, ph0)
+    diag_g = build_pallas_collision_step(
+        E_bins=E, dE=dE, rho=rho_g, K_s0=Ks_g, K_r0=Kr_g, pmap=pm, dt=0.02,
+        update_phonons=True, tile=128, interpret=True, gap_id=gid, walk="diag")
+    assert diag_g is not None
+    q2g, p2g = diag_g(q0, ph0)
+    np.testing.assert_allclose(np.asarray(q2g), np.asarray(q1g), rtol=1e-12, atol=1e-22)
+    np.testing.assert_allclose(np.asarray(p2g), np.asarray(p1g), rtol=1e-9, atol=1e-22)
+
+    # analytic-gap kernel under the diag walk (continuous gap map)
+    gap_plane = np.full((ny, nx), 180.0)
+    ana_pair = build_pallas_collision_step_analytic(
+        E_bins=E, dE=dE, gap_plane=gap_plane, pmap=pm, dt=0.02,
+        tau_s=440.0, tau_r=440.0, T_c=1.2, update_phonons=True,
+        tile=128, interpret=True, walk="pair")
+    ana_diag = build_pallas_collision_step_analytic(
+        E_bins=E, dE=dE, gap_plane=gap_plane, pmap=pm, dt=0.02,
+        tau_s=440.0, tau_r=440.0, T_c=1.2, update_phonons=True,
+        tile=128, interpret=True, walk="diag")
+    q3, p3 = ana_pair(q0, ph0)
+    q4, p4 = ana_diag(q0, ph0)
+    np.testing.assert_allclose(np.asarray(q4), np.asarray(q3), rtol=1e-10, atol=1e-22)
+    np.testing.assert_allclose(np.asarray(p4), np.asarray(p3), rtol=1e-9, atol=1e-22)
