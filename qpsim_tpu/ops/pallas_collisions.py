@@ -384,8 +384,13 @@ def _make_kernel(phys: _Physics, dt: float, gen_input: bool = False, walk: str =
                 b_term = a_term if neg is None else a_term - neg
                 x = jnp.clip(b_term * dt, -_AFFINE_CLIP, _AFFINE_CLIP)
                 safe_b = jnp.where(jnp.abs(b_term) < _MU_FLOOR, 1.0, b_term)
-                coeff = jnp.where(jnp.abs(b_term) < _MU_FLOOR, dt, _expm1(x) / safe_b)
-                ph_out[w] = jnp.maximum(jnp.exp(x) * y + coeff * a_term, 0.0)
+                # one transcendental per row: the growth factor e^x doubles
+                # as the large-|x| branch of the expm1 substitute
+                ex = jnp.exp(x)
+                taylor = x * (1.0 + x * (0.5 + x * ((1.0 / 6.0) + x * (1.0 / 24.0))))
+                em1 = jnp.where(jnp.abs(x) < 1e-2, taylor, ex - 1.0)
+                coeff = jnp.where(jnp.abs(b_term) < _MU_FLOOR, dt, em1 / safe_b)
+                ph_out[w] = jnp.maximum(ex * y + coeff * a_term, 0.0)
             else:
                 ph_out[w] = ph_ref[w]
 
@@ -566,8 +571,13 @@ def _make_analytic_kernel(
                 b_term = a_term if neg is None else a_term - neg
                 x = jnp.clip(b_term * dt, -_AFFINE_CLIP, _AFFINE_CLIP)
                 safe_b = jnp.where(jnp.abs(b_term) < _MU_FLOOR, 1.0, b_term)
-                coeff = jnp.where(jnp.abs(b_term) < _MU_FLOOR, dt, _expm1(x) / safe_b)
-                ph_out[w] = jnp.maximum(jnp.exp(x) * y + coeff * a_term, 0.0)
+                # one transcendental per row: the growth factor e^x doubles
+                # as the large-|x| branch of the expm1 substitute
+                ex = jnp.exp(x)
+                taylor = x * (1.0 + x * (0.5 + x * ((1.0 / 6.0) + x * (1.0 / 24.0))))
+                em1 = jnp.where(jnp.abs(x) < 1e-2, taylor, ex - 1.0)
+                coeff = jnp.where(jnp.abs(b_term) < _MU_FLOOR, dt, em1 / safe_b)
+                ph_out[w] = jnp.maximum(ex * y + coeff * a_term, 0.0)
             else:
                 ph_out[w] = ph_ref[w]
 
