@@ -52,19 +52,19 @@ def collision_vpu_op_model(ne: int) -> float:
 
     Counted from the r4 kernel body (ops/pallas_collisions.py — hoisted
     1+D diagonal rows, shared symmetric scattering constant, single-exp
-    relaxation epilogue):
+    relaxation epilogue, one merged gain accumulator per bin):
       partner assembly          4·NE
       off-diagonal pairs        30·NE(NE−1)/2   (14 scattering + 16 recomb)
       diagonal pairs            12·NE
       1+D row hoists            1·NE
-      QP exponential update     17·NE           (one exp; Taylor small-x)
+      QP exponential update     16·NE           (one exp; Taylor small-x)
       phonon-row updates        26·(3NE−2)
-    → 15·NE² + 97·NE − 52.  (The pre-r4 kernel modeled
+    → 15·NE² + 96·NE − 52.  (The pre-r4 kernel modeled
     15.5·NE² + 102.5·NE − 52.)  The achieved fraction of
     ``V5E_VPU_F32_OPS_PER_S`` is the scoreboard for the kernel's
     "percent of VPU issue peak" claims (ROADMAP.md).
     """
-    return 15.0 * ne * ne + 97.0 * ne - 52.0
+    return 15.0 * ne * ne + 96.0 * ne - 52.0
 
 
 def adi_traffic_bytes_model(nb: int, ny: int, nx: int) -> float:

@@ -246,9 +246,12 @@ def _make_kernel(phys: _Physics, dt: float, gen_input: bool = False, walk: str =
             return _rows1[idx]
 
         zeros = jnp.zeros_like(q[0])
-        gain_s = [zeros for _ in range(ne)]  # Σ_i Ks[i,j]·Np(i,j)·q_i  (pre partner_j)
+        # ONE gain accumulator per bin (scattering Σ Ks·Np·q and
+        # recombination Σ Kr·S·partner add into the same row): the final
+        # update only ever uses their sum, and halving the accumulator
+        # count shortens NE tile-wide live ranges across the unrolled body
+        gain = [zeros for _ in range(ne)]
         loss = [zeros for _ in range(ne)]
-        gain_r = [zeros for _ in range(ne)]  # Σ_j Kr[i,j]·S·partner_j (pre partner_i)
         # ω-row base accumulators: the phonon ODE coefficients are
         # a = Σ(emission + recombination bases)           (creation rate)
         # b = a − Σ(absorption + pair-breaking bases)     (net growth rate)
@@ -283,13 +286,13 @@ def _make_kernel(phys: _Physics, dt: float, gen_input: bool = False, walk: str =
             if not is_zero(ce):
                 we = ce * ph_row_plus1(idx_diff[i][j])
                 loss[i] = loss[i] + we * partner[j]
-                gain_s[j] = gain_s[j] + we * q[i]
+                gain[j] = gain[j] + we * q[i]
                 if phys.update_phonons:
                     acc(ph_pos, idx_diff[i][j], ce * (q[i] * partner[j]))
             if not is_zero(ca):
                 wa = ca * ph_row(idx_diff[i][j])
                 loss[j] = loss[j] + wa * partner[i]
-                gain_s[i] = gain_s[i] + wa * q[j]
+                gain[i] = gain[i] + wa * q[j]
                 if phys.update_phonons:
                     acc(ph_neg, idx_diff[i][j], ca * (q[j] * partner[i]))
 
@@ -302,7 +305,7 @@ def _make_kernel(phys: _Physics, dt: float, gen_input: bool = False, walk: str =
                 if not is_zero(c):
                     A = c * s_ij
                     loss[i] = loss[i] + (A + c) * q[i]
-                    gain_r[i] = gain_r[i] + A * partner[i]
+                    gain[i] = gain[i] + A * partner[i]
                     if phys.update_phonons:
                         m = idx_sum[i][i]
                         hb = 0.5 * c
@@ -319,15 +322,15 @@ def _make_kernel(phys: _Physics, dt: float, gen_input: bool = False, walk: str =
                     B = A + c
                     loss[i] = loss[i] + B * q[j]
                     loss[j] = loss[j] + B * q[i]
-                    gain_r[i] = gain_r[i] + A * partner[j]
-                    gain_r[j] = gain_r[j] + A * partner[i]
+                    gain[i] = gain[i] + A * partner[j]
+                    gain[j] = gain[j] + A * partner[i]
             else:
                 cr = blend([2.0 * dE * v for v in kr_ji])
                 for a, b, cab in ((i, j, c), (j, i, cr)):
                     if not is_zero(cab):
                         Aab = cab * s_ij
                         loss[a] = loss[a] + (Aab + cab) * q[b]
-                        gain_r[a] = gain_r[a] + Aab * partner[b]
+                        gain[a] = gain[a] + Aab * partner[b]
             if phys.update_phonons:
                 # both orderings emit the same ω row; constants add
                 c2 = blend([dE * (u + v) for u, v in zip(kr_ij, kr_ji)])
@@ -366,14 +369,14 @@ def _make_kernel(phys: _Physics, dt: float, gen_input: bool = False, walk: str =
         # large-|x| branch (1 − e⁻ˣ is cancellation-free there), keeping the
         # Taylor guard for small x — one transcendental per bin, not two.
         for i in range(ne):
-            gain = partner[i] * (gain_s[i] + gain_r[i])
+            g_tot = partner[i] * gain[i]
             mu = jnp.maximum(loss[i], 0.0)
             x = mu * dt
             decay = jnp.exp(-x)
             taylor = x * (1.0 - x * (0.5 - x * ((1.0 / 6.0) - x * (1.0 / 24.0))))
             one_minus_decay = jnp.where(x < 1e-2, taylor, 1.0 - decay)
             coeff = jnp.where(mu < _MU_FLOOR, dt, one_minus_decay / jnp.maximum(mu, _MU_FLOOR))
-            q_out[i] = jnp.maximum(decay * q[i] + coeff * jnp.maximum(gain, 0.0), 0.0)
+            q_out[i] = jnp.maximum(decay * q[i] + coeff * jnp.maximum(g_tot, 0.0), 0.0)
 
         # phonon update: frozen-coefficient affine growth on touched ω rows
         for w in range(phys.nw_pad):
@@ -485,9 +488,9 @@ def _make_analytic_kernel(
             return _rows1[idx]
 
         zeros = jnp.zeros_like(q[0])
-        gain_s = [zeros for _ in range(ne)]
+        # one merged gain accumulator per bin (see _make_kernel)
+        gain = [zeros for _ in range(ne)]
         loss = [zeros for _ in range(ne)]
-        gain_r = [zeros for _ in range(ne)]
         ph_pos: dict[int, jax.Array] = {}
         ph_neg: dict[int, jax.Array] = {}
 
@@ -504,9 +507,9 @@ def _make_analytic_kernel(
             we = cs * ph_row_plus1(idx_diff[i][j])
             wa = cs * Dk
             loss[i] = loss[i] + we * partner[j]
-            gain_s[j] = gain_s[j] + we * q[i]
+            gain[j] = gain[j] + we * q[i]
             loss[j] = loss[j] + wa * partner[i]
-            gain_s[i] = gain_s[i] + wa * q[j]
+            gain[i] = gain[i] + wa * q[j]
             if phys.update_phonons:
                 acc(ph_pos, idx_diff[i][j], cs * (q[i] * partner[j]))
                 acc(ph_neg, idx_diff[i][j], cs * (q[j] * partner[i]))
@@ -518,7 +521,7 @@ def _make_analytic_kernel(
             B = A + c
             if i == j:
                 loss[i] = loss[i] + B * q[i]
-                gain_r[i] = gain_r[i] + A * partner[i]
+                gain[i] = gain[i] + A * partner[i]
                 if phys.update_phonons:
                     m = idx_sum[i][i]
                     hb = 0.5 * c
@@ -527,8 +530,8 @@ def _make_analytic_kernel(
             else:
                 loss[i] = loss[i] + B * q[j]
                 loss[j] = loss[j] + B * q[i]
-                gain_r[i] = gain_r[i] + A * partner[j]
-                gain_r[j] = gain_r[j] + A * partner[i]
+                gain[i] = gain[i] + A * partner[j]
+                gain[j] = gain[j] + A * partner[i]
                 if phys.update_phonons:
                     m = idx_sum[i][j]
                     acc(ph_pos, m, c * (q[i] * q[j]))
@@ -554,14 +557,14 @@ def _make_analytic_kernel(
 
         # same decay-reusing relaxation as _make_kernel: one exp per bin
         for i in range(ne):
-            gain = partner[i] * (gain_s[i] + gain_r[i])
+            g_tot = partner[i] * gain[i]
             mu = jnp.maximum(loss[i], 0.0)
             x = mu * dt
             decay = jnp.exp(-x)
             taylor = x * (1.0 - x * (0.5 - x * ((1.0 / 6.0) - x * (1.0 / 24.0))))
             one_minus_decay = jnp.where(x < 1e-2, taylor, 1.0 - decay)
             coeff = jnp.where(mu < _MU_FLOOR, dt, one_minus_decay / jnp.maximum(mu, _MU_FLOOR))
-            q_out[i] = jnp.maximum(decay * q[i] + coeff * jnp.maximum(gain, 0.0), 0.0)
+            q_out[i] = jnp.maximum(decay * q[i] + coeff * jnp.maximum(g_tot, 0.0), 0.0)
 
         for w in range(phys.nw_pad):
             if phys.update_phonons and (w in ph_pos or w in ph_neg):

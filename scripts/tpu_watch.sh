@@ -4,17 +4,18 @@
 # a time — grab the window the moment it opens) and exit 0 so the driving
 # session is notified.  Exits 1 after MAX_HOURS without recovery.
 #
-# Usage: bash scripts/tpu_watch.sh [MAX_HOURS]
+# Usage: bash scripts/tpu_watch.sh [MAX_HOURS] [SESSION_SCRIPT]
 set -u
 cd "$(dirname "$0")/.."
 MAX_HOURS="${1:-10}"
+SESSION="${2:-scripts/tpu_session.sh}"
 DEADLINE=$(( $(date +%s) + MAX_HOURS * 3600 ))
 mkdir -p .dev
 
 while true; do
   if python scripts/tpu_probe.py 90 >> .dev/tpu_watch.log 2>&1; then
     echo "$(date -u +%FT%TZ) tunnel UP — launching measurement session" >> .dev/tpu_watch.log
-    nohup bash scripts/tpu_session.sh > .dev/tpu_session_nohup.log 2>&1 &
+    nohup bash "$SESSION" > .dev/tpu_session_nohup.log 2>&1 &
     echo $! > .dev/tpu_session.pid
     exit 0
   fi
