@@ -809,8 +809,13 @@ def build_pallas_collision_step_blocked(
                 b_term = b_ref[:]
                 x = jnp.clip(b_term * dt, -_AFFINE_CLIP, _AFFINE_CLIP)
                 safe_b = jnp.where(jnp.abs(b_term) < _MU_FLOOR, 1.0, b_term)
-                cph = jnp.where(jnp.abs(b_term) < _MU_FLOOR, dt, _expm1(x) / safe_b)
-                ph_out[:] = jnp.maximum(jnp.exp(x) * y + cph * a_term, 0.0)
+                # one transcendental per row: the growth factor e^x doubles
+                # as the large-|x| branch of the expm1 substitute
+                ex = jnp.exp(x)
+                taylor = x * (1.0 + x * (0.5 + x * ((1.0 / 6.0) + x * (1.0 / 24.0))))
+                em1 = jnp.where(jnp.abs(x) < 1e-2, taylor, ex - 1.0)
+                cph = jnp.where(jnp.abs(b_term) < _MU_FLOOR, dt, em1 / safe_b)
+                ph_out[:] = jnp.maximum(ex * y + cph * a_term, 0.0)
             else:
                 ph_out[:] = ph_ref[:]
 
