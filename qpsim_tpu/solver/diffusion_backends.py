@@ -26,6 +26,7 @@ Both backends treat masked-out cells as inert identity rows.
 
 from __future__ import annotations
 
+import os
 
 import jax
 import jax.numpy as jnp
@@ -417,9 +418,29 @@ class PallasADI(_AuxStepMixin):
         self._chunks = chunks
         self._coupled = coupled
 
+    def _try_separable(self, dt: float, as_aux: bool):
+        """Separable nb==1 fast path (``ops.pallas_adi_sep``): 1D stencil
+        vectors + host-prefactored Wang sweeps — plane DMA and per-row
+        reciprocals vanish.  Raises ``ValueError`` when the operator is not
+        scalar/separable (the general kernels take over) or when disabled
+        via ``QPSIM_ADI_SEPARABLE=0`` (part of the engine program-cache
+        fingerprint)."""
+        if os.environ.get("QPSIM_ADI_SEPARABLE", "1") == "0":
+            raise ValueError("separable ADI kernels disabled by env")
+        from ..ops.pallas_adi_sep import build_pallas_adi_sep_step
+
+        return build_pallas_adi_sep_step(
+            self._op, dt, self.dtype, as_aux=as_aux, interpret=self._interpret,
+            tile=self._tile, chunks=self._chunks,
+        )
+
     def make_step(self, dt: float):
         from ..ops.pallas_adi import build_pallas_adi_fused_step, build_pallas_adi_step
 
+        try:
+            return self._try_separable(dt, as_aux=False)
+        except ValueError:
+            pass
         try:
             return build_pallas_adi_fused_step(
                 self._op, dt, self.dtype, interpret=self._interpret,
@@ -439,6 +460,10 @@ class PallasADI(_AuxStepMixin):
         """
         from ..ops.pallas_adi import build_pallas_adi_fused_step
 
+        try:
+            return self._try_separable(dt, as_aux=True)
+        except ValueError:
+            pass
         try:
             return build_pallas_adi_fused_step(
                 self._op, dt, self.dtype, as_aux=True, interpret=self._interpret,

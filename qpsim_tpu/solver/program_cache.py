@@ -140,6 +140,8 @@ def _engine_program_key(
         # pair-walk emission order of the Pallas collision kernels — changes
         # float accumulation order, so programs are not interchangeable
         os.environ.get("QPSIM_COLL_WALK", "pair"),
+        # separable nb==1 ADI fast path: different elimination rounding
+        os.environ.get("QPSIM_ADI_SEPARABLE", "1"),
     )
     if mesh is not None:
         put(
