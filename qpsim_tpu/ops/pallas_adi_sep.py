@@ -32,10 +32,14 @@ kernel to f32 roundoff (exactly, under f64 interpret mode; see
 tests/test_pallas_adi_sep.py).  Zero coefficient rows (masked cells,
 decoupled intervals) reduce to identity rows in the prefactored form too.
 
-Scope: ``num_bins == 1`` (scalar mode).  Multi-bin operators with
-``bin_scale`` would need per-bin factor packs whose DMA exceeds the plane
-traffic they replace (the bin-revisit skip already amortizes planes there),
-so they stay on the general kernels.
+Scope: any ``num_bins`` with a lazy ``bin_scale`` (uniform-gap operators).
+At nb == 1 (scalar mode, the headline benchmark) this is the engine
+default.  At nb > 1 each bin gets its own factor pack — prefactorizations
+of the SAME 1D stencil vectors at the bin's α·s — streamed once per bin
+per half-step on a (nb, tiles) grid; whether the eliminated in-kernel
+re-elimination work beats the extra ~5 planes of pack DMA is the r5
+hardware A/B (VERDICT r4 weak #3), so the engine engages the multi-bin
+form only under ``QPSIM_ADI_SEPARABLE_MB=1`` until measured.
 """
 
 from __future__ import annotations
@@ -65,8 +69,12 @@ def separable_stencil_vectors(op):
     along x, and the sources split likewise.  Holds exactly for full
     rectangles with per-face-uniform BCs; any interior mask structure or
     per-segment BC variation breaks it and returns None.
+
+    Any ``num_bins`` qualifies as long as the operator is lazy-scaled
+    (``bin_scale`` carries the per-bin α factors over shared (1, Ny, Nx)
+    planes — the uniform-gap form).
     """
-    if op.bin_scale is None or op.num_bins != 1:
+    if op.bin_scale is None:
         return None
     xs, ys = [], []
     for p in (op.ax_lo, op.ax_hi, op.ax_diag, op.sx):
@@ -150,17 +158,20 @@ def _lane_replicate(pack: np.ndarray, lanes: int) -> np.ndarray:
     )
 
 
-def _prefactored_sweep(d_c, fac_ref, ifc_ref, m: int, k: int, lanes: int, dtype):
+def _prefactored_sweep(d_c, fget, iget, m: int, k: int, lanes: int, dtype):
     """Run the prefactored Wang sweeps on the chunk-major rhs scratch.
 
-    Returns the per-chunk boundary solutions ``(Ls, Rs)``; ``d_c`` holds the
-    post-backward D values for the final back-substitution.
+    ``fget(f, i)`` reads factor-pack row i of field f and ``iget(j, i)``
+    interface scalar i of chunk j (accessors, so the single-bin and
+    bin-gridded kernels share this body).  Returns the per-chunk boundary
+    solutions ``(Ls, Rs)``; ``d_c`` holds the post-backward D values for
+    the final back-substitution.
     """
-    carry0 = d_c[0, :] * fac_ref[1, 0, :]
+    carry0 = d_c[0, :] * fget(1, 0)
     d_c[0, :] = carry0
 
     def forward(i, carry):
-        v = (d_c[i, :] - fac_ref[0, i, :] * carry) * fac_ref[1, i, :]
+        v = (d_c[i, :] - fget(0, i) * carry) * fget(1, i)
         d_c[i, :] = v
         return v
 
@@ -168,7 +179,7 @@ def _prefactored_sweep(d_c, fac_ref, ifc_ref, m: int, k: int, lanes: int, dtype)
 
     def backward(j, carry):
         i = m - 2 - j
-        v = d_c[i, :] - fac_ref[2, i, :] * carry
+        v = d_c[i, :] - fget(2, i) * carry
         d_c[i, :] = v
         return v
 
@@ -178,10 +189,10 @@ def _prefactored_sweep(d_c, fac_ref, ifc_ref, m: int, k: int, lanes: int, dtype)
     g = jnp.zeros((lanes,), dtype=dtype)
     ps, gs = [], []
     for j in range(k):
-        aL = ifc_ref[j, 0]
-        invI = ifc_ref[j, 1]
-        aR = ifc_ref[j, 2]
-        arw = ifc_ref[j, 3]
+        aL = iget(j, 0)
+        invI = iget(j, 1)
+        aR = iget(j, 2)
+        arw = iget(j, 3)
         dL = d_c[0, col(j)]
         dR = d_c[m - 1, col(j)]
         p = (dL - aL * g) * invI
@@ -191,44 +202,69 @@ def _prefactored_sweep(d_c, fac_ref, ifc_ref, m: int, k: int, lanes: int, dtype)
     L_next = jnp.zeros((lanes,), dtype=dtype)
     Ls, Rs = [None] * k, [None] * k
     for j in range(k - 1, -1, -1):
-        Ls[j] = ps[j] - ifc_ref[j, 4] * L_next
-        Rs[j] = gs[j] - ifc_ref[j, 5] * L_next
+        Ls[j] = ps[j] - iget(j, 4) * L_next
+        Rs[j] = gs[j] - iget(j, 5) * L_next
         L_next = Ls[j]
     return Ls, Rs
 
 
-def _make_sep_x_kernel(nx: int, ly: int, k: int, has_src: bool):
+def _ref_accessors(yv_ref, xr_ref, fac_ref, ifc_ref, mb: bool):
+    """Read accessors shared by the single-bin and bin-gridded kernels.
+
+    Single-bin blocks: yv (4, L, 128), xr (1, 8, n), fac (5, M, K·L) with
+    ifc (K, 6) whole in SMEM.  Bin-gridded blocks carry a leading
+    size-1 bin dim selected by the BlockSpec index map — except ifc, which
+    stays whole in SMEM and is indexed by the bin program id.
+    """
+    if not mb:
+        return (
+            lambda i: yv_ref[i, :, 0:1],
+            xr_ref[0, 0:1, :],
+            lambda f, i: fac_ref[f, i, :],
+            lambda f: fac_ref[f],
+            lambda j, i: ifc_ref[j, i],
+        )
+    b = pl.program_id(0)
+    return (
+        lambda i: yv_ref[0, i, :, 0:1],
+        xr_ref[0, 0:1, :],
+        lambda f, i: fac_ref[0, f, i, :],
+        lambda f: fac_ref[0, f],
+        lambda j, i: ifc_ref[b, j, i],
+    )
+
+
+def _make_sep_x_kernel(nx: int, ly: int, k: int, has_src: bool, mb: bool = False):
     """x-implicit half on a natural-layout (ly, nx) tile → swapped output.
 
     rhs stencil from the y-direction 1D vectors ((ly, 1) column broadcasts,
     pre-scaled by α·s on the host), in-VMEM transpose, prefactored Wang
     solve along x.  Mirrors ``pallas_adi._make_fused_x_kernel`` with the
     coefficient assembly and elimination replaced by the factor pack.
+    ``mb=True`` grids over (bin, tile) with per-bin packs.
     """
     m = nx // k
 
     def kernel(u_ref, up_ref, dn_ref, yv_ref, xr_ref, fac_ref, ifc_ref,
                outT_ref, d_c):
+        yv, xr_row, fget, ffield, iget = _ref_accessors(
+            yv_ref, xr_ref, fac_ref, ifc_ref, mb
+        )
         u = u_ref[0]
         prev = jnp.concatenate([up_ref[0, 7:8, :], u[:-1]], axis=0)
         nxt = jnp.concatenate([u[1:], dn_ref[0, 0:1, :]], axis=0)
-        rhs = (
-            u
-            + yv_ref[0, :, 0:1] * prev
-            + yv_ref[1, :, 0:1] * nxt
-            + yv_ref[2, :, 0:1] * u
-        )
+        rhs = u + yv(0) * prev + yv(1) * nxt + yv(2) * u
         if has_src:
-            rhs = rhs + yv_ref[3, :, 0:1] + xr_ref[0, 0:1, :]
+            rhs = rhs + yv(3) + xr_row
         rhsT = rhs.T  # (nx, ly): x lines on sublanes
 
         for c in range(k):
             d_c[:, c * ly:(c + 1) * ly] = rhsT[c * m:(c + 1) * m, :]
 
-        Ls, Rs = _prefactored_sweep(d_c, fac_ref, ifc_ref, m, k, ly, rhs.dtype)
+        Ls, Rs = _prefactored_sweep(d_c, fget, iget, m, k, ly, rhs.dtype)
 
-        A_f = fac_ref[3]
-        C_f = fac_ref[4]
+        A_f = ffield(3)
+        C_f = ffield(4)
         col = lambda j: slice(j * ly, (j + 1) * ly)
         zero = jnp.zeros((ly,), dtype=rhs.dtype)
         for c in range(k):
@@ -241,32 +277,30 @@ def _make_sep_x_kernel(nx: int, ly: int, k: int, has_src: bool):
     return kernel
 
 
-def _make_sep_y_kernel(ny: int, lx: int, k: int, has_src: bool):
+def _make_sep_y_kernel(ny: int, lx: int, k: int, has_src: bool, mb: bool = False):
     """y-implicit half on a swapped-layout (lx, ny) tile → natural output."""
     m = ny // k
 
     def kernel(vT_ref, up_ref, dn_ref, xv_ref, yr_ref, fac_ref, ifc_ref,
                out_ref, d_c):
+        xv, yr_row, fget, ffield, iget = _ref_accessors(
+            xv_ref, yr_ref, fac_ref, ifc_ref, mb
+        )
         v = vT_ref[0]
         prev = jnp.concatenate([up_ref[0, 7:8, :], v[:-1]], axis=0)
         nxt = jnp.concatenate([v[1:], dn_ref[0, 0:1, :]], axis=0)
-        rhsT = (
-            v
-            + xv_ref[0, :, 0:1] * prev
-            + xv_ref[1, :, 0:1] * nxt
-            + xv_ref[2, :, 0:1] * v
-        )
+        rhsT = v + xv(0) * prev + xv(1) * nxt + xv(2) * v
         if has_src:
-            rhsT = rhsT + xv_ref[3, :, 0:1] + yr_ref[0, 0:1, :]
+            rhsT = rhsT + xv(3) + yr_row
         rhs = rhsT.T  # (ny, lx): y lines on sublanes
 
         for c in range(k):
             d_c[:, c * lx:(c + 1) * lx] = rhs[c * m:(c + 1) * m, :]
 
-        Ls, Rs = _prefactored_sweep(d_c, fac_ref, ifc_ref, m, k, lx, rhs.dtype)
+        Ls, Rs = _prefactored_sweep(d_c, fget, iget, m, k, lx, rhs.dtype)
 
-        A_f = fac_ref[3]
-        C_f = fac_ref[4]
+        A_f = ffield(3)
+        C_f = ffield(4)
         col = lambda j: slice(j * lx, (j + 1) * lx)
         zero = jnp.zeros((lx,), dtype=rhs.dtype)
         for c in range(k):
@@ -279,41 +313,56 @@ def _make_sep_y_kernel(ny: int, lx: int, k: int, has_src: bool):
     return kernel
 
 
-def _auto_tile(other_extent: int) -> int:
-    # Working set per block ≈ state in/out (double-buffered) + factor pack
-    # (5 rows) + rhs scratch ≈ 10 tile-sized buffers; 256-wide tiles fit at
-    # 1024-class extents (≈10.5 MB) because no 2D plane tiles exist here.
-    return 256 if 10 * 256 * other_extent * 4 <= 14_000_000 else 128
+def _auto_tile(other_extent: int, coupled: bool = False) -> int:
+    # Hardware sweep (.dev/sep_adi_hw.json, v5e 1024²): tile 128 / K=32 is
+    # the measured winner — 0.0456 ms/step vs 0.0488 (t256/k32) and 0.0518
+    # (t256/k16, the pre-r5 auto default).  Working set per block ≈ state
+    # in/out (double-buffered) + factor pack (5 rows) + rhs scratch ≈ 10
+    # tile-sized buffers; the budget guard only bites at pathological
+    # extents.  Coupled compositions use the conservative budget (the
+    # 2026-08 libtpu's scoped-VMEM over-accounting, CLAUDE.md).
+    budget = 12_500_000 if coupled else 14_000_000
+    for t in (128, 64, 32):
+        if 10 * t * other_extent * 4 <= budget:
+            return t
+    return 8
 
 
 def _auto_chunks(n: int, lane_tile: int) -> int:
-    if lane_tile >= 256 and n % 16 == 0 and n // 16 >= 8:
-        return 16
+    # K=32 wherever it divides (the hardware-swept winner at both tile
+    # widths); _pick_chunks already prefers it.
+    del lane_tile
     return _pick_chunks(n)
 
 
 def build_pallas_adi_sep_step(op, dt: float, dtype=jnp.float32, *,
                               tile: int | None = None, chunks: int | None = None,
-                              as_aux: bool = False, interpret: bool = False):
+                              as_aux: bool = False, interpret: bool = False,
+                              coupled: bool = False):
     """Fused PR-ADI step for a separable nb==1 operator (see module doc).
 
-    Raises ``ValueError`` when the operator is not separable/scalar or the
-    grid doesn't tile — callers fall back to the general fused kernels.
+    Raises ``ValueError`` when the operator is not separable or the grid
+    doesn't tile — callers fall back to the general fused kernels.
     Matches ``build_pallas_adi_fused_step`` to compute-dtype roundoff (the
     factor chains are evaluated in f64 on the host).
+
+    nb == 1 uses a 1D tile grid; nb > 1 grids over (bin, tile) with
+    per-bin factor packs (same 1D vectors prefactored at each bin's α·s).
     """
     vecs = separable_stencil_vectors(op)
     if vecs is None:
         raise ValueError(
-            "separable ADI kernels need a scalar (nb==1) operator with "
+            "separable ADI kernels need a lazy-scaled operator with "
             "separable directional planes"
         )
     (xlo, xhi, xdiag, sx), (ylo, yhi, ydiag, sy) = vecs
     mask = np.asarray(op.mask, dtype=bool)
     ny, nx = mask.shape
+    nb = int(op.num_bins)
+    mb = nb > 1
 
-    ly = _pick_tile(ny, _auto_tile(nx) if tile is None else tile)
-    lx = _pick_tile(nx, _auto_tile(ny) if tile is None else tile)
+    ly = _pick_tile(ny, _auto_tile(nx, coupled) if tile is None else tile)
+    lx = _pick_tile(nx, _auto_tile(ny, coupled) if tile is None else tile)
     kx = _auto_chunks(nx, ly or 0) if chunks is None else int(chunks)
     ky = _auto_chunks(ny, lx or 0) if chunks is None else int(chunks)
     if ly is None or lx is None or kx < 2 or ky < 2 or ny % 8 or nx % 8:
@@ -322,10 +371,11 @@ def build_pallas_adi_sep_step(op, dt: float, dtype=jnp.float32, *,
         )
 
     alpha = 0.5 * float(dt)
-    a_s = alpha * float(np.asarray(op.bin_scale).reshape(-1)[0])
-
-    packx, ifcx = _wang_prefactor_1d(-a_s * xlo, 1.0 - a_s * xdiag, -a_s * xhi, kx)
-    packy, ifcy = _wang_prefactor_1d(-a_s * ylo, 1.0 - a_s * ydiag, -a_s * yhi, ky)
+    scales = alpha * np.asarray(op.bin_scale, dtype=np.float64).reshape(-1)
+    if scales.size != nb:
+        raise ValueError(
+            f"bin_scale carries {scales.size} factors for {nb} bins"
+        )
 
     has_src = bool(np.any(sx) or np.any(sy))
     np_dtype = jnp.dtype(dtype)
@@ -334,61 +384,169 @@ def build_pallas_adi_sep_step(op, dt: float, dtype=jnp.float32, *,
         out = np.empty((4, n, _VEC_LANES))
         for i, v in enumerate(vs):
             out[i] = v[:, None]
-        return jnp.asarray(out, dtype=np_dtype)
+        return out
 
-    yv = vec_pack((a_s * ylo, a_s * yhi, a_s * ydiag, a_s * sy), ny)
-    xv = vec_pack((a_s * xlo, a_s * xhi, a_s * xdiag, a_s * sx), nx)
-    xr = jnp.asarray(np.broadcast_to(a_s * sx, (1, 8, nx)), dtype=np_dtype)
-    yr = jnp.asarray(np.broadcast_to(a_s * sy, (1, 8, ny)), dtype=np_dtype)
-    facx = jnp.asarray(_lane_replicate(packx, ly), dtype=np_dtype)
-    facy = jnp.asarray(_lane_replicate(packy, lx), dtype=np_dtype)
-    ifx = jnp.asarray(ifcx, dtype=np_dtype)
-    ify = jnp.asarray(ifcy, dtype=np_dtype)
+    # Per-bin packs, stacked on a leading bin axis (squeezed at nb == 1 so
+    # the scalar path keeps its r4-hardware-witnessed layout exactly).
+    yv_b, xv_b, xr_b, yr_b = [], [], [], []
+    facx_b, facy_b, ifx_b, ify_b = [], [], [], []
+    for a_s in scales:
+        packx, ifcx = _wang_prefactor_1d(
+            -a_s * xlo, 1.0 - a_s * xdiag, -a_s * xhi, kx
+        )
+        packy, ifcy = _wang_prefactor_1d(
+            -a_s * ylo, 1.0 - a_s * ydiag, -a_s * yhi, ky
+        )
+        yv_b.append(vec_pack((a_s * ylo, a_s * yhi, a_s * ydiag, a_s * sy), ny))
+        xv_b.append(vec_pack((a_s * xlo, a_s * xhi, a_s * xdiag, a_s * sx), nx))
+        xr_b.append(np.broadcast_to(a_s * sx, (8, nx)))
+        yr_b.append(np.broadcast_to(a_s * sy, (8, ny)))
+        facx_b.append(_lane_replicate(packx, ly))
+        facy_b.append(_lane_replicate(packy, lx))
+        ifx_b.append(ifcx)
+        ify_b.append(ifcy)
+
+    def dev(stack, keep_bin_axis):
+        arr = np.stack(stack)
+        if not keep_bin_axis:
+            arr = arr[0]
+        return jnp.asarray(arr, dtype=np_dtype)
+
+    yv = dev(yv_b, mb)
+    xv = dev(xv_b, mb)
+    xr = dev(xr_b, mb) if mb else dev(xr_b, True)  # (nb, 8, nx) / (1, 8, nx)
+    yr = dev(yr_b, mb) if mb else dev(yr_b, True)
+    facx = dev(facx_b, mb)
+    facy = dev(facy_b, mb)
+    ifx = dev(ifx_b, mb)
+    ify = dev(ify_b, mb)
 
     vmem = pltpu.VMEM
     smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
-    fix = lambda *shape: pl.BlockSpec(shape, lambda j: (0,) * len(shape),
-                                      memory_space=vmem)
+
+    if mb:
+        fix = lambda *shape: pl.BlockSpec(
+            shape, lambda b, j: (0,) * len(shape), memory_space=vmem
+        )
+        binned = lambda *shape: pl.BlockSpec(
+            (1,) + shape, lambda b, j: (b,) + (0,) * len(shape),
+            memory_space=vmem,
+        )
+    else:
+        fix = lambda *shape: pl.BlockSpec(
+            shape, lambda j: (0,) * len(shape), memory_space=vmem
+        )
 
     # ---- x half
-    grid_x = (ny // ly,)
     nyg = ny // 8
-    in_specs_x = [
-        pl.BlockSpec((1, ly, nx), lambda j: (0, j, 0), memory_space=vmem),
-        pl.BlockSpec((1, 8, nx), lambda j: (0, jnp.maximum(j * (ly // 8) - 1, 0), 0),
-                     memory_space=vmem),
-        pl.BlockSpec((1, 8, nx), lambda j: (0, jnp.minimum((j + 1) * (ly // 8), nyg - 1), 0),
-                     memory_space=vmem),
-        pl.BlockSpec((4, ly, _VEC_LANES), lambda j: (0, j, 0), memory_space=vmem),
-        fix(1, 8, nx),
-        fix(5, nx // kx, kx * ly),
-        smem_spec,
-    ]
-    outT_spec = pl.BlockSpec((1, nx, ly), lambda j: (0, 0, j), memory_space=vmem)
-    kern_x = _make_sep_x_kernel(nx, ly, kx, has_src)
+    if mb:
+        grid_x = (nb, ny // ly)
+        in_specs_x = [
+            pl.BlockSpec((1, ly, nx), lambda b, j: (b, j, 0), memory_space=vmem),
+            pl.BlockSpec(
+                (1, 8, nx),
+                lambda b, j: (b, jnp.maximum(j * (ly // 8) - 1, 0), 0),
+                memory_space=vmem,
+            ),
+            pl.BlockSpec(
+                (1, 8, nx),
+                lambda b, j: (b, jnp.minimum((j + 1) * (ly // 8), nyg - 1), 0),
+                memory_space=vmem,
+            ),
+            pl.BlockSpec(
+                (1, 4, ly, _VEC_LANES), lambda b, j: (b, 0, j, 0),
+                memory_space=vmem,
+            ),
+            binned(8, nx),
+            binned(5, nx // kx, kx * ly),
+            smem_spec,
+        ]
+        outT_spec = pl.BlockSpec(
+            (1, nx, ly), lambda b, j: (b, 0, j), memory_space=vmem
+        )
+    else:
+        grid_x = (ny // ly,)
+        in_specs_x = [
+            pl.BlockSpec((1, ly, nx), lambda j: (0, j, 0), memory_space=vmem),
+            pl.BlockSpec(
+                (1, 8, nx),
+                lambda j: (0, jnp.maximum(j * (ly // 8) - 1, 0), 0),
+                memory_space=vmem,
+            ),
+            pl.BlockSpec(
+                (1, 8, nx),
+                lambda j: (0, jnp.minimum((j + 1) * (ly // 8), nyg - 1), 0),
+                memory_space=vmem,
+            ),
+            pl.BlockSpec((4, ly, _VEC_LANES), lambda j: (0, j, 0), memory_space=vmem),
+            fix(1, 8, nx),
+            fix(5, nx // kx, kx * ly),
+            smem_spec,
+        ]
+        outT_spec = pl.BlockSpec((1, nx, ly), lambda j: (0, 0, j), memory_space=vmem)
+    kern_x = _make_sep_x_kernel(nx, ly, kx, has_src, mb)
     scratch_x = [pltpu.VMEM((nx // kx, kx * ly), np_dtype)]
 
     # ---- y half
-    grid_y = (nx // lx,)
     nxg = nx // 8
-    in_specs_y = [
-        pl.BlockSpec((1, lx, ny), lambda j: (0, j, 0), memory_space=vmem),
-        pl.BlockSpec((1, 8, ny), lambda j: (0, jnp.maximum(j * (lx // 8) - 1, 0), 0),
-                     memory_space=vmem),
-        pl.BlockSpec((1, 8, ny), lambda j: (0, jnp.minimum((j + 1) * (lx // 8), nxg - 1), 0),
-                     memory_space=vmem),
-        pl.BlockSpec((4, lx, _VEC_LANES), lambda j: (0, j, 0), memory_space=vmem),
-        fix(1, 8, ny),
-        fix(5, ny // ky, ky * lx),
-        smem_spec,
-    ]
-    out_spec = pl.BlockSpec((1, ny, lx), lambda j: (0, 0, j), memory_space=vmem)
-    kern_y = _make_sep_y_kernel(ny, lx, ky, has_src)
+    if mb:
+        grid_y = (nb, nx // lx)
+        in_specs_y = [
+            pl.BlockSpec((1, lx, ny), lambda b, j: (b, j, 0), memory_space=vmem),
+            pl.BlockSpec(
+                (1, 8, ny),
+                lambda b, j: (b, jnp.maximum(j * (lx // 8) - 1, 0), 0),
+                memory_space=vmem,
+            ),
+            pl.BlockSpec(
+                (1, 8, ny),
+                lambda b, j: (b, jnp.minimum((j + 1) * (lx // 8), nxg - 1), 0),
+                memory_space=vmem,
+            ),
+            pl.BlockSpec(
+                (1, 4, lx, _VEC_LANES), lambda b, j: (b, 0, j, 0),
+                memory_space=vmem,
+            ),
+            binned(8, ny),
+            binned(5, ny // ky, ky * lx),
+            smem_spec,
+        ]
+        out_spec = pl.BlockSpec(
+            (1, ny, lx), lambda b, j: (b, 0, j), memory_space=vmem
+        )
+    else:
+        grid_y = (nx // lx,)
+        in_specs_y = [
+            pl.BlockSpec((1, lx, ny), lambda j: (0, j, 0), memory_space=vmem),
+            pl.BlockSpec(
+                (1, 8, ny),
+                lambda j: (0, jnp.maximum(j * (lx // 8) - 1, 0), 0),
+                memory_space=vmem,
+            ),
+            pl.BlockSpec(
+                (1, 8, ny),
+                lambda j: (0, jnp.minimum((j + 1) * (lx // 8), nxg - 1), 0),
+                memory_space=vmem,
+            ),
+            pl.BlockSpec((4, lx, _VEC_LANES), lambda j: (0, j, 0), memory_space=vmem),
+            fix(1, 8, ny),
+            fix(5, ny // ky, ky * lx),
+            smem_spec,
+        ]
+        out_spec = pl.BlockSpec((1, ny, lx), lambda j: (0, 0, j), memory_space=vmem)
+    kern_y = _make_sep_y_kernel(ny, lx, ky, has_src, mb)
     scratch_y = [pltpu.VMEM((ny // ky, ky * lx), np_dtype)]
 
     aux = (yv, xr, facx, ifx, xv, yr, facy, ify)
 
     def step_aux(state: jax.Array, aux_arrays) -> jax.Array:
+        if state.shape[0] != nb:
+            # The grid's bin axis is sized at build time — a mismatched
+            # leading dim would silently return uninitialized memory.
+            raise ValueError(
+                f"separable ADI step was built for {nb} bin(s), got state "
+                f"shape {state.shape}"
+            )
         yv_, xr_, facx_, ifx_, xv_, yr_, facy_, ify_ = aux_arrays
         u = state.astype(np_dtype)
         u_starT = pl.pallas_call(
@@ -396,7 +554,7 @@ def build_pallas_adi_sep_step(op, dt: float, dtype=jnp.float32, *,
             grid=grid_x,
             in_specs=in_specs_x,
             out_specs=outT_spec,
-            out_shape=jax.ShapeDtypeStruct((u.shape[0], nx, ny), np_dtype),
+            out_shape=jax.ShapeDtypeStruct((nb, nx, ny), np_dtype),
             scratch_shapes=scratch_x,
             interpret=interpret,
         )(u, u, u, yv_, xr_, facx_, ifx_)

@@ -27,10 +27,15 @@ Both backends treat masked-out cells as inert identity rows.
 from __future__ import annotations
 
 import os
+import warnings
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# Outcome of the separable-ADI Mosaic compile probe, per kernel config —
+# one AOT compile per config per process, shared across backend instances.
+_SEP_COMPILE_OK: dict[tuple, bool] = {}
 
 from ..ops.diffusion import (
     SplitOperator,
@@ -427,12 +432,59 @@ class PallasADI(_AuxStepMixin):
         fingerprint)."""
         if os.environ.get("QPSIM_ADI_SEPARABLE", "1") == "0":
             raise ValueError("separable ADI kernels disabled by env")
+        if self.num_bins > 1 and os.environ.get("QPSIM_ADI_SEPARABLE_MB") != "1":
+            # nb > 1 per-bin factor packs exist (ops.pallas_adi_sep) but
+            # stay opt-in until the r5 hardware A/B (scripts/sep_nb_ab.py)
+            # decides against the general fused kernel's measured 0.805 ms.
+            raise ValueError("multi-bin separable ADI is opt-in (QPSIM_ADI_SEPARABLE_MB=1)")
         from ..ops.pallas_adi_sep import build_pallas_adi_sep_step
 
-        return build_pallas_adi_sep_step(
-            self._op, dt, self.dtype, as_aux=as_aux, interpret=self._interpret,
-            tile=self._tile, chunks=self._chunks,
+        fn, aux = build_pallas_adi_sep_step(
+            self._op, dt, self.dtype, as_aux=True, interpret=self._interpret,
+            tile=self._tile, chunks=self._chunks, coupled=self._coupled,
         )
+        self._probe_separable_compile(fn, aux)
+        if as_aux:
+            return fn, aux
+        return lambda state: fn(state, aux)
+
+    def _probe_separable_compile(self, fn, aux) -> None:
+        """AOT-compile the standalone separable kernel once per config.
+
+        A Mosaic compile failure surfaces at jit time, where nothing can
+        fall back — interpret-clean is not Mosaic-clean on this repo's
+        record (CLAUDE.md).  Probing with ShapeDtypeStructs moves no data;
+        the compile is paid once per (shape, tile, chunks, dtype, coupled)
+        per process (and once per machine under the persistent XLA cache).
+        Any failure raises ValueError so ``make_step``'s except-clause
+        takes the general fused kernels instead of crashing the program
+        build.
+        """
+        if self._interpret or jax.default_backend() != "tpu":
+            return
+        key = (
+            self.mask.shape, self._tile, self._chunks,
+            str(jnp.dtype(self.dtype)), self._coupled,
+        )
+        ok = _SEP_COMPILE_OK.get(key)
+        if ok is None:
+            try:
+                s = jax.ShapeDtypeStruct((1,) + self.mask.shape, self.dtype)
+                aux_s = jax.tree_util.tree_map(
+                    lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), aux
+                )
+                jax.jit(fn).lower(s, aux_s).compile()
+                ok = True
+            except Exception as exc:  # Mosaic errors are not ValueErrors
+                warnings.warn(
+                    "separable ADI kernel failed its Mosaic compile probe "
+                    f"({type(exc).__name__}: {exc}); falling back to the "
+                    "general fused kernels"
+                )
+                ok = False
+            _SEP_COMPILE_OK[key] = ok
+        if not ok:
+            raise ValueError("separable ADI kernel failed Mosaic compile")
 
     def make_step(self, dt: float):
         from ..ops.pallas_adi import build_pallas_adi_fused_step, build_pallas_adi_step

@@ -140,8 +140,10 @@ def _engine_program_key(
         # pair-walk emission order of the Pallas collision kernels — changes
         # float accumulation order, so programs are not interchangeable
         os.environ.get("QPSIM_COLL_WALK", "pair"),
-        # separable nb==1 ADI fast path: different elimination rounding
+        # separable ADI fast path: different elimination rounding
         os.environ.get("QPSIM_ADI_SEPARABLE", "1"),
+        # opt-in nb>1 separable form (per-bin factor packs)
+        os.environ.get("QPSIM_ADI_SEPARABLE_MB", "0"),
     )
     if mesh is not None:
         put(

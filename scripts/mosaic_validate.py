@@ -22,6 +22,7 @@ exit if any check fails.  One TPU client at a time.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import traceback
 from pathlib import Path
@@ -29,6 +30,13 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import numpy as np
+
+if os.environ.get("QPSIM_FORCE_CPU") == "1":
+    # wiring checks must not touch the axon tunnel (one client at a time);
+    # only the in-process config update selects CPU here (CLAUDE.md)
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 RESULTS: dict = {}
 
@@ -291,6 +299,114 @@ def main() -> int:
         return float(np.max(errs))
 
     check("light_snapshot_reductions", light_snapshots, 5e-6)
+
+    # 7 (r5): separable prefactored-Wang ADI kernel — the nb==1 scalar-mode
+    # default since late r4 — against the general fused kernel on the
+    # headline 1024² shape with all five BC kinds exercised via sources.
+    def sep_adi():
+        from qpsim_tpu.geometry.mask import extract_edge_segments
+        from qpsim_tpu.models.params import BoundaryCondition
+        from qpsim_tpu.ops.diffusion import build_directional_stencils, fold_diffusion
+        from qpsim_tpu.ops.pallas_adi import build_pallas_adi_fused_step
+        from qpsim_tpu.ops.pallas_adi_sep import build_pallas_adi_sep_step
+
+        n = 128 if interpret else 1024
+        m = np.ones((n, n), dtype=bool)
+        edges = extract_edge_segments(m)
+        kinds = ["dirichlet", "neumann", "robin", "reflective"]
+        bcs = {}
+        for i, e in enumerate(edges):
+            kind = kinds[i % len(kinds)]
+            bcs[e.edge_id] = BoundaryCondition(
+                kind=kind,
+                value=0.4 if kind in ("dirichlet", "neumann", "robin") else None,
+                aux_value=0.2 if kind == "robin" else None,
+            )
+        x_st, y_st = build_directional_stencils(m, edges, bcs, 0.6)
+        op = fold_diffusion(x_st, y_st, m, 0.6, 2.3)
+        rng2 = np.random.default_rng(11)
+        u0 = jnp.asarray(rng2.uniform(0.0, 1.0, (1, n, n)), dtype=dtype)
+        dt_d = 0.05
+        ref_step = jax.jit(build_pallas_adi_fused_step(op, dt_d, dtype, interpret=interpret))
+        sep_step = jax.jit(build_pallas_adi_sep_step(op, dt_d, dtype, interpret=interpret))
+        steps = 3 if interpret else 50
+        ref = got = u0
+        for _ in range(steps):
+            ref, got = ref_step(ref), sep_step(got)
+        return _scaled_max_err(np.asarray(got), np.asarray(ref))
+
+    check("sep_adi_prefactored_wang", sep_adi, 5e-6)
+
+    # 8 (r5): ensemble super-grid composition — member independence on the
+    # real chip (the packed multi-member step vs the same member stepped
+    # alone; any guard-row leak or tile-boundary artifact breaks equality).
+    def ensemble_independence():
+        from qpsim_tpu.parallel.ensemble import build_film_ensemble
+
+        n_members, member, ne_e = 3, ((8, 32) if interpret else (32, 128)), 8
+        steps = 2 if interpret else 5
+
+        def run(n_mem, q_members, baths):
+            ens = build_film_ensemble(
+                n_members=n_mem, member_shape=member, num_energy_bins=ne_e,
+                dt=0.05, dtype=dtype,
+            )
+            ph_members = ens.thermal_phonons(baths)
+            q, ph = ens.pack(q_members, ph_members)
+            step = jax.jit(lambda q, ph: ens.step(q, ph))
+            q, ph = jnp.asarray(q, dtype), jnp.asarray(ph, dtype)
+            for _ in range(steps):
+                q, ph = step(q, ph)
+            return ens.unpack(q, ph)
+
+        rng3 = np.random.default_rng(23)
+        q_members = rng3.uniform(0, 1e-5, (n_members, ne_e, *member))
+        baths = np.linspace(0.15, 0.35, n_members)
+        q_all, ph_all = run(n_members, q_members, baths)
+        errs = []
+        for k in range(n_members):
+            q_one, ph_one = run(1, q_members[k:k + 1], baths[k:k + 1])
+            errs.append(_scaled_max_err(np.asarray(q_all)[k], np.asarray(q_one)[0]))
+            errs.append(_scaled_max_err(np.asarray(ph_all)[k], np.asarray(ph_one)[0]))
+        return float(np.max(errs))
+
+    check("ensemble_supergrid_independence", ensemble_independence, 1e-5)
+
+    # 9 (r5): rematerialized backward — remat+chunked gradients vs the
+    # plain (no-remat) backward on the real chip.
+    def diffgrad_remat():
+        from qpsim_tpu.diff import make_differentiable_sim
+
+        n = 8 if interpret else 16
+        m = np.ones((n, n), dtype=bool)
+        kw = dict(
+            mask=m, num_energy_bins=6, dt=0.05, n_steps=24, n0=1e-4,
+            bath_temperature=0.2, dtype=dtype,
+        )
+        params = {
+            "D0": jnp.asarray(6.0, dtype),
+            "tau_s": jnp.asarray(440.0, dtype),
+            "tau_r": jnp.asarray(440.0, dtype),
+        }
+
+        def grad_of(**over):
+            sim = make_differentiable_sim(**kw, **over)
+            return jax.jit(jax.grad(lambda p: sim(p)["total"][-1]))(params)
+
+        g_plain = grad_of(remat=False)
+        g_remat = grad_of(remat=True, remat_chunk=6)
+        # Compare the LOG-SPACE gradient vector (g·θ), not per-component:
+        # ∂/∂D0 is ~1e-10-scale here — inside f32 re-association noise for
+        # both modes (CPU f32 shows the same ~8% per-component scatter) —
+        # while the θ-scaled vector is dominated by the well-conditioned
+        # components.  A Mosaic miscompile would corrupt those too.
+        v_p = np.array([float(g_plain[k]) * float(params[k]) for k in params])
+        v_r = np.array([float(g_remat[k]) * float(params[k]) for k in params])
+        return float(
+            np.linalg.norm(v_r - v_p) / max(1e-30, np.linalg.norm(v_p))
+        )
+
+    check("diffgrad_remat_backward", diffgrad_remat, 1e-3)
 
     ok = all(v.get("ok") for v in RESULTS.values())
     print(json.dumps({"ok": ok, "checks": RESULTS}))

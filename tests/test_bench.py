@@ -42,6 +42,13 @@ def test_bench_emits_degraded_json_line_when_backend_unavailable():
     assert payload["unit"] == "cell-steps/s"
     assert payload["vs_baseline"] == 0.0
     assert payload["error"] == "tpu_unavailable"
+    # The outage payload must still carry the newest checked-in hardware
+    # capture (VERDICT r4 weak #4): a driver reading only BENCH_r*.json sees
+    # the last real numbers plus their provenance.
+    last = payload["last_captured"]
+    assert last["file"].startswith("BENCH_CAPTURED_r")
+    assert last["value"] > 0
+    assert "captured_at" in last
 
 
 @pytest.mark.slow

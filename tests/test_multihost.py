@@ -51,3 +51,6 @@ def test_two_process_distributed_init_and_psum():
     for i, (p, out) in enumerate(zip(procs, outputs)):
         assert p.returncode == 0, f"process {i} failed:\n{out}"
         assert f"MULTIHOST_OK process={i}" in out, out
+        # Phase 2: a coupled ShardedStep whose space axis spans both
+        # processes ran and matched the single-chip oracle shard-by-shard.
+        assert f"MULTIHOST_STEP_OK process={i}" in out, out

@@ -87,19 +87,52 @@ def test_sep_rejects_nonseparable_and_multibin():
         build_pallas_adi_sep_step(op, 0.05, jnp.float64, interpret=True)
 
     op2, _ = _rect_operator(32, 32)
-    op_multibin = fold_diffusion(
-        *build_directional_stencils(
-            np.ones((32, 32), dtype=bool),
-            extract_edge_segments(np.ones((32, 32), dtype=bool)),
-            {e.edge_id: BoundaryCondition(kind="reflective")
-             for e in extract_edge_segments(np.ones((32, 32), dtype=bool))},
-            1.0,
-        ),
-        np.ones((32, 32), dtype=bool),
-        1.0,
-        np.array([1.0, 2.0]),
-    )
-    assert separable_stencil_vectors(op_multibin) is None
-    with pytest.raises(ValueError, match="separable"):
-        build_pallas_adi_sep_step(op_multibin, 0.05, jnp.float64, interpret=True)
     assert separable_stencil_vectors(op2) is not None
+
+
+def _multibin_operator(ny, nx, D_bins, *, kinds=None, dx=1.0):
+    mask = np.ones((ny, nx), dtype=bool)
+    edges = extract_edge_segments(mask)
+    kinds = kinds or _FACE_KINDS
+    bcs = {}
+    for i, e in enumerate(edges):
+        kind = kinds[i % len(kinds)]
+        bcs[e.edge_id] = BoundaryCondition(
+            kind=kind,
+            value=0.3 if kind in ("dirichlet", "neumann", "robin") else None,
+            aux_value=0.15 if kind == "robin" else None,
+        )
+    x_st, y_st = build_directional_stencils(mask, edges, bcs, dx)
+    return fold_diffusion(x_st, y_st, mask, dx, np.asarray(D_bins))
+
+
+def test_sep_multibin_matches_xla_adi():
+    """nb > 1 (bin-gridded per-bin factor packs) against the XLA backend."""
+    D_bins = np.array([0.7, 2.3, 4.1])
+    op = _multibin_operator(32, 64, D_bins)
+    dt = 0.05
+    assert separable_stencil_vectors(op) is not None
+    ref_step = ADIDiffusion(op, dtype=jnp.float64).make_step(dt)
+    got_step = build_pallas_adi_sep_step(op, dt, jnp.float64, interpret=True)
+    rng = np.random.default_rng(17)
+    ref = got = jnp.asarray(rng.uniform(0.0, 1.0, (3, 32, 64)))
+    for _ in range(3):
+        ref, got = ref_step(ref), got_step(got)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=0, atol=1e-12)
+
+
+def test_sep_multibin_matches_general_fused():
+    D_bins = np.array([1.0, 3.0])
+    op = _multibin_operator(48, 96, D_bins, kinds=["reflective"])
+    dt = 0.08
+    u0 = jnp.asarray(np.random.default_rng(9).uniform(0, 1, (2, 48, 96)))
+    a = build_pallas_adi_fused_step(op, dt, jnp.float64, interpret=True)(u0)
+    b = build_pallas_adi_sep_step(op, dt, jnp.float64, interpret=True)(u0)
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=0, atol=1e-13)
+
+
+def test_sep_rejects_wrong_leading_dim():
+    op, u0 = _rect_operator(32, 32, seed=3)
+    step = build_pallas_adi_sep_step(op, 0.05, jnp.float64, interpret=True)
+    with pytest.raises(ValueError, match="built for 1 bin"):
+        step(jnp.concatenate([u0, u0], axis=0))
