@@ -33,6 +33,7 @@ from ..models.params import (
     ExternalGenerationSpec,
     GeometryData,
     InitialConditionSpec,
+    PhotonDriveSpec,
     SetupData,
     SimulationParameters,
     SimulationResultData,
@@ -174,7 +175,16 @@ def _build_from_payload(cls, raw: dict[str, Any], overrides: dict[str, Callable]
 
 
 def serialize_setup(setup: SetupData) -> dict[str, Any]:
-    return asdict(setup)
+    payload = asdict(setup)
+    # File-format compatibility: the photon drive is a framework-only
+    # extension (the reference lists the model as "Not yet Implemented").
+    # A disabled drive writes NO key, so reference-era setups serialize
+    # byte-identically and reference tooling sees nothing unfamiliar.
+    params = payload.get("parameters", {})
+    drive = params.get("photon_drive")
+    if drive is not None and str(drive.get("mode", "none")).strip().lower() == "none":
+        params.pop("photon_drive", None)
+    return payload
 
 
 def _generation_from(raw: Any) -> ExternalGenerationSpec:
@@ -203,6 +213,19 @@ _PARAM_OVERRIDES: dict[str, Callable] = {
     "tau_s": _nullable_float("tau_s"),
     "tau_r": _nullable_float("tau_r"),
     "external_generation": lambda p: _generation_from(p.get("external_generation")),
+    # Absent in reference-era files (new capability): default = drive off.
+    "photon_drive": lambda p: (
+        _build_from_payload(
+            PhotonDriveSpec,
+            p["photon_drive"],
+            {
+                "window_start": _nullable_float("window_start"),
+                "window_duration": _nullable_float("window_duration"),
+            },
+        )
+        if p.get("photon_drive")
+        else PhotonDriveSpec()
+    ),
 }
 
 

@@ -176,6 +176,58 @@ class ExternalGenerationSpec:
 
 
 @dataclass
+class PhotonDriveSpec:
+    """Resonator-photon drive (Fischer et al. 2024 pair-breaking photons).
+
+    A single photon mode of energy ``photon_energy`` (µeV) and occupation
+    ``occupancy`` (n̄) coupled to the QP gas with rate constant ``coupling``
+    (the paper's c^QP_Phot, 1/ns).  ``include_scattering`` enables the
+    number-conserving absorption/emission redistribution (paper Eq. 3);
+    ``include_pair_breaking`` the generation/recombination vertex (Eqs.
+    4–5, active only when ω > 2Δ).  An optional window gates the drive in
+    time like a generation pulse.  New capability — the reference lists
+    this model in its own "Not yet Implemented" queue.
+    """
+
+    mode: str = "none"                  # {"none", "photon"}
+    photon_energy: float = 0.0          # ω (µeV)
+    occupancy: float = 0.0              # n̄
+    coupling: float = 0.0               # c (1/ns)
+    include_scattering: bool = True
+    include_pair_breaking: bool = True
+    window_start: float | None = None   # ns; None = always on
+    window_duration: float | None = None
+
+    def normalized_mode(self) -> str:
+        return self.mode.strip().lower()
+
+    @property
+    def enabled(self) -> bool:
+        return self.normalized_mode() == "photon"
+
+    def validate(self) -> None:
+        _check(
+            self.normalized_mode() in {"none", "photon"},
+            f"Unsupported photon drive mode '{self.mode}'. Supported: none, photon.",
+        )
+        if not self.enabled:
+            return
+        _check(self.photon_energy > 0, "Photon drive photon_energy must be positive.")
+        _check(self.occupancy >= 0, "Photon drive occupancy must be non-negative.")
+        _check(self.coupling >= 0, "Photon drive coupling must be non-negative.")
+        _check(
+            self.include_scattering or self.include_pair_breaking,
+            "Photon drive needs at least one of scattering / pair breaking enabled.",
+        )
+        if self.window_start is not None or self.window_duration is not None:
+            _check(
+                self.window_start is not None and self.window_duration is not None,
+                "Photon drive window needs both window_start and window_duration.",
+            )
+            _check(self.window_duration >= 0, "Photon drive window_duration must be non-negative.")
+
+
+@dataclass
 class SimulationParameters:
     """All physics / numerics parameters for one run.
 
@@ -205,6 +257,7 @@ class SimulationParameters:
     bath_temperature: float = 0.1
     export_phonon_history: bool = False
     external_generation: ExternalGenerationSpec = field(default_factory=ExternalGenerationSpec)
+    photon_drive: PhotonDriveSpec = field(default_factory=PhotonDriveSpec)
 
     def __post_init__(self) -> None:
         self.collision_solver = normalize_collision_solver_name(self.collision_solver)
@@ -213,6 +266,12 @@ class SimulationParameters:
         self._validate_collisions()
         self._validate_energy_grid()
         self.external_generation.validate()
+        self.photon_drive.validate()
+        if self.photon_drive.enabled:
+            _check(
+                self.energy_gap > 0,
+                "Photon drive needs the energy-resolved mode (energy_gap > 0).",
+            )
 
     def _resolve_taus(self) -> None:
         # tau_0 is a convenience default for tau_s / tau_r; after resolution

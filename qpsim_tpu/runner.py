@@ -290,6 +290,7 @@ def run_setup(
         T_c=p.T_c,
         bath_temperature=p.bath_temperature,
         external_generation=p.external_generation,
+        photon_drive=getattr(p, "photon_drive", None),
         initial_condition_spec=setup.initial_condition,
         gap_expression=p.gap_expression,
         precomputed=precomputed,

@@ -53,6 +53,7 @@ from ..models.params import (
     EdgeSegment,
     ExternalGenerationSpec,
     InitialConditionSpec,
+    PhotonDriveSpec,
 )
 from ..ops.collisions import DEFAULT_PIXEL_CHUNK
 from ..utils.compile_cache import maybe_enable_persistent_cache
@@ -97,6 +98,7 @@ def run_2d_crank_nicolson(
     T_c: float = 1.2,
     bath_temperature: float = 0.1,
     external_generation: ExternalGenerationSpec | None = None,
+    photon_drive: PhotonDriveSpec | None = None,
     initial_condition_spec: InitialConditionSpec | None = None,
     gap_expression: str = "",
     precomputed: dict | None = None,
@@ -260,6 +262,12 @@ def run_2d_crank_nicolson(
         raise ValueError("tau_r must be positive when recombination is enabled.")
     if external_generation is not None:
         external_generation.validate()
+    if photon_drive is not None:
+        photon_drive.validate()
+        if photon_drive.enabled and energy_gap <= 0.0:
+            raise ValueError(
+                "photon_drive needs the energy-resolved mode (energy_gap > 0)."
+            )
     if dtype is None:
         dtype = default_dtype()
 
@@ -292,6 +300,7 @@ def run_2d_crank_nicolson(
             T_c=T_c,
             bath_temperature=bath_temperature,
             external_generation=external_generation,
+            photon_drive=photon_drive,
             initial_condition_spec=initial_condition_spec,
             gap_expression=gap_expression,
             precomputed=precomputed,

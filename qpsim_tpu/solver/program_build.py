@@ -60,6 +60,7 @@ def _build_engine_program(
     external_generation,
     pauli_density_floor,
     strang_mode,
+    photon_drive=None,
     mesh=None,
     mesh_y_solve="pencil",
 ) -> _EngineProgram:
@@ -239,15 +240,70 @@ def _build_engine_program(
             "host boundary to evaluate it at.  Use strang_mode='exact' (or a "
             "traceable expression)."
         )
+    # --- photon drive (Fischer 2024 pair-breaking photons) -----------------
+    # A per-step exponential photon substep Ph(dt) applied after the
+    # generation injection and before the leading collision half — the same
+    # first-order placement the reference gives external generation.
+    photon_on = photon_drive is not None and photon_drive.enabled
+    if photon_on:
+        if mesh is not None:
+            raise ValueError(
+                "photon_drive is not yet supported on the mesh (multi-chip) path."
+            )
+        if int(unique_gaps.size) > 1:
+            raise ValueError(
+                "photon_drive currently requires a uniform gap (no gap maps)."
+            )
+        if gen.host_mode:
+            raise ValueError(
+                "photon_drive cannot be combined with a host-evaluated custom "
+                "generation expression."
+            )
+        from ..ops.photon_drive import build_photon_drive_plan, make_photon_substep
+
+        photon_plan = build_photon_drive_plan(
+            E_bins=E_bins,
+            dE=dE,
+            gap=gap,
+            rho=rho_by_gap[0],
+            omega=photon_drive.photon_energy,
+            coupling=photon_drive.coupling,
+            occupancy=photon_drive.occupancy,
+            include_scattering=photon_drive.include_scattering,
+            include_pair_breaking=photon_drive.include_pair_breaking,
+        )
+        _pw0 = photon_drive.window_start
+        _pw1 = (
+            None if _pw0 is None else _pw0 + float(photon_drive.window_duration)
+        )
+
+        def make_photon_apply(seg_dt: float):
+            sub = make_photon_substep(photon_plan, seg_dt, dtype)
+
+            def apply(qq, t, gaux):
+                if _pw0 is None:
+                    amp = jnp.asarray(1.0, dtype)
+                else:
+                    amp = ((t >= _pw0) & (t < _pw1)).astype(dtype)
+                return sub(qq, amp, gaux)
+
+            return apply
+    else:
+        make_photon_apply = None
+
     # Spatially/spectrally uniform traced generation (constant/pulse) fuses
     # into the pallas collision kernel's VMEM pre-add (gen_input=True):
     # the reference's forward-Euler n += dt·g (solver.py:1459-1464) lands on
     # the already-resident tile instead of paying a full state HBM
     # round-trip as a standalone XLA add (~0.27 ms at 1024²×16).
+    # The photon substep sits BETWEEN the gen add and the collision half, so
+    # the fusion (which buries the add inside the collision kernel) is
+    # disabled when the drive is active to keep the operator order strict.
     fuse_gen_wanted = (
         gen.scalar_amp_fn is not None
         and collisions_on
         and (use_pallas_collisions or use_analytic_collisions)
+        and not photon_on
     )
     gen_mask_plane = jnp.asarray(mask, dtype=dtype)
 
@@ -589,6 +645,7 @@ def _build_engine_program(
         )
 
         gen_fused_plane, gen_apply = make_gen_helpers(seg_dt)
+        photon_apply = make_photon_apply(seg_dt) if make_photon_apply else None
 
         def run(qq, pp, t_start, daux, paux, gaux):
             _bump_trace()
@@ -609,6 +666,8 @@ def _build_engine_program(
                     return (qq, pp, t0), stats + (gen_nonfinite, gen_negative)
                 if gen.traced_fn is not None:
                     qq, gen_nonfinite, gen_negative = gen_apply(qq, t, gaux)
+                if photon_apply is not None:
+                    qq = photon_apply(qq, t, gaux)
                 if collisions_on and diff_step is not None:
                     qq, pp = col_half(qq, pp)
                     qq = diff_step(qq, daux)
@@ -634,8 +693,12 @@ def _build_engine_program(
                     qq, pp = col_half_gen(qq, pp, grow0)
                 elif gen.traced_fn is not None:
                     qq, gnf0, gng0 = gen_apply(qq, t_start, gaux)
+                    if photon_apply is not None:
+                        qq = photon_apply(qq, t_start, gaux)
                     qq, pp = col_half(qq, pp)
                 else:
+                    if photon_apply is not None:
+                        qq = photon_apply(qq, t_start, gaux)
                     qq, pp = col_half(qq, pp)
 
                 def body_m(carry, idx):
@@ -649,8 +712,13 @@ def _build_engine_program(
                     elif gen.traced_fn is not None:
                         t = t0 + (idx + 1).astype(t0.dtype) * seg_dt
                         qq, gnf, gng = gen_apply(qq, t, gaux)
+                        if photon_apply is not None:
+                            qq = photon_apply(qq, t, gaux)
                         qq, pp = col_full(qq, pp)
                     else:
+                        if photon_apply is not None:
+                            t = t0 + (idx + 1).astype(t0.dtype) * seg_dt
+                            qq = photon_apply(qq, t, gaux)
                         qq, pp = col_full(qq, pp)
                     stats = pauli_stats_fn(qq, paux)
                     return (qq, pp, t0), stats + (gnf, gng)
@@ -689,6 +757,11 @@ def _build_engine_program(
     single_step_cache: dict[float, Callable] = {}
 
     def single_step(seg_dt: float):
+        if make_photon_apply is not None:
+            # only the host-generation path uses single_step, and that
+            # combination is rejected at build; guard against new callers
+            # silently dropping the drive
+            raise RuntimeError("single_step does not apply the photon drive")
         if seg_dt not in single_step_cache:
             col_half = make_col(0.5 * seg_dt)
             col_full = make_col(seg_dt)

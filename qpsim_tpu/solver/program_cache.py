@@ -104,6 +104,7 @@ def _engine_program_key(
     external_generation,
     pauli_density_floor,
     strang_mode,
+    photon_drive=None,
     mesh=None,
     mesh_y_solve="pencil",
 ) -> str:
@@ -183,6 +184,17 @@ def _engine_program_key(
                 _hash_update_array(h, v)
             else:
                 put(k, v)
+    if photon_drive is not None and photon_drive.enabled:
+        put(
+            "photon-drive",
+            photon_drive.photon_energy,
+            photon_drive.occupancy,
+            photon_drive.coupling,
+            photon_drive.include_scattering,
+            photon_drive.include_pair_breaking,
+            photon_drive.window_start,
+            photon_drive.window_duration,
+        )
     if precomputed is not None:
         put("precomputed", bool(np.asarray(precomputed.get("is_uniform", True)).reshape(-1)[0]))
         _hash_update_array(h, np.asarray(precomputed["D_array"], dtype=np.float64))

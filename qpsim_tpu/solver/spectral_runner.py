@@ -60,6 +60,7 @@ def _run_energy_resolved(
     T_c,
     bath_temperature,
     external_generation,
+    photon_drive=None,
     initial_condition_spec,
     gap_expression,
     precomputed,
@@ -148,6 +149,7 @@ def _run_energy_resolved(
         collision_backend=collision_backend,
         pixel_chunk=pixel_chunk,
         external_generation=external_generation,
+        photon_drive=photon_drive,
         pauli_density_floor=pauli_density_floor,
         strang_mode=strang_mode,
         mesh=mesh,

@@ -31,6 +31,7 @@ from .models.params import (
     InitialConditionSpec,
     SimulationParameters,
 )
+from .ops.dos import dynes_density_of_states
 from .ops.energy_grid import build_energy_grid
 from .ops.kernels import scattering_kernel
 from .ops.dos import thermal_qp_weights
@@ -44,6 +45,7 @@ __all__ = [
     "validate_pure_diffusion",
     "validate_pure_scattering",
     "validate_pure_recombination",
+    "validate_photon_detailed_balance",
 ]
 
 
@@ -56,6 +58,9 @@ class ValidationReport:
     pure_diffusion: dict[str, Any]
     pure_scattering: dict[str, Any]
     pure_recombination: dict[str, Any]
+    # beyond the reference's five gates: the photon-drive vertex
+    # (Fischer 2024) must satisfy its own detailed balance
+    photon_detailed_balance: dict[str, Any] = dataclasses.field(default_factory=dict)
 
     def sections(self) -> dict[str, dict[str, Any]]:
         return {f.name: getattr(self, f.name) for f in dataclasses.fields(self)}
@@ -163,6 +168,72 @@ def validate_detailed_balance(p: SimulationParameters, *, tolerance: float = 1e-
     reverse = forward.T * np.exp(log_weight)
     worst = float(np.abs(forward - reverse).max() / max(1e-30, float(np.abs(forward).max())))
     return {"passed": worst <= tolerance, "max_relative_error": worst, "tolerance": tolerance}
+
+
+def validate_photon_detailed_balance(
+    p: SimulationParameters, *, tolerance: float = 1e-9
+) -> dict[str, Any]:
+    """Photon-drive vertices preserve the thermal state (Fischer 2024).
+
+    With f = f_FD(T) and photon occupation n̄ = n_BE(ω_eff, T) the
+    number-conserving scattering term (Eq. 3) and the pair-breaking
+    generation/recombination pair (Eqs. 4–5) must each leave the state an
+    exact fixed point of the exponential substep — one substep per channel,
+    measured as max relative drift.  Beyond the reference's five gates
+    (this model sits in its "Not yet Implemented" queue).
+    """
+    import jax.numpy as jnp
+
+    from .ops.dos import fermi_dirac_occupation
+    from .ops.photon_drive import build_photon_drive_plan, make_photon_substep
+
+    T = p.bath_temperature
+    if T <= 0:
+        return {"passed": True, "max_relative_drift": 0.0, "message": "Skipped (T_bath <= 0)."}
+    grid, dE = build_energy_grid(
+        p.energy_gap, p.energy_min_factor, p.energy_max_factor, p.num_energy_bins
+    )
+    rho = dynes_density_of_states(grid, p.energy_gap, p.dynes_gamma)
+    n_eq = (rho * fermi_dirac_occupation(grid, T))[:, None]
+    kT = K_B_UEV_PER_K * T
+
+    def bose(omega: float) -> float:
+        return 1.0 / np.expm1(min(omega / kT, 500.0))
+
+    drifts = {}
+    # scattering channel at a grid-aligned ω = k·dE
+    k = max(1, p.num_energy_bins // 4)
+    plan_s = build_photon_drive_plan(
+        E_bins=grid, dE=dE, gap=p.energy_gap, rho=rho, omega=k * dE,
+        coupling=1e-3, occupancy=bose(k * dE), include_pair_breaking=False,
+    )
+    out = make_photon_substep(plan_s, p.dt)(jnp.asarray(n_eq), jnp.asarray(1.0))
+    drifts["scattering"] = float(
+        np.max(np.abs(np.asarray(out) - n_eq)) / max(1e-30, float(np.max(n_eq)))
+    )
+    # pair-breaking channel at the grid-snapped ω_eff > 2Δ
+    probe = build_photon_drive_plan(
+        E_bins=grid, dE=dE, gap=p.energy_gap, rho=rho,
+        omega=2.5 * p.energy_gap, coupling=1e-3, occupancy=1.0,
+        include_scattering=False,
+    )
+    if probe.s_index >= 0:
+        plan_pb = build_photon_drive_plan(
+            E_bins=grid, dE=dE, gap=p.energy_gap, rho=rho,
+            omega=probe.omega_eff_pair, coupling=1e-3,
+            occupancy=bose(probe.omega_eff_pair), include_scattering=False,
+        )
+        out = make_photon_substep(plan_pb, p.dt)(jnp.asarray(n_eq), jnp.asarray(1.0))
+        drifts["pair_breaking"] = float(
+            np.max(np.abs(np.asarray(out) - n_eq)) / max(1e-30, float(np.max(n_eq)))
+        )
+    worst = max(drifts.values())
+    return {
+        "passed": worst <= tolerance,
+        "max_relative_drift": worst,
+        "tolerance": tolerance,
+        "channels": drifts,
+    }
 
 
 def validate_thermal_stability(
@@ -323,4 +394,7 @@ def run_fast_validation_suite(params: SimulationParameters | None = None) -> Val
         pure_diffusion=validate_pure_diffusion(p, tolerance=1e-10 if x64 else 1e-6),
         pure_scattering=validate_pure_scattering(p),
         pure_recombination=validate_pure_recombination(p),
+        photon_detailed_balance=validate_photon_detailed_balance(
+            p, tolerance=1e-9 if x64 else 1e-5
+        ),
     )

@@ -1,0 +1,309 @@
+"""Photon-drive collision terms (Fischer et al. 2024) — op-level gates.
+
+The analytic limits used as correctness oracles:
+
+* pure pair-breaking generation from vacuum is exactly linear in dt
+  (µ = 0 ⇒ the exponential update degenerates to forward Euler), with the
+  closed-form per-bin rate c·n̄·K⁻(E_i, E_j)·ρ_i·ρ_j;
+* with thermal occupations (f_FD for QPs, n_BE(ω_eff) for the photon
+  mode) every term balances bin-by-bin — the thermal state is an exact
+  fixed point of the update;
+* the scattering term conserves QP number at the rate level; the
+  exponential relaxation breaks it only at O(dt²) per step.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qpsim_tpu.constants import K_B_UEV_PER_K
+from qpsim_tpu.ops.dos import dynes_density_of_states, fermi_dirac_occupation
+from qpsim_tpu.ops.energy_grid import build_energy_grid
+from qpsim_tpu.ops.photon_drive import build_photon_drive_plan, make_photon_substep
+
+GAP = 180.0
+NE = 24
+
+
+def _grid():
+    E, dE = build_energy_grid(GAP, 1.0, 4.0, NE)
+    rho = dynes_density_of_states(E, GAP, 0.0)
+    return E, dE, rho
+
+
+def _bose(omega: float, T: float) -> float:
+    return 1.0 / np.expm1(omega / (K_B_UEV_PER_K * T))
+
+
+def test_pair_breaking_generation_rate_from_vacuum():
+    E, dE, rho = _grid()
+    omega = 2.5 * GAP  # > 2Δ
+    plan = build_photon_drive_plan(
+        E_bins=E, dE=dE, gap=GAP, rho=rho, omega=omega,
+        coupling=3e-4, occupancy=2.0, include_scattering=False,
+    )
+    assert plan.s_index >= 0
+    dt = 0.05
+    step = make_photon_substep(plan, dt)
+    n0 = jnp.zeros((NE, 3, 4))
+    n1 = np.asarray(step(n0, jnp.asarray(1.0)))
+    s = plan.s_index
+    expect = np.zeros(NE)
+    for i in range(NE):
+        j = s - i
+        if 0 <= j < NE:
+            expect[i] = dt * plan.coupling * plan.occupancy * plan.km_pair[i] * rho[i] * rho[j]
+    np.testing.assert_allclose(n1[:, 1, 2], expect, rtol=1e-12, atol=1e-30)
+    # pairs: the two partners of each absorbed photon appear together
+    total = float(n1[:, 0, 0].sum() * dE)
+    assert total > 0
+    # gated off -> exact identity
+    n_off = np.asarray(step(jnp.full((NE, 2, 2), 1e-5), jnp.asarray(0.0)))
+    np.testing.assert_array_equal(n_off, np.full((NE, 2, 2), 1e-5))
+
+
+def test_thermal_state_is_exact_fixed_point_of_scattering():
+    E, dE, rho = _grid()
+    T = 0.25
+    k = 5
+    plan = build_photon_drive_plan(
+        E_bins=E, dE=dE, gap=GAP, rho=rho, omega=k * dE,
+        coupling=1e-3, occupancy=_bose(k * dE, T), include_pair_breaking=False,
+    )
+    assert plan.k_offset == k and plan.s_index < 0
+    n_eq = jnp.asarray((rho * fermi_dirac_occupation(E, T))[:, None])
+    step = make_photon_substep(plan, 0.1)
+    n1 = step(n_eq, jnp.asarray(1.0))
+    np.testing.assert_allclose(
+        np.asarray(n1), np.asarray(n_eq), rtol=0, atol=1e-16
+    )
+
+
+def test_thermal_state_is_exact_fixed_point_of_pair_breaking():
+    E, dE, rho = _grid()
+    T = 0.3
+    plan = build_photon_drive_plan(
+        E_bins=E, dE=dE, gap=GAP, rho=rho, omega=2.7 * GAP,
+        coupling=2e-3, occupancy=1.0, include_scattering=False,
+    )
+    assert plan.s_index >= 0
+    # detailed balance needs n̄ = n_BE at the grid-snapped pair energy
+    plan = build_photon_drive_plan(
+        E_bins=E, dE=dE, gap=GAP, rho=rho, omega=plan.omega_eff_pair,
+        coupling=2e-3, occupancy=_bose(plan.omega_eff_pair, T),
+        include_scattering=False,
+    )
+    n_eq = jnp.asarray((rho * fermi_dirac_occupation(E, T))[:, None])
+    n1 = make_photon_substep(plan, 0.1)(n_eq, jnp.asarray(1.0))
+    np.testing.assert_allclose(
+        np.asarray(n1), np.asarray(n_eq), rtol=0, atol=1e-16
+    )
+
+
+def test_scattering_conserves_number_at_first_order():
+    E, dE, rho = _grid()
+    rng = np.random.default_rng(3)
+    n0 = jnp.asarray(rho[:, None] * rng.uniform(0.1, 0.5, (NE, 5)))
+    errs = []
+    for dt in (2e-3, 1e-3):
+        plan = build_photon_drive_plan(
+            E_bins=E, dE=dE, gap=GAP, rho=rho, omega=4 * dE,
+            coupling=5e-3, occupancy=1.5, include_pair_breaking=False,
+        )
+        n1 = make_photon_substep(plan, dt)(n0, jnp.asarray(1.0))
+        tot0 = float(jnp.sum(n0) * dE)
+        errs.append(abs(float(jnp.sum(n1) * dE) - tot0) / tot0)
+    assert errs[0] < 1e-7, errs
+    # O(dt²): halving dt cuts the error ~4x
+    assert errs[1] < errs[0] / 3.0, errs
+
+
+def test_scattering_redistributes_downward_in_cold_bath():
+    # n̄ = 0: only spontaneous emission — occupation flows DOWN by ω
+    E, dE, rho = _grid()
+    plan = build_photon_drive_plan(
+        E_bins=E, dE=dE, gap=GAP, rho=rho, omega=6 * dE,
+        coupling=1e-2, occupancy=0.0, include_pair_breaking=False,
+    )
+    n0 = np.zeros((NE, 1))
+    n0[-1] = rho[-1] * 0.3  # top bin occupied
+    step = make_photon_substep(plan, 0.5)
+    n1 = np.asarray(step(jnp.asarray(n0), jnp.asarray(1.0)))
+    assert n1[-1, 0] < n0[-1, 0]
+    assert n1[NE - 1 - 6, 0] > 0  # arrived exactly ω below
+    moved = np.delete(n1[:, 0], [NE - 1, NE - 1 - 6])
+    np.testing.assert_allclose(moved, 0.0, atol=1e-30)
+
+
+def test_pair_breaking_inert_below_threshold_and_off_grid():
+    E, dE, rho = _grid()
+    plan = build_photon_drive_plan(
+        E_bins=E, dE=dE, gap=GAP, rho=rho, omega=1.5 * GAP,  # < 2Δ
+        coupling=1e-3, occupancy=1.0,
+    )
+    assert plan.s_index < 0
+    huge = build_photon_drive_plan(
+        E_bins=E, dE=dE, gap=GAP, rho=rho, omega=100 * GAP,  # beyond grid
+        coupling=1e-3, occupancy=1.0,
+    )
+    assert huge.s_index < 0
+
+
+def _engine_geometry(w=12, h=6):
+    from qpsim_tpu.geometry.mask import create_intrinsic_geometry, mask_from_lists
+    from qpsim_tpu.models.params import BoundaryCondition
+
+    geo = create_intrinsic_geometry(width=w, height=h)
+    mask = mask_from_lists(geo.mask)
+    bcs = {e.edge_id: BoundaryCondition(kind="reflective") for e in geo.edges}
+    return geo, mask, bcs
+
+
+def test_engine_pair_breaking_window_generates_qps():
+    """End-to-end: a windowed pair-breaking drive grows the QP mass during
+    its window and is inert outside it."""
+    from qpsim_tpu.models.params import PhotonDriveSpec
+    from qpsim_tpu.solver.engine import run_2d_crank_nicolson
+
+    geo, mask, bcs = _engine_geometry()
+    init = np.zeros(mask.shape)
+    init[mask] = 1e-7
+    kw = dict(
+        mask=mask, edges=geo.edges, edge_conditions=bcs, initial_field=init,
+        diffusion_coefficient=6.0, dt=0.05, total_time=1.0, dx=1.0,
+        store_every=2, energy_gap=GAP, energy_max_factor=4.0,
+        num_energy_bins=12, enable_recombination=False,
+        enable_scattering=False, bath_temperature=0.1,
+    )
+    drive = PhotonDriveSpec(
+        mode="photon", photon_energy=2.6 * GAP, occupancy=1.0,
+        coupling=1e-4, window_start=0.2, window_duration=0.4,
+    )
+    times, frames, mass, *_ = run_2d_crank_nicolson(**kw, photon_drive=drive)
+    mass = np.asarray(mass)
+    times = np.asarray(times)
+    i_on = int(np.searchsorted(times, 0.2))
+    i_off = int(np.searchsorted(times, 0.65))
+    # pre-window: only diffusion roundoff (~1e-15 relative) may move mass
+    assert abs(mass[i_on] - mass[0]) < 1e-12 * mass[0], "drive fired before its window"
+    assert mass[i_off] > 2.0 * mass[0], "window did not generate QPs"
+    assert abs(mass[-1] - mass[i_off]) < 1e-3 * mass[i_off], "drive leaked past window"
+    # outside-mask cells stay NaN (no generation off the film)
+    f = np.asarray(frames[-1])
+    assert np.all(np.isnan(f[~mask]))
+    # identical run without the drive: flat mass
+    t2, f2, mass2, *_ = run_2d_crank_nicolson(**kw)
+    assert abs(mass2[-1] - mass2[0]) < 1e-12 * max(mass2[0], 1e-30)
+
+
+def test_engine_thermal_stationary_under_balanced_photon_scattering():
+    """With n̄ = n_BE(ω_eff) and a thermal initial state, the photon
+    scattering drive leaves the run stationary through the full engine."""
+    from qpsim_tpu.models.params import PhotonDriveSpec
+    from qpsim_tpu.ops.photon_drive import build_photon_drive_plan
+    from qpsim_tpu.solver.engine import run_2d_crank_nicolson
+
+    E, dE, rho = _grid()
+    T = 0.25
+    k = 4
+    geo, mask, bcs = _engine_geometry(8, 4)
+    init = np.zeros(mask.shape)
+    # thermal spatial profile: uniform; energy weights default to DOS — use
+    # a custom thermal state via initial_condition weights instead: simplest
+    # is the engine's energy_weights argument with FD·ρ (normalized inside).
+    init[mask] = 1.0
+    w = rho * fermi_dirac_occupation(E, T)
+    scale = float((w * dE).sum())
+    init[mask] = scale  # so state = w per pixel after normalization
+    drive = PhotonDriveSpec(
+        mode="photon", photon_energy=k * dE, occupancy=_bose(k * dE, T),
+        coupling=5e-3, include_pair_breaking=False,
+    )
+    times, frames, mass, *_ = run_2d_crank_nicolson(
+        mask=mask, edges=geo.edges, edge_conditions=bcs, initial_field=init,
+        diffusion_coefficient=6.0, dt=0.05, total_time=0.5, dx=1.0,
+        store_every=2, energy_gap=GAP, energy_max_factor=4.0,
+        num_energy_bins=NE, energy_weights=w, enable_recombination=False,
+        enable_scattering=False, bath_temperature=T, photon_drive=drive,
+    )
+    mass = np.asarray(mass)
+    assert abs(mass[-1] - mass[0]) < 1e-9 * mass[0], (mass[0], mass[-1])
+
+
+def test_engine_merged_matches_exact_with_photon_drive():
+    from qpsim_tpu.models.params import PhotonDriveSpec
+    from qpsim_tpu.solver.engine import run_2d_crank_nicolson
+
+    geo, mask, bcs = _engine_geometry()
+    init = np.zeros(mask.shape)
+    init[mask] = 1e-6
+    kw = dict(
+        mask=mask, edges=geo.edges, edge_conditions=bcs, initial_field=init,
+        diffusion_coefficient=6.0, dt=0.05, total_time=0.6, dx=1.0,
+        store_every=3, energy_gap=GAP, energy_max_factor=4.0,
+        num_energy_bins=10, enable_recombination=True,
+        enable_scattering=True, bath_temperature=0.1,
+        photon_drive=PhotonDriveSpec(
+            mode="photon", photon_energy=2.4 * GAP, occupancy=0.5,
+            coupling=5e-5,
+        ),
+    )
+    te, fe, me, *_ = run_2d_crank_nicolson(**kw, strang_mode="exact")
+    tm, fm, mm, *_ = run_2d_crank_nicolson(**kw, strang_mode="merged")
+    # merged reorders the same operators at O(dt²·steps)
+    np.testing.assert_allclose(np.asarray(mm), np.asarray(me), rtol=2e-4)
+
+
+def test_photon_spec_validation_and_storage_roundtrip(tmp_path):
+    from qpsim_tpu.models.params import PhotonDriveSpec, SimulationParameters
+
+    with pytest.raises(ValueError, match="photon_energy"):
+        PhotonDriveSpec(mode="photon").validate()
+    with pytest.raises(ValueError, match="window"):
+        PhotonDriveSpec(
+            mode="photon", photon_energy=400.0, coupling=1e-3, window_start=1.0
+        ).validate()
+    with pytest.raises(ValueError, match="energy-resolved"):
+        SimulationParameters(
+            diffusion_coefficient=6.0, dt=0.05, total_time=1.0, mesh_size=1.0,
+            photon_drive=PhotonDriveSpec(
+                mode="photon", photon_energy=400.0, coupling=1e-3
+            ),
+        )
+
+    # storage: spec round-trips through the setup JSON; absent key -> off
+    from qpsim_tpu.io.storage import _parameters_from, serialize_setup
+
+    p = SimulationParameters(
+        diffusion_coefficient=6.0, dt=0.05, total_time=1.0, mesh_size=1.0,
+        energy_gap=GAP, num_energy_bins=8, energy_max_factor=4.0,
+        photon_drive=PhotonDriveSpec(
+            mode="photon", photon_energy=450.0, occupancy=2.0, coupling=1e-3,
+            window_start=0.1, window_duration=0.5,
+        ),
+    )
+    from dataclasses import asdict
+
+    back = _parameters_from(asdict(p))
+    assert back.photon_drive == p.photon_drive
+    legacy = asdict(p)
+    del legacy["photon_drive"]
+    assert not _parameters_from(legacy).photon_drive.enabled
+
+
+def test_substep_is_jit_and_grad_safe():
+    E, dE, rho = _grid()
+    plan = build_photon_drive_plan(
+        E_bins=E, dE=dE, gap=GAP, rho=rho, omega=2.6 * GAP,
+        coupling=1e-3, occupancy=1.0,
+    )
+    step = make_photon_substep(plan, 0.05)
+    n0 = jnp.asarray(rho[:, None] * 0.2)
+
+    @jax.jit
+    def total(amp):
+        return jnp.sum(step(n0, amp))
+
+    g = jax.grad(total)(jnp.asarray(1.0))
+    assert np.isfinite(float(g))

@@ -216,6 +216,10 @@ def _setup_payload(setup) -> dict:
     payload["initial_condition"] = asdict(
         canonicalize_initial_condition(setup.initial_condition)
     )
+    # framework-only extension field: a disabled photon drive writes no
+    # JSON key (storage.serialize_setup), and the reference dataclasses
+    # have no counterpart — excluded from the cross-implementation diff
+    payload.get("parameters", {}).pop("photon_drive", None)
     return payload
 
 
