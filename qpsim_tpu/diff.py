@@ -93,6 +93,8 @@ def make_differentiable_sim(
     observables: tuple[str, ...] = ("total",),
     store_every: int = 1,
     pulse_window: tuple[float, float] | None = None,
+    photon_omega: float | None = None,
+    photon_window: tuple[float, float] | None = None,
     remat: bool = True,
     remat_chunk: int | None = None,
     mkid_readout_ghz: float = 5.0,
@@ -105,6 +107,14 @@ def make_differentiable_sim(
     ``pulse_rate``: a window-gated uniform forward-Euler source at the
     reference's per-step contract, so photon pulse energy becomes a
     differentiable parameter to fit).
+
+    ``photon_omega`` (µeV) enables the Fischer-2024 photon drive
+    (``ops/photon_drive.py``) with TRACED ``photon_coupling`` and
+    ``photon_occupancy`` params — the paper's experimental inference
+    problem (photon number in the mode from the measured QP response)
+    becomes a gradient fit.  ``photon_window=(start, duration)`` gates it
+    in time; the pair/offset index structure is grid-snapped at the
+    nominal gap (static), the coefficients stay closed-form.
     Defaults to a reflective 1×nx wire when no geometry is given; pass
     ``mask``/``edges``/``edge_conditions`` for arbitrary 2D films with the
     full per-edge boundary-condition set.
@@ -178,6 +188,19 @@ def make_differentiable_sim(
     scatter_sum = jnp.asarray(pmap.scatter_sum, dtype=dtype)
     nw = pmap.num_omega
     ne = num_energy_bins
+
+    if photon_omega is not None:
+        from .ops.photon_drive import (
+            build_photon_drive_plan,
+            photon_loss_gain,
+            photon_plan_device,
+        )
+
+        _ph_plan = build_photon_drive_plan(
+            E_bins=E_np, dE=dE, gap=gap, rho=rho_np, omega=float(photon_omega),
+            coupling=1.0, occupancy=0.0,
+        )
+        _ph_dev = photon_plan_device(_ph_plan, dtype)
 
     ph0_np = np.zeros((nw, ny_g, nx_g))
     ph0_np[:, mask] = thermal_phonon_occupation(pmap.omega_bins, bath_temperature)[:, None]
@@ -285,6 +308,36 @@ def make_differentiable_sim(
         if pulse_window is not None:
             start, duration = float(pulse_window[0]), float(pulse_window[1])
             rate = params["pulse_rate"]
+        if photon_omega is not None:
+            ph_c = params["photon_coupling"]
+            ph_nbar = params["photon_occupancy"]
+
+        def photon_substep(q, t):
+            # same positivity-preserving exponential relaxation as the
+            # engine substep, with traced coupling/occupancy
+            qf = q.reshape(ne, -1)
+            rho_col = jnp.maximum(rho_t, 1e-30)[:, None]
+            f = qf / rho_col
+            partner = rho_col * jnp.maximum(1.0 - f, 0.0)
+            mu, gain = photon_loss_gain(qf, partner, ph_nbar, _ph_dev)
+            if photon_window is not None:
+                w0, wd = float(photon_window[0]), float(photon_window[1])
+                amp = jnp.where((t >= w0) & (t < w0 + wd), ph_c, 0.0)
+            else:
+                amp = ph_c
+            mu = amp * mu
+            x = mu * dt
+            decay = jnp.exp(-x)
+            taylor = x * (1.0 - x * (0.5 - x * ((1.0 / 6.0) - x * (1.0 / 24.0))))
+            coeff = jnp.where(
+                mu < 1e-30,
+                dt,
+                jnp.where(x < 1e-2, taylor, 1.0 - decay) / jnp.maximum(mu, 1e-30),
+            )
+            out = jnp.maximum(decay * qf + coeff * (partner * (amp * gain)), 0.0)
+            # off-mask cells carry q = 0 but partner = ρ > 0 — the mask
+            # multiply keeps pair-breaking gains on the film only
+            return out.reshape(q.shape) * mask_dev[None]
 
         def step(state, k):
             q, ph = state
@@ -292,6 +345,8 @@ def make_differentiable_sim(
                 t = k.astype(q.dtype) * dt
                 amp = jnp.where((t >= start) & (t < start + duration), rate, 0.0)
                 q = q + (dt * amp) * mask_dev[None]
+            if photon_omega is not None:
+                q = photon_substep(q, k.astype(q.dtype) * dt)
             q, ph = collide(q, ph, K_r0, K_s0, 0.5 * dt, rho_t)
             q = diffuse(q, D0, dt, gap_t)
             q, ph = collide(q, ph, K_r0, K_s0, 0.5 * dt, rho_t)

@@ -48,7 +48,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["PhotonDrivePlan", "build_photon_drive_plan", "make_photon_substep"]
+__all__ = [
+    "PhotonDrivePlan",
+    "build_photon_drive_plan",
+    "make_photon_substep",
+    "photon_plan_device",
+    "photon_loss_gain",
+]
 
 _MU_FLOOR = 1e-30
 _EPS_RHO = 1e-12
@@ -154,6 +160,45 @@ def _flip_pair(x: jax.Array, s: int, ne: int) -> jax.Array:
     return jnp.pad(seg, pad)
 
 
+def photon_plan_device(plan: PhotonDrivePlan, dtype=jnp.float64) -> dict:
+    """Device-ready coefficient columns + static indices for a plan."""
+    ne = plan.num_bins
+    col = lambda v: jnp.asarray(v, dtype=dtype).reshape(ne, 1)
+    return dict(
+        ne=ne,
+        k=plan.k_offset,
+        s=plan.s_index,
+        kp_up=col(plan.kp_up),
+        kp_dn=col(plan.kp_dn),
+        km=col(plan.km_pair),
+        rho=col(plan.rho),
+    )
+
+
+def photon_loss_gain(q: jax.Array, partner: jax.Array, nbar, dev: dict):
+    """Unscaled photon (µ, G) accumulators for (NE, P) state columns.
+
+    ``nbar`` may be a traced scalar — the differentiable API fits photon
+    occupation and coupling through this.  The caller folds the rate
+    constant (amp·c·weight) into both and advances with its own
+    positivity-preserving update; losses enter as µ·n, gains as partner·G.
+    """
+    mu = jnp.zeros_like(q)
+    gain = jnp.zeros_like(q)
+    k, s, ne = dev["k"], dev["s"], dev["ne"]
+    if k:
+        mu = mu + dev["kp_up"] * (nbar * _shift_up(partner, k)) + dev["kp_dn"] * (
+            (nbar + 1.0) * _shift_dn(partner, k)
+        )
+        gain = gain + dev["kp_up"] * ((nbar + 1.0) * _shift_up(q, k)) + dev["kp_dn"] * (
+            nbar * _shift_dn(q, k)
+        )
+    if s >= 0:
+        mu = mu + dev["km"] * ((1.0 + nbar) * _flip_pair(q, s, ne))
+        gain = gain + dev["km"] * (nbar * _flip_pair(partner, s, ne))
+    return mu, gain
+
+
 def make_photon_substep(plan: PhotonDrivePlan, dt: float, dtype=jnp.float64):
     """Build ``(n_qp, amp[, weight]) -> n_qp`` advancing the photon terms by ``dt``.
 
@@ -171,16 +216,8 @@ def make_photon_substep(plan: PhotonDrivePlan, dt: float, dtype=jnp.float64):
     nbar = plan.occupancy
     c = plan.coupling
     ne = plan.num_bins
-    k = plan.k_offset
-    s = plan.s_index
-
-    def cols(v: np.ndarray) -> jax.Array:
-        return jnp.asarray(v, dtype=dtype).reshape(ne, 1)
-
-    kp_up = cols(plan.kp_up)
-    kp_dn = cols(plan.kp_dn)
-    km = cols(plan.km_pair)
-    rho_c = cols(plan.rho)
+    dev = photon_plan_device(plan, dtype)
+    rho_c = dev["rho"]
     safe_rho = jnp.maximum(rho_c, _EPS_RHO)
     has_rho = rho_c > _EPS_RHO
 
@@ -190,20 +227,7 @@ def make_photon_substep(plan: PhotonDrivePlan, dt: float, dtype=jnp.float64):
         f = jnp.where(has_rho, q / safe_rho, 0.0)
         partner = jnp.where(has_rho, rho_c * jnp.maximum(1.0 - f, 0.0), 0.0)
 
-        mu = jnp.zeros_like(q)
-        gain = jnp.zeros_like(q)
-        if k:
-            p_up = _shift_up(partner, k)
-            p_dn = _shift_dn(partner, k)
-            n_up = _shift_up(q, k)
-            n_dn = _shift_dn(q, k)
-            mu = mu + kp_up * (nbar * p_up) + kp_dn * ((nbar + 1.0) * p_dn)
-            gain = gain + kp_up * ((nbar + 1.0) * n_up) + kp_dn * (nbar * n_dn)
-        if s >= 0:
-            n_pb = _flip_pair(q, s, ne)
-            p_pb = _flip_pair(partner, s, ne)
-            mu = mu + km * ((1.0 + nbar) * n_pb)
-            gain = gain + km * (nbar * p_pb)
+        mu, gain = photon_loss_gain(q, partner, nbar, dev)
 
         rate = amp.astype(dtype) * c
         if weight is not None:

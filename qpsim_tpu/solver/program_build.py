@@ -246,10 +246,10 @@ def _build_engine_program(
     # first-order placement the reference gives external generation.
     photon_on = photon_drive is not None and photon_drive.enabled
     if photon_on:
-        if mesh is not None:
-            raise ValueError(
-                "photon_drive is not yet supported on the mesh (multi-chip) path."
-            )
+        # mesh mode needs no special casing: the substep is elementwise
+        # over pixels with shifts along the (unsharded) energy axis, so
+        # GSPMD partitions it against the rows-sharded state with zero
+        # extra communication — same treatment as the traced generation.
         if int(unique_gaps.size) > 1:
             raise ValueError(
                 "photon_drive currently requires a uniform gap (no gap maps)."
@@ -470,7 +470,7 @@ def _build_engine_program(
         # shard: fused into the collision kernels where they take a gen
         # input, an in-shard pre-add otherwise — either way the grow plane
         # is computed from the scalar amp per step, not a full g array
-        fuse_gen_mesh = gen.scalar_amp_fn is not None
+        fuse_gen_mesh = gen.scalar_amp_fn is not None and not photon_on
         # merged Strang over the mesh composes the sharded step's pieces
         # (C(dt/2) [D C(dt)]^(L−1) D C(dt/2)): one pixel-local collision
         # substep per step instead of two, communication unchanged
@@ -501,6 +501,9 @@ def _build_engine_program(
             )
 
             gen_plane, gen_add = make_gen_helpers(seg_dt)
+            photon_apply_mesh = (
+                make_photon_apply(seg_dt) if make_photon_apply else None
+            )
 
             def run(qq, pp, t_start, paux, shaux, gaux):
                 _bump_trace()
@@ -517,6 +520,8 @@ def _build_engine_program(
                     else:
                         if gen.traced_fn is not None:
                             qq, gen_nonfinite, gen_negative = gen_add(qq, t, gaux)
+                        if make_photon_apply is not None:
+                            qq = photon_apply_mesh(qq, t, gaux)
                         qq, pp, _mass = sh.apply(qq, pp, *shaux)
                     stats = pauli_stats_fn(qq, paux)
                     return (qq, pp, t0), stats + (gen_nonfinite, gen_negative)
@@ -530,10 +535,11 @@ def _build_engine_program(
                     if fuse_gen_mesh:
                         grow0, gnf0, gng0 = gen_plane(t_start, gaux)
                         qq, pp = sh.apply_col_half_gen(qq, pp, grow0, raw)
-                    elif gen.traced_fn is not None:
-                        qq, gnf0, gng0 = gen_add(qq, t_start, gaux)
-                        qq, pp = sh.apply_col_half(qq, pp, raw)
                     else:
+                        if gen.traced_fn is not None:
+                            qq, gnf0, gng0 = gen_add(qq, t_start, gaux)
+                        if make_photon_apply is not None:
+                            qq = photon_apply_mesh(qq, t_start, gaux)
                         qq, pp = sh.apply_col_half(qq, pp, raw)
 
                     def body_m(carry, idx):
@@ -544,11 +550,12 @@ def _build_engine_program(
                             t = t0 + (idx + 1).astype(t0.dtype) * seg_dt
                             grow, gnf, gng = gen_plane(t, gaux)
                             qq, pp = sh.apply_col_full_gen(qq, pp, grow, raw)
-                        elif gen.traced_fn is not None:
-                            t = t0 + (idx + 1).astype(t0.dtype) * seg_dt
-                            qq, gnf, gng = gen_add(qq, t, gaux)
-                            qq, pp = sh.apply_col_full(qq, pp, raw)
                         else:
+                            t = t0 + (idx + 1).astype(t0.dtype) * seg_dt
+                            if gen.traced_fn is not None:
+                                qq, gnf, gng = gen_add(qq, t, gaux)
+                            if make_photon_apply is not None:
+                                qq = photon_apply_mesh(qq, t, gaux)
                             qq, pp = sh.apply_col_full(qq, pp, raw)
                         stats = pauli_stats_fn(qq, paux)
                         return (qq, pp, t0), stats + (gnf, gng)

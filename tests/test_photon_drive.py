@@ -255,6 +255,45 @@ def test_engine_merged_matches_exact_with_photon_drive():
     np.testing.assert_allclose(np.asarray(mm), np.asarray(me), rtol=2e-4)
 
 
+def test_engine_mesh_photon_drive_matches_single_chip():
+    """Photon drive on the mesh path: the substep shifts along the
+    unsharded energy axis, so GSPMD partitions it with no extra
+    communication — results must match the single-chip run exactly
+    (strang pinned on both sides per the mesh-comparison rule)."""
+    import jax
+
+    from qpsim_tpu.models.params import PhotonDriveSpec
+    from qpsim_tpu.parallel.mesh import make_mesh
+    from qpsim_tpu.solver.engine import run_2d_crank_nicolson
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple (virtual) devices")
+    geo, mask, bcs = _engine_geometry(16, 16)
+    init = np.zeros(mask.shape)
+    init[mask] = 1e-6
+    kw = dict(
+        mask=mask, edges=geo.edges, edge_conditions=bcs, initial_field=init,
+        diffusion_coefficient=6.0, dt=0.05, total_time=0.5, dx=1.0,
+        store_every=2, energy_gap=GAP, energy_max_factor=4.0,
+        num_energy_bins=8, enable_recombination=True,
+        enable_scattering=True, bath_temperature=0.1,
+        strang_mode="exact",
+        photon_drive=PhotonDriveSpec(
+            mode="photon", photon_energy=2.4 * GAP, occupancy=1.0,
+            coupling=1e-4, window_start=0.1, window_duration=0.2,
+        ),
+    )
+    t1, f1, m1, _, e1, _ = run_2d_crank_nicolson(**kw)
+    mesh = make_mesh(n_space=len(jax.devices()))
+    t2, f2, m2, _, e2, _ = run_2d_crank_nicolson(**kw, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(m2), np.asarray(m1), rtol=1e-12)
+    for a, b in zip(f2, f1):
+        np.testing.assert_allclose(
+            np.asarray(a)[mask], np.asarray(b)[mask], rtol=0, atol=1e-15
+        )
+    assert m1[-1] > 2.0 * m1[0]  # the drive actually fired
+
+
 def test_photon_spec_validation_and_storage_roundtrip(tmp_path):
     from qpsim_tpu.models.params import PhotonDriveSpec, SimulationParameters
 
@@ -290,6 +329,46 @@ def test_photon_spec_validation_and_storage_roundtrip(tmp_path):
     legacy = asdict(p)
     del legacy["photon_drive"]
     assert not _parameters_from(legacy).photon_drive.enabled
+
+
+def test_photon_occupancy_is_differentiable_and_recoverable():
+    """Traced photon occupancy in the differentiable sim: gradient matches
+    finite differences, and a gradient fit recovers the true n̄ from a
+    synthetic response trace — the Fischer-2024 experimental inference
+    problem (photon number in the mode from the measured QP response)."""
+    import jax
+    import jax.numpy as jnp
+
+    from qpsim_tpu.diff import fit_parameters, make_differentiable_sim
+
+    sim = make_differentiable_sim(
+        nx=24, num_energy_bins=8, n_steps=24, dt=0.05, n0=1e-6,
+        phonon_feedback=False, photon_omega=2.5 * 180.0,
+        photon_window=(0.1, 0.6),
+    )
+    base = {
+        "D0": 6.0, "tau_s": 440.0, "tau_r": 440.0, "photon_coupling": 1e-4,
+    }
+
+    def total(nbar):
+        return jnp.sum(sim({**base, "photon_occupancy": nbar})["total"])
+
+    g = jax.grad(total)(1.5)
+    eps = 1e-6
+    fd = (total(1.5 + eps) - total(1.5 - eps)) / (2 * eps)
+    assert np.isfinite(g) and g > 0
+    np.testing.assert_allclose(float(g), float(fd), rtol=1e-5)
+
+    true_nbar = 2.0
+    observed = sim({**base, "photon_occupancy": true_nbar})["total"]
+    fitted = fit_parameters(
+        observed,
+        {"photon_occupancy": 0.5},
+        decay_fn=lambda p: sim({**base, **p})["total"],
+        learning_rate=0.2,
+        n_iters=150,
+    )
+    assert abs(float(fitted["photon_occupancy"]) - true_nbar) / true_nbar < 0.02
 
 
 def test_substep_is_jit_and_grad_safe():
