@@ -26,6 +26,7 @@ from typing import Any, Callable
 
 from .models.params import (
     ExternalGenerationSpec,
+    PhotonDriveSpec,
     SetupData,
     SimulationParameters,
 )
@@ -37,12 +38,17 @@ __all__ = ["parse_vary", "build_variants", "apply_overrides", "run_sweep"]
 _PARAM_FIELDS = {
     f.name: f.type
     for f in dataclasses.fields(SimulationParameters)
-    if f.name not in ("collision_solver", "gap_expression", "external_generation")
+    if f.name not in ("collision_solver", "gap_expression", "external_generation", "photon_drive")
 }
 _GEN_FIELDS = {
     f.name: f.type
     for f in dataclasses.fields(ExternalGenerationSpec)
     if f.name not in ("mode", "custom_body", "custom_params")
+}
+_PHOTON_FIELDS = {
+    f.name: f.type
+    for f in dataclasses.fields(PhotonDriveSpec)
+    if f.name != "mode"
 }
 _INT_FIELDS = {"store_every", "num_energy_bins"}
 _BOOL_FIELDS = {
@@ -50,6 +56,8 @@ _BOOL_FIELDS = {
     "enable_recombination",
     "enable_scattering",
     "export_phonon_history",
+    "include_scattering",
+    "include_pair_breaking",
 }
 
 
@@ -92,6 +100,13 @@ def parse_vary(spec: str) -> tuple[str, list[Any]]:
             raise ValueError(
                 f"Unknown generation field '{sub}'. Sweepable: {allowed}."
             )
+    elif field.startswith("photon_drive."):
+        sub = field.split(".", 1)[1]
+        if sub not in _PHOTON_FIELDS:
+            allowed = ", ".join(sorted(_PHOTON_FIELDS))
+            raise ValueError(
+                f"Unknown photon-drive field '{sub}'. Sweepable: {allowed}."
+            )
     elif field not in _PARAM_FIELDS:
         allowed = ", ".join(sorted(_PARAM_FIELDS))
         raise ValueError(f"Unknown parameter '{field}'. Sweepable: {allowed}.")
@@ -129,9 +144,12 @@ def apply_overrides(setup: SetupData, overrides: dict[str, Any]) -> SetupData:
     """
     param_kw: dict[str, Any] = {}
     gen_kw: dict[str, Any] = {}
+    photon_kw: dict[str, Any] = {}
     for field, value in overrides.items():
         if field.startswith("external_generation."):
             gen_kw[field.split(".", 1)[1]] = value
+        elif field.startswith("photon_drive."):
+            photon_kw[field.split(".", 1)[1]] = value
         else:
             param_kw[field] = value
     if "tau_0" in param_kw:
@@ -140,8 +158,11 @@ def apply_overrides(setup: SetupData, overrides: dict[str, Any]) -> SetupData:
     gen = setup.parameters.external_generation
     if gen_kw:
         gen = dataclasses.replace(gen, **gen_kw)
+    drive = setup.parameters.photon_drive
+    if photon_kw:
+        drive = dataclasses.replace(drive, **photon_kw)
     params = dataclasses.replace(
-        setup.parameters, external_generation=gen, **param_kw
+        setup.parameters, external_generation=gen, photon_drive=drive, **param_kw
     )
     return dataclasses.replace(setup, parameters=params)
 

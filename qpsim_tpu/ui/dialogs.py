@@ -12,6 +12,7 @@ from ..models.params import (
     BoundaryCondition,
     ExternalGenerationSpec,
     InitialConditionSpec,
+    PhotonDriveSpec,
 )
 from ..models.materials import material_reference_table
 from .theme import FONT_TITLE, PALETTE
@@ -21,6 +22,7 @@ __all__ = [
     "ask_boundary_condition",
     "ask_initial_condition",
     "ask_external_generation",
+    "ask_photon_drive",
 ]
 
 
@@ -263,5 +265,77 @@ def ask_external_generation(parent, spec: ExternalGenerationSpec) -> ExternalGen
 
     tk.Button(win, text="OK", width=10, command=accept).grid(row=7, column=0, pady=8)
     tk.Button(win, text="Cancel", width=10, command=win.destroy).grid(row=7, column=1, pady=8)
+    parent.wait_window(win)
+    return out[0]
+
+
+def ask_photon_drive(parent, spec: PhotonDriveSpec) -> PhotonDriveSpec | None:
+    """Editor for the resonator-photon drive (Fischer 2024).
+
+    Beyond the reference UI — the model sits in its "Not yet Implemented"
+    queue; the dialog mirrors the external-generation editor's shape.
+    """
+    win = tk.Toplevel(parent)
+    win.title("Photon Drive (pair-breaking photons)")
+    win.configure(bg=PALETTE["face"])
+    win.grab_set()
+    mode_var = tk.StringVar(value=spec.normalized_mode())
+    scat_var = tk.BooleanVar(value=spec.include_scattering)
+    pb_var = tk.BooleanVar(value=spec.include_pair_breaking)
+    vars_ = {
+        "photon_energy": tk.StringVar(value=str(spec.photon_energy)),
+        "occupancy": tk.StringVar(value=str(spec.occupancy)),
+        "coupling": tk.StringVar(value=str(spec.coupling)),
+        "window_start": tk.StringVar(
+            value="" if spec.window_start is None else str(spec.window_start)
+        ),
+        "window_duration": tk.StringVar(
+            value="" if spec.window_duration is None else str(spec.window_duration)
+        ),
+    }
+    tk.Label(win, text="Mode:", font=FONT_TITLE).grid(row=0, column=0, sticky="w", padx=8, pady=4)
+    ttk.Combobox(
+        win, textvariable=mode_var, values=("none", "photon"), state="readonly"
+    ).grid(row=0, column=1, padx=8)
+    rows = [
+        ("Photon energy ω [µeV] (pair-breaking needs ω > 2Δ):", "photon_energy"),
+        ("Mode occupancy n̄:", "occupancy"),
+        ("Coupling c [1/ns]:", "coupling"),
+        ("Window start [ns] (blank = always on):", "window_start"),
+        ("Window duration [ns]:", "window_duration"),
+    ]
+    for i, (label, key) in enumerate(rows, start=1):
+        tk.Label(win, text=label).grid(row=i, column=0, sticky="w", padx=8)
+        tk.Entry(win, textvariable=vars_[key], width=30).grid(row=i, column=1, padx=8, pady=2)
+    tk.Checkbutton(win, text="Scattering (absorption/emission redistribution)",
+                   variable=scat_var).grid(row=6, column=0, columnspan=2, sticky="w", padx=8)
+    tk.Checkbutton(win, text="Pair breaking (generation + photon-emission recombination)",
+                   variable=pb_var).grid(row=7, column=0, columnspan=2, sticky="w", padx=8)
+
+    out: list[PhotonDriveSpec | None] = [None]
+
+    def accept():
+        try:
+            w0 = vars_["window_start"].get().strip()
+            wd = vars_["window_duration"].get().strip()
+            result = PhotonDriveSpec(
+                mode=mode_var.get(),
+                photon_energy=float(vars_["photon_energy"].get() or 0.0),
+                occupancy=float(vars_["occupancy"].get() or 0.0),
+                coupling=float(vars_["coupling"].get() or 0.0),
+                include_scattering=bool(scat_var.get()),
+                include_pair_breaking=bool(pb_var.get()),
+                window_start=float(w0) if w0 else None,
+                window_duration=float(wd) if wd else None,
+            )
+            result.validate()
+        except Exception as exc:
+            messagebox.showerror("Invalid photon drive", str(exc), parent=win)
+            return
+        out[0] = result
+        win.destroy()
+
+    tk.Button(win, text="OK", width=10, command=accept).grid(row=8, column=0, pady=8)
+    tk.Button(win, text="Cancel", width=10, command=win.destroy).grid(row=8, column=1, pady=8)
     parent.wait_window(win)
     return out[0]

@@ -31,6 +31,7 @@ from ..models.params import (
 from .dialogs import (
     ask_boundary_condition,
     ask_external_generation,
+    ask_photon_drive,
     ask_initial_condition,
     show_material_reference,
 )
@@ -75,6 +76,7 @@ class SetupEditor(tk.Toplevel):
             ("Initial conditions…", self.edit_initial_conditions),
             ("Preview IC", self.preview_initial_condition),
             ("Generation…", self.edit_generation),
+            ("Photon drive…", self.edit_photon_drive),
             ("Gap map…", self.edit_gap_map),
             ("Materials…", lambda: show_material_reference(self)),
             ("Precompute", self.run_precompute),
@@ -281,6 +283,11 @@ class SetupEditor(tk.Toplevel):
         spec = ask_external_generation(self, self.parameters.external_generation)
         if spec is not None:
             self.parameters.external_generation = spec
+
+    def edit_photon_drive(self):
+        spec = ask_photon_drive(self, self.parameters.photon_drive)
+        if spec is not None:
+            self.parameters.photon_drive = spec
 
     def edit_gap_map(self):
         """Multi-line Δ(x,y) editor with validate-on-apply and a preview.

@@ -72,6 +72,37 @@ def test_apply_overrides_generation_field():
     assert setup.parameters.external_generation.rate != 3e-6
 
 
+def test_parse_and_apply_photon_drive_axis():
+    """photon_drive.<field> sweeps — the Fischer-2024 Q-vs-n̄ calibration
+    curve as a one-line --vary axis."""
+    import dataclasses
+
+    import pytest
+
+    from qpsim_tpu.models.params import PhotonDriveSpec
+    from qpsim_tpu.sweep import parse_vary
+
+    field, values = parse_vary("photon_drive.occupancy=0:4:5")
+    assert field == "photon_drive.occupancy"
+    assert values == [0.0, 1.0, 2.0, 3.0, 4.0]
+    with pytest.raises(ValueError, match="photon-drive"):
+        parse_vary("photon_drive.nonsense=1,2")
+
+    setup = _setup()
+    setup = dataclasses.replace(
+        setup,
+        parameters=dataclasses.replace(
+            setup.parameters,
+            photon_drive=PhotonDriveSpec(
+                mode="photon", photon_energy=450.0, coupling=1e-4
+            ),
+        ),
+    )
+    variant = apply_overrides(setup, {"photon_drive.occupancy": 2.5})
+    assert variant.parameters.photon_drive.occupancy == 2.5
+    assert setup.parameters.photon_drive.occupancy == 0.0
+
+
 def test_build_variants_product_and_zip():
     setup = _setup()
     axes = [("tau_0", [300.0, 440.0]), ("bath_temperature", [0.1, 0.2, 0.3])]

@@ -252,6 +252,27 @@ def test_headless_dialog_accept_flows():
         ic = dialogs.ask_initial_condition(root, default_initial_condition())
         assert ic is not None and ic.spatial_kind == default_initial_condition().spatial_kind
 
+        # photon-drive dialog: enable the drive and set its fields
+        def fill_photon(win):
+            combos = tkstub.find_widgets(win, stub.ttk.Combobox)
+            combos[0].set("photon")
+            entries = [e for e in tkstub.find_widgets(win, stub.tk.Entry)
+                       if not isinstance(e, stub.ttk.Combobox)]
+            for entry, value in zip(entries, ("450.0", "2.0", "1e-4")):
+                entry.delete(0, "end")
+                entry.insert(0, value)
+            tkstub.find_button(win, "OK").invoke()
+
+        from qpsim_tpu.models.params import PhotonDriveSpec
+
+        stub.on_next_modal(fill_photon)
+        drive = dialogs.ask_photon_drive(root, PhotonDriveSpec())
+        assert drive is not None and drive.enabled
+        assert drive.photon_energy == 450.0
+        assert drive.occupancy == 2.0
+        assert drive.coupling == 1e-4
+        assert drive.window_start is None
+
 
 def test_headless_setup_editor_parameter_dialog():
     import tkstub
