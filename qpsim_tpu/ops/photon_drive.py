@@ -50,8 +50,11 @@ import numpy as np
 
 __all__ = [
     "PhotonDrivePlan",
+    "PhotonDrivePlanAnalytic",
     "build_photon_drive_plan",
+    "build_photon_drive_plan_analytic",
     "make_photon_substep",
+    "make_photon_substep_per_pixel",
     "photon_plan_device",
     "photon_loss_gain",
 ]
@@ -139,6 +142,101 @@ def build_photon_drive_plan(
     )
 
 
+@dataclass(frozen=True)
+class PhotonDrivePlanAnalytic:
+    """Δ²-affine photon-drive structure for spatially varying gaps.
+
+    The coherence factors K±(E₁,E₂) = 1 ± Δ²/(E₁E₂) are affine in Δ² — the
+    same identity the analytic collision kernels exploit — so one static
+    inverse-energy row per channel plus a per-pixel Δ² plane replaces the
+    per-gap coefficient tables.  The grid snap (offset k, anti-diagonal s)
+    is global: the energy grid is shared by all pixels; only Δ varies.
+    """
+
+    num_bins: int
+    k_offset: int              # scattering offset (bins); 0 = inert
+    s_index: int               # pair anti-diagonal i+j = s; -1 = inert
+    omega: float               # raw ω (µeV) — per-pixel 2Δ(x) gate uses it
+    omega_eff_scatter: float
+    omega_eff_pair: float
+    coupling: float
+    occupancy: float
+    # (NE,) float64 rows: indicator = 1 where the partner bin is on-grid,
+    # inv = 1/(E_i·E_partner) there (0 elsewhere):
+    ind_up: np.ndarray
+    inv_up: np.ndarray
+    ind_dn: np.ndarray
+    inv_dn: np.ndarray
+    ind_pair: np.ndarray
+    inv_pair: np.ndarray
+
+
+def build_photon_drive_plan_analytic(
+    *,
+    E_bins: np.ndarray,
+    dE: float,
+    omega: float,
+    coupling: float,
+    occupancy: float,
+    include_scattering: bool = True,
+    include_pair_breaking: bool = True,
+) -> PhotonDrivePlanAnalytic:
+    """Precompute the gap-independent structure for a per-pixel-gap drive.
+
+    Unlike :func:`build_photon_drive_plan` the pair channel is kept
+    whenever the anti-diagonal intersects the grid — the physical ω > 2Δ
+    threshold is applied per pixel inside the substep (ω² > 4Δ²(x)), so a
+    gap-gradient film pair-breaks exactly where the local gap allows it.
+    """
+    e = np.asarray(E_bins, dtype=np.float64)
+    ne = int(e.size)
+    if ne < 2:
+        raise ValueError("photon drive needs an energy-resolved grid (>= 2 bins)")
+    step = float(dE)
+
+    ind_up = np.zeros(ne)
+    inv_up = np.zeros(ne)
+    ind_dn = np.zeros(ne)
+    inv_dn = np.zeros(ne)
+    ind_pair = np.zeros(ne)
+    inv_pair = np.zeros(ne)
+
+    k = int(round(float(omega) / step)) if include_scattering else 0
+    if k < 1 or k >= ne:
+        k = 0
+    if k:
+        i = np.arange(ne - k)
+        ind_up[i] = 1.0
+        inv_up[i] = 1.0 / (e[i] * e[i + k])
+        ind_dn[i + k] = 1.0
+        inv_dn[i + k] = 1.0 / (e[i + k] * e[i])
+
+    s = int(round((float(omega) - 2.0 * e[0]) / step)) if include_pair_breaking else -1
+    if not (0 <= s <= 2 * (ne - 1)):
+        s = -1
+    if s >= 0:
+        i = np.arange(max(0, s - ne + 1), min(ne, s + 1))
+        ind_pair[i] = 1.0
+        inv_pair[i] = 1.0 / (e[i] * e[s - i])
+
+    return PhotonDrivePlanAnalytic(
+        num_bins=ne,
+        k_offset=k,
+        s_index=s,
+        omega=float(omega),
+        omega_eff_scatter=k * step,
+        omega_eff_pair=(2.0 * e[0] + s * step) if s >= 0 else 0.0,
+        coupling=float(coupling),
+        occupancy=float(occupancy),
+        ind_up=ind_up,
+        inv_up=inv_up,
+        ind_dn=ind_dn,
+        inv_dn=inv_dn,
+        ind_pair=ind_pair,
+        inv_pair=inv_pair,
+    )
+
+
 def _shift_up(x: jax.Array, k: int) -> jax.Array:
     """y[i] = x[i+k] along axis 0, zero-filled."""
     pad = [(0, k)] + [(0, 0)] * (x.ndim - 1)
@@ -213,7 +311,6 @@ def make_photon_substep(plan: PhotonDrivePlan, dt: float, dtype=jnp.float64):
     (ops/collisions.py).
     """
     dt = float(dt)
-    nbar = plan.occupancy
     c = plan.coupling
     ne = plan.num_bins
     dev = photon_plan_device(plan, dtype)
@@ -221,26 +318,111 @@ def make_photon_substep(plan: PhotonDrivePlan, dt: float, dtype=jnp.float64):
     safe_rho = jnp.maximum(rho_c, _EPS_RHO)
     has_rho = rho_c > _EPS_RHO
 
-    def substep(n_qp: jax.Array, amp: jax.Array, weight: jax.Array | None = None) -> jax.Array:
+    def substep(
+        n_qp: jax.Array,
+        amp: jax.Array,
+        weight: jax.Array | None = None,
+        nbar: jax.Array | None = None,
+    ) -> jax.Array:
         shape = n_qp.shape
         q = n_qp.reshape(ne, -1).astype(dtype)
         f = jnp.where(has_rho, q / safe_rho, 0.0)
         partner = jnp.where(has_rho, rho_c * jnp.maximum(1.0 - f, 0.0), 0.0)
 
-        mu, gain = photon_loss_gain(q, partner, nbar, dev)
+        nb = _nbar_or_plan(nbar, plan.occupancy, dtype)
+        mu, gain = photon_loss_gain(q, partner, nb, dev)
 
         rate = amp.astype(dtype) * c
         if weight is not None:
             rate = rate * weight.astype(dtype).reshape(1, -1)
         mu = rate * mu
-        x = mu * dt
-        decay = jnp.exp(-x)
-        taylor = x * (1.0 - x * (0.5 - x * ((1.0 / 6.0) - x * (1.0 / 24.0))))
-        one_minus_decay = jnp.where(x < 1e-2, taylor, 1.0 - decay)
-        coeff = jnp.where(
-            mu < _MU_FLOOR, dt, one_minus_decay / jnp.maximum(mu, _MU_FLOOR)
-        )
         p_total = partner * (rate * gain)
-        return jnp.maximum(decay * q + coeff * p_total, 0.0).reshape(shape).astype(n_qp.dtype)
+        return _relax(q, mu, p_total, dt).reshape(shape).astype(n_qp.dtype)
+
+    return substep
+
+
+def _nbar_or_plan(nbar, plan_value: float, dtype):
+    """Resolve the runtime photon-occupancy override.
+
+    ``None`` → the plan's scalar; a scalar → traced as-is (the
+    differentiable API); an array → reshaped to an (1, Npix) row so a
+    per-pixel/per-member n̄ plane broadcasts against (NE, Npix) terms."""
+    if nbar is None:
+        return plan_value
+    nb = jnp.asarray(nbar, dtype)
+    return nb.reshape(1, -1) if nb.ndim > 0 else nb
+
+
+def _relax(q: jax.Array, mu: jax.Array, p_total: jax.Array, dt: float) -> jax.Array:
+    """Positivity-preserving exponential relaxation n⁺ = e^{−µdt}n + (1−e^{−µdt})P/µ."""
+    x = mu * dt
+    decay = jnp.exp(-x)
+    taylor = x * (1.0 - x * (0.5 - x * ((1.0 / 6.0) - x * (1.0 / 24.0))))
+    one_minus_decay = jnp.where(x < 1e-2, taylor, 1.0 - decay)
+    coeff = jnp.where(mu < _MU_FLOOR, dt, one_minus_decay / jnp.maximum(mu, _MU_FLOOR))
+    return jnp.maximum(decay * q + coeff * p_total, 0.0)
+
+
+def make_photon_substep_per_pixel(
+    plan: PhotonDrivePlanAnalytic, dt: float, dtype=jnp.float64
+):
+    """Build ``(n_qp, amp, weight, delta2, rho) -> n_qp`` for gap-map films.
+
+    Same operator as :func:`make_photon_substep` with the coefficients
+    evaluated per pixel from the Δ²-affine identity: ``delta2`` is a Δ²(x,y)
+    array broadcastable over the trailing spatial shape and ``rho`` the
+    per-pixel Dynes DOS shaped like ``n_qp`` (the engine's Pauli ρ state —
+    the same buffer, passed as a jit ARGUMENT per the remote-TPU aux rule;
+    closing over it would embed a full-state MLIR constant).  The physical
+    pair-breaking threshold is applied per pixel (ω² > 4Δ²(x)), so a drive
+    above threshold only in part of the film generates QPs only there.
+    Out-of-film pixels have ρ = 0, which makes the substep the identity.
+    """
+    dt = float(dt)
+    c = plan.coupling
+    ne = plan.num_bins
+    k, s = plan.k_offset, plan.s_index
+    omega2 = plan.omega * plan.omega
+    col = lambda v: jnp.asarray(v, dtype=dtype).reshape(ne, 1)
+    ind_up, inv_up = col(plan.ind_up), col(plan.inv_up)
+    ind_dn, inv_dn = col(plan.ind_dn), col(plan.inv_dn)
+    ind_pair, inv_pair = col(plan.ind_pair), col(plan.inv_pair)
+
+    def substep(
+        n_qp: jax.Array,
+        amp: jax.Array,
+        weight: jax.Array | None,
+        delta2: jax.Array,
+        rho: jax.Array,
+        nbar: jax.Array | None = None,
+    ) -> jax.Array:
+        shape = n_qp.shape
+        q = n_qp.reshape(ne, -1).astype(dtype)
+        rho_c = rho.astype(dtype).reshape(ne, -1)
+        d2 = delta2.astype(dtype).reshape(1, -1)
+        safe_rho = jnp.maximum(rho_c, _EPS_RHO)
+        has_rho = rho_c > _EPS_RHO
+        f = jnp.where(has_rho, q / safe_rho, 0.0)
+        partner = jnp.where(has_rho, rho_c * jnp.maximum(1.0 - f, 0.0), 0.0)
+
+        pair_gate = jnp.where(omega2 > 4.0 * d2, 1.0, 0.0).astype(dtype)
+        dev = dict(
+            ne=ne,
+            k=k,
+            s=s,
+            kp_up=ind_up * (1.0 + d2 * inv_up),
+            kp_dn=ind_dn * (1.0 + d2 * inv_dn),
+            km=pair_gate * ind_pair * jnp.maximum(1.0 - d2 * inv_pair, 0.0),
+            rho=rho_c,
+        )
+        nb = _nbar_or_plan(nbar, plan.occupancy, dtype)
+        mu, gain = photon_loss_gain(q, partner, nb, dev)
+        rate = amp.astype(dtype) * c
+        if weight is not None:
+            rate = rate * weight.astype(dtype).reshape(1, -1)
+        mu = rate * mu
+        p_total = partner * (rate * gain)
+        return _relax(q, mu, p_total, dt).reshape(shape).astype(n_qp.dtype)
 
     return substep

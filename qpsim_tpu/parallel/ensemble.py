@@ -157,6 +157,8 @@ class FilmEnsemble:
     omega_bins: np.ndarray
     dE: float
     dt: float = 0.0
+    gaps: np.ndarray | None = None  # (B,) per-member Δ (photon-drive chunks)
+    dynes_gamma: float = 0.0
 
     @property
     def _stride(self) -> int:
@@ -206,6 +208,9 @@ class FilmEnsemble:
         unroll: int = 8,
         gen_plane: np.ndarray | None = None,
         pulse_window: tuple[float, float] | None = None,
+        photon=None,
+        photon_occupancy: np.ndarray | None = None,
+        photon_coupling: np.ndarray | None = None,
     ):
         """Jitted chunk advancing n_steps with an unrolled scan — amortizes
         the TPU while-loop back-edge cost on big carries.
@@ -221,10 +226,26 @@ class FilmEnsemble:
         arguments (never baked constants).  With a ``pulse_window`` the
         start time is REQUIRED — chaining chunks with an implicit t0=0
         would silently re-fire the pulse at the start of every chunk.
-        Without ``gen_plane`` the chunk is ``(q, ph)`` as before."""
+        Without ``gen_plane`` the chunk is ``(q, ph)`` as before.
+
+        ``photon=PhotonDriveSpec(...)`` adds the Fischer-2024 photon-drive
+        substep after the generation add (the engine's operator order);
+        ``photon_occupancy`` / ``photon_coupling`` are optional (B,)
+        per-member overrides riding as n̄/weight planes — a Q-vs-n̄
+        calibration curve becomes ONE compiled ensemble step.  Per-member
+        gaps use the Δ²-affine per-pixel substep automatically.  A windowed
+        drive requires the absolute chunk start time like ``pulse_window``.
+        """
         step = self.step
 
-        if gen_plane is None:
+        if photon is None and (
+            photon_occupancy is not None or photon_coupling is not None
+        ):
+            raise ValueError(
+                "photon_occupancy/photon_coupling need photon=PhotonDriveSpec"
+            )
+
+        if gen_plane is None and photon is None:
             if pulse_window is not None:
                 raise ValueError("pulse_window requires gen_plane (the rate plane)")
 
@@ -242,8 +263,12 @@ class FilmEnsemble:
         if not self.dt:
             raise ValueError("generation chunks need the ensemble dt (build_film_ensemble sets it)")
         dt = float(self.dt)
-        gp_host = np.asarray(gen_plane, dtype=np.float64)
+        b = self.n_members
+
+        gp_host = None if gen_plane is None else np.asarray(gen_plane, dtype=np.float64)
         if pulse_window is not None:
+            if gp_host is None:
+                raise ValueError("pulse_window requires gen_plane (the rate plane)")
             # scalars or (B,) per-member windows, broadcast to planes so the
             # gate is a per-pixel compare (members fire at their own times)
             starts = np.broadcast_to(
@@ -257,37 +282,133 @@ class FilmEnsemble:
         else:
             start_host = end_host = None
 
-        @jax.jit
-        def chunk_gen(q, ph, t0, gpa, windows):
-            def body(carry, k):
-                q, ph = carry
-                if windows is not None:
-                    sp, ep = windows
-                    t = t0 + k.astype(q.dtype) * dt
-                    amp = jnp.where((t >= sp) & (t < ep), dt, 0.0)
+        # --- photon drive (Fischer 2024): build the plan host-side once ---
+        ph_window = None
+        ph_plan = None
+        ph_weight_host = ph_nbar_host = ph_delta2_host = ph_rho_host = None
+        ph_per_pixel = False
+        if photon is not None:
+            photon.validate()
+            if not photon.enabled:
+                raise ValueError("photon spec has mode='none' — pass None instead")
+            if self.gaps is None:
+                raise ValueError("this FilmEnsemble predates photon support")
+            coup = np.broadcast_to(
+                np.asarray(
+                    photon.coupling if photon_coupling is None else photon_coupling,
+                    np.float64,
+                ),
+                (b,),
+            )
+            # the weight plane carries the (per-member) coupling c; the
+            # plans below are built with coupling=1 so rate = amp·weight
+            ph_weight_host = self.generation_plane(coup)
+            if photon_occupancy is not None:
+                ph_nbar_host = self.generation_plane(
+                    np.broadcast_to(np.asarray(photon_occupancy, np.float64), (b,))
+                )
+            gaps = self.gaps
+            ph_per_pixel = not bool(np.all(gaps == gaps[0]))
+            if ph_per_pixel:
+                from ..ops.photon_drive import build_photon_drive_plan_analytic
+
+                ph_plan = build_photon_drive_plan_analytic(
+                    E_bins=self.E_bins,
+                    dE=self.dE,
+                    omega=photon.photon_energy,
+                    coupling=1.0,
+                    occupancy=float(photon.occupancy),
+                    include_scattering=photon.include_scattering,
+                    include_pair_breaking=photon.include_pair_breaking,
+                )
+                ph_delta2_host = self.generation_plane(gaps**2)
+                ph_rho_host = np.zeros(
+                    (self.num_energy_bins, *self.super_shape), dtype=np.float64
+                )
+                for m, g in enumerate(gaps):
+                    ph_rho_host[:, self._member_rows(m), :] = dynes_density_of_states(
+                        self.E_bins, float(g), self.dynes_gamma
+                    )[:, None, None]
+            else:
+                from ..ops.photon_drive import build_photon_drive_plan
+
+                ph_plan = build_photon_drive_plan(
+                    E_bins=self.E_bins,
+                    dE=self.dE,
+                    gap=float(gaps[0]),
+                    rho=dynes_density_of_states(
+                        self.E_bins, float(gaps[0]), self.dynes_gamma
+                    ),
+                    omega=photon.photon_energy,
+                    coupling=1.0,
+                    occupancy=float(photon.occupancy),
+                    include_scattering=photon.include_scattering,
+                    include_pair_breaking=photon.include_pair_breaking,
+                )
+            if photon.window_start is not None:
+                ph_window = (
+                    float(photon.window_start),
+                    float(photon.window_start) + float(photon.window_duration),
+                )
+
+        needs_t0 = start_host is not None or ph_window is not None
+
+        def build_chunk(key):
+            """Per-dtype jitted chunk (the photon substeps bake the dtype)."""
+            psub = None
+            if ph_plan is not None:
+                if ph_per_pixel:
+                    from ..ops.photon_drive import make_photon_substep_per_pixel
+
+                    psub = make_photon_substep_per_pixel(ph_plan, dt, key)
                 else:
-                    amp = dt
-                q = q + amp * gpa
-                return step(q, ph), None
+                    from ..ops.photon_drive import make_photon_substep
 
-            return jax.lax.scan(
-                body, (q, ph), jnp.arange(n_steps), unroll=min(unroll, n_steps)
-            )[0]
+                    psub = make_photon_substep(ph_plan, dt, key)
 
-        planes_by_dtype: dict = {}  # upload the constant planes once per dtype
+            @jax.jit
+            def chunk_gen(q, ph, t0, gpa, windows, ph_planes):
+                def body(carry, k):
+                    q, ph = carry
+                    t = t0 + k.astype(q.dtype) * dt
+                    if gpa is not None:
+                        if windows is not None:
+                            sp, ep = windows
+                            amp = jnp.where((t >= sp) & (t < ep), dt, 0.0)
+                        else:
+                            amp = dt
+                        q = q + amp * gpa
+                    if psub is not None:
+                        if ph_window is None:
+                            pamp = jnp.asarray(1.0, q.dtype)
+                        else:
+                            pamp = (
+                                (t >= ph_window[0]) & (t < ph_window[1])
+                            ).astype(q.dtype)
+                        weight, nbar, extra = ph_planes
+                        q = psub(q, pamp, weight, *extra, nbar=nbar)
+                    return step(q, ph), None
+
+                return jax.lax.scan(
+                    body, (q, ph), jnp.arange(n_steps), unroll=min(unroll, n_steps)
+                )[0]
+
+            return chunk_gen
+
+        by_dtype: dict = {}  # (jitted chunk, uploaded planes) once per dtype
 
         def run(q, ph, t0=None):
             if t0 is None:
-                if start_host is not None:
+                if needs_t0:
                     raise TypeError(
-                        "this chunk gates a pulse window: pass its absolute start "
+                        "this chunk gates a time window: pass its absolute start "
                         "time, chunk(q, ph, t0_ns) — an implicit t0=0 would "
-                        "re-fire the pulse at the start of every chained chunk"
+                        "re-fire the window at the start of every chained chunk"
                     )
                 t0 = 0.0
             key = jnp.dtype(q.dtype)
-            if key not in planes_by_dtype:
-                gpa = jnp.asarray(gp_host, dtype=key)
+            if key not in by_dtype:
+                gpa = None if gp_host is None else jnp.asarray(gp_host, dtype=key)
                 windows = (
                     None
                     if start_host is None
@@ -296,9 +417,22 @@ class FilmEnsemble:
                         jnp.asarray(end_host, dtype=key),
                     )
                 )
-                planes_by_dtype[key] = (gpa, windows)
-            gpa, windows = planes_by_dtype[key]
-            return chunk_gen(q, ph, jnp.asarray(t0, dtype=key), gpa, windows)
+                extra = (
+                    (
+                        jnp.asarray(ph_delta2_host, dtype=key),
+                        jnp.asarray(ph_rho_host, dtype=key),
+                    )
+                    if ph_per_pixel
+                    else ()
+                )
+                ph_planes = (
+                    None if ph_weight_host is None else jnp.asarray(ph_weight_host, dtype=key),
+                    None if ph_nbar_host is None else jnp.asarray(ph_nbar_host, dtype=key),
+                    extra,
+                )
+                by_dtype[key] = (build_chunk(key), (gpa, windows, ph_planes))
+            chunk_gen, (gpa, windows, ph_planes) = by_dtype[key]
+            return chunk_gen(q, ph, jnp.asarray(t0, dtype=key), gpa, windows, ph_planes)
 
         return run
 
@@ -452,4 +586,6 @@ def build_film_ensemble(
         omega_bins=pmap.omega_bins,
         dE=dE,
         dt=float(dt),
+        gaps=gaps,
+        dynes_gamma=float(dynes_gamma),
     )

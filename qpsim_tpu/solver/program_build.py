@@ -223,8 +223,11 @@ def _build_engine_program(
         )
     rho_state_np = np.zeros((num_energy_bins, ny, nx), dtype=np.float64)
     rho_state_np[:, mask] = rho_per_pixel
+    # one device copy shared by the Pauli stats and the gap-map photon
+    # drive (both take it as a jit ARGUMENT per the remote-TPU aux rule)
+    rho_state_dev = jnp.asarray(rho_state_np, dtype=dtype)
     pauli_stats_fn, pauli_aux = make_pauli_stats_fn(
-        jnp.asarray(rho_state_np, dtype=dtype), pauli_density_floor
+        rho_state_dev, pauli_density_floor
     )
     # --- generation --------------------------------------------------------------
     gen = build_generation_program(external_generation, E_bins, mask, dtype)
@@ -245,47 +248,71 @@ def _build_engine_program(
     # generation injection and before the leading collision half — the same
     # first-order placement the reference gives external generation.
     photon_on = photon_drive is not None and photon_drive.enabled
+    photon_aux: tuple = ()
     if photon_on:
         # mesh mode needs no special casing: the substep is elementwise
         # over pixels with shifts along the (unsharded) energy axis, so
         # GSPMD partitions it against the rows-sharded state with zero
         # extra communication — same treatment as the traced generation.
-        if int(unique_gaps.size) > 1:
-            raise ValueError(
-                "photon_drive currently requires a uniform gap (no gap maps)."
+        uniform_drive = int(unique_gaps.size) == 1
+        if uniform_drive:
+            from ..ops.photon_drive import (
+                build_photon_drive_plan,
+                make_photon_substep,
             )
-        if gen.host_mode:
-            raise ValueError(
-                "photon_drive cannot be combined with a host-evaluated custom "
-                "generation expression."
-            )
-        from ..ops.photon_drive import build_photon_drive_plan, make_photon_substep
 
-        photon_plan = build_photon_drive_plan(
-            E_bins=E_bins,
-            dE=dE,
-            gap=gap,
-            rho=rho_by_gap[0],
-            omega=photon_drive.photon_energy,
-            coupling=photon_drive.coupling,
-            occupancy=photon_drive.occupancy,
-            include_scattering=photon_drive.include_scattering,
-            include_pair_breaking=photon_drive.include_pair_breaking,
-        )
+            photon_plan = build_photon_drive_plan(
+                E_bins=E_bins,
+                dE=dE,
+                gap=gap,
+                rho=rho_by_gap[0],
+                omega=photon_drive.photon_energy,
+                coupling=photon_drive.coupling,
+                occupancy=photon_drive.occupancy,
+                include_scattering=photon_drive.include_scattering,
+                include_pair_breaking=photon_drive.include_pair_breaking,
+            )
+        else:
+            # gap maps: the coherence factors are affine in Δ² (same
+            # identity as the analytic collision kernels), so a per-pixel
+            # Δ² plane + the Pauli ρ state replace the coefficient rows;
+            # the ω > 2Δ(x) pair-breaking threshold is applied per pixel.
+            from ..ops.photon_drive import (
+                build_photon_drive_plan_analytic,
+                make_photon_substep_per_pixel,
+            )
+
+            photon_plan = build_photon_drive_plan_analytic(
+                E_bins=E_bins,
+                dE=dE,
+                omega=photon_drive.photon_energy,
+                coupling=photon_drive.coupling,
+                occupancy=photon_drive.occupancy,
+                include_scattering=photon_drive.include_scattering,
+                include_pair_breaking=photon_drive.include_pair_breaking,
+            )
+            delta2_np = np.zeros((ny, nx), dtype=np.float64)
+            delta2_np[mask] = gap_values**2
+            photon_aux = (jnp.asarray(delta2_np, dtype=dtype), rho_state_dev)
         _pw0 = photon_drive.window_start
         _pw1 = (
             None if _pw0 is None else _pw0 + float(photon_drive.window_duration)
         )
 
         def make_photon_apply(seg_dt: float):
-            sub = make_photon_substep(photon_plan, seg_dt, dtype)
+            if uniform_drive:
+                sub = make_photon_substep(photon_plan, seg_dt, dtype)
+            else:
+                sub = make_photon_substep_per_pixel(photon_plan, seg_dt, dtype)
 
-            def apply(qq, t, gaux):
+            def apply(qq, t, gaux, phaux):
                 if _pw0 is None:
                     amp = jnp.asarray(1.0, dtype)
                 else:
                     amp = ((t >= _pw0) & (t < _pw1)).astype(dtype)
-                return sub(qq, amp, gaux)
+                if uniform_drive:
+                    return sub(qq, amp, gaux)
+                return sub(qq, amp, gaux, *phaux)
 
             return apply
     else:
@@ -505,7 +532,7 @@ def _build_engine_program(
                 make_photon_apply(seg_dt) if make_photon_apply else None
             )
 
-            def run(qq, pp, t_start, paux, shaux, gaux):
+            def run(qq, pp, t_start, paux, shaux, gaux, phaux):
                 _bump_trace()
                 no = jnp.asarray(False)
 
@@ -521,7 +548,7 @@ def _build_engine_program(
                         if gen.traced_fn is not None:
                             qq, gen_nonfinite, gen_negative = gen_add(qq, t, gaux)
                         if make_photon_apply is not None:
-                            qq = photon_apply_mesh(qq, t, gaux)
+                            qq = photon_apply_mesh(qq, t, gaux, phaux)
                         qq, pp, _mass = sh.apply(qq, pp, *shaux)
                     stats = pauli_stats_fn(qq, paux)
                     return (qq, pp, t0), stats + (gen_nonfinite, gen_negative)
@@ -539,7 +566,7 @@ def _build_engine_program(
                         if gen.traced_fn is not None:
                             qq, gnf0, gng0 = gen_add(qq, t_start, gaux)
                         if make_photon_apply is not None:
-                            qq = photon_apply_mesh(qq, t_start, gaux)
+                            qq = photon_apply_mesh(qq, t_start, gaux, phaux)
                         qq, pp = sh.apply_col_half(qq, pp, raw)
 
                     def body_m(carry, idx):
@@ -555,7 +582,7 @@ def _build_engine_program(
                             if gen.traced_fn is not None:
                                 qq, gnf, gng = gen_add(qq, t, gaux)
                             if make_photon_apply is not None:
-                                qq = photon_apply_mesh(qq, t, gaux)
+                                qq = photon_apply_mesh(qq, t, gaux, phaux)
                             qq, pp = sh.apply_col_full(qq, pp, raw)
                         stats = pauli_stats_fn(qq, paux)
                         return (qq, pp, t0), stats + (gnf, gng)
@@ -586,7 +613,7 @@ def _build_engine_program(
 
             jit_run = jax.jit(run)
             seg_cache[key] = lambda qq, pp, t: jit_run(
-                qq, pp, t, pauli_aux, sh.aux, gen_mask_plane
+                qq, pp, t, pauli_aux, sh.aux, gen_mask_plane, photon_aux
             )
             return seg_cache[key]
 
@@ -595,15 +622,29 @@ def _build_engine_program(
         def single_step_mesh(seg_dt: float):
             if seg_dt not in single_step_cache_m:
                 sh = get_sharded(seg_dt)
+                photon_one = (
+                    make_photon_apply(seg_dt) if make_photon_apply else None
+                )
 
-                def one(qq, pp, paux, shaux):
+                def one(qq, pp, t, paux, shaux, gaux, phaux):
                     _bump_trace()
+                    # host-gen callers add dt·g before this; the photon
+                    # substep follows it, before the collision half —
+                    # same order as the scan-path runners
+                    if photon_one is not None:
+                        qq = photon_one(qq, t, gaux, phaux)
                     qq, pp, _mass = sh.apply(qq, pp, *shaux)
                     return qq, pp, pauli_stats_fn(qq, paux)
 
                 jit_one = jax.jit(one)
-                single_step_cache_m[seg_dt] = (
-                    lambda qq, pp: jit_one(qq, pp, pauli_aux, sh.aux)
+                single_step_cache_m[seg_dt] = lambda qq, pp, t: jit_one(
+                    qq,
+                    pp,
+                    jnp.asarray(t, dtype),
+                    pauli_aux,
+                    sh.aux,
+                    gen_mask_plane,
+                    photon_aux,
                 )
             return single_step_cache_m[seg_dt]
 
@@ -654,7 +695,7 @@ def _build_engine_program(
         gen_fused_plane, gen_apply = make_gen_helpers(seg_dt)
         photon_apply = make_photon_apply(seg_dt) if make_photon_apply else None
 
-        def run(qq, pp, t_start, daux, paux, gaux):
+        def run(qq, pp, t_start, daux, paux, gaux, phaux):
             _bump_trace()
             def body(carry, idx):
                 qq, pp, t0 = carry
@@ -674,7 +715,7 @@ def _build_engine_program(
                 if gen.traced_fn is not None:
                     qq, gen_nonfinite, gen_negative = gen_apply(qq, t, gaux)
                 if photon_apply is not None:
-                    qq = photon_apply(qq, t, gaux)
+                    qq = photon_apply(qq, t, gaux, phaux)
                 if collisions_on and diff_step is not None:
                     qq, pp = col_half(qq, pp)
                     qq = diff_step(qq, daux)
@@ -701,11 +742,11 @@ def _build_engine_program(
                 elif gen.traced_fn is not None:
                     qq, gnf0, gng0 = gen_apply(qq, t_start, gaux)
                     if photon_apply is not None:
-                        qq = photon_apply(qq, t_start, gaux)
+                        qq = photon_apply(qq, t_start, gaux, phaux)
                     qq, pp = col_half(qq, pp)
                 else:
                     if photon_apply is not None:
-                        qq = photon_apply(qq, t_start, gaux)
+                        qq = photon_apply(qq, t_start, gaux, phaux)
                     qq, pp = col_half(qq, pp)
 
                 def body_m(carry, idx):
@@ -720,12 +761,12 @@ def _build_engine_program(
                         t = t0 + (idx + 1).astype(t0.dtype) * seg_dt
                         qq, gnf, gng = gen_apply(qq, t, gaux)
                         if photon_apply is not None:
-                            qq = photon_apply(qq, t, gaux)
+                            qq = photon_apply(qq, t, gaux, phaux)
                         qq, pp = col_full(qq, pp)
                     else:
                         if photon_apply is not None:
                             t = t0 + (idx + 1).astype(t0.dtype) * seg_dt
-                            qq = photon_apply(qq, t, gaux)
+                            qq = photon_apply(qq, t, gaux, phaux)
                         qq, pp = col_full(qq, pp)
                     stats = pauli_stats_fn(qq, paux)
                     return (qq, pp, t0), stats + (gnf, gng)
@@ -757,28 +798,29 @@ def _build_engine_program(
 
         jit_run = jax.jit(run)
         seg_cache[key] = lambda qq, pp, t: jit_run(
-            qq, pp, t, diff_aux, pauli_aux, gen_mask_plane
+            qq, pp, t, diff_aux, pauli_aux, gen_mask_plane, photon_aux
         )
         return seg_cache[key]
 
     single_step_cache: dict[float, Callable] = {}
 
     def single_step(seg_dt: float):
-        if make_photon_apply is not None:
-            # only the host-generation path uses single_step, and that
-            # combination is rejected at build; guard against new callers
-            # silently dropping the drive
-            raise RuntimeError("single_step does not apply the photon drive")
         if seg_dt not in single_step_cache:
             col_half = make_col(0.5 * seg_dt)
             col_full = make_col(seg_dt)
+            photon_one = make_photon_apply(seg_dt) if make_photon_apply else None
             if backend is not None:
                 diff_step, diff_aux = backend.make_step_aux(seg_dt)
             else:
                 diff_step, diff_aux = None, ()
 
-            def one(qq, pp, daux, paux):
+            def one(qq, pp, t, daux, paux, gaux, phaux):
                 _bump_trace()
+                # host-gen callers add dt·g before this; the photon substep
+                # follows it, before the leading collision half — same
+                # operator order as the scan-path runners
+                if photon_one is not None:
+                    qq = photon_one(qq, t, gaux, phaux)
                 if collisions_on and diff_step is not None:
                     qq, pp = col_half(qq, pp)
                     qq = diff_step(qq, daux)
@@ -790,7 +832,15 @@ def _build_engine_program(
                 return qq, pp, pauli_stats_fn(qq, paux)
 
             jit_one = jax.jit(one)
-            single_step_cache[seg_dt] = lambda qq, pp: jit_one(qq, pp, diff_aux, pauli_aux)
+            single_step_cache[seg_dt] = lambda qq, pp, t: jit_one(
+                qq,
+                pp,
+                jnp.asarray(t, dtype),
+                diff_aux,
+                pauli_aux,
+                gen_mask_plane,
+                photon_aux,
+            )
         return single_step_cache[seg_dt]
     return _EngineProgram(
         pmap=pmap,

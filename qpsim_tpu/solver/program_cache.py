@@ -51,7 +51,7 @@ def _bump_trace() -> None:
 class _EngineProgram:
     pmap: Any
     segment_runner: Callable  # (seg_dt, length) -> compiled segment fn
-    single_step: Callable  # (seg_dt,) -> compiled one-step fn
+    single_step: Callable  # (seg_dt,) -> compiled (q, ph, t_start) one-step fn
     pauli_stats_jit: Callable
     host_gen: bool
     q_sharding: Any = None  # set in mesh mode: expected state placement

@@ -495,7 +495,7 @@ def _run_energy_resolved(
                     g_dense = np.zeros((num_energy_bins, ny, nx), dtype=np.float64)
                     g_dense[:, mask] = g_host
                     q = q + seg.dt * jnp.asarray(g_dense, dtype=dtype)
-                q, ph, stats = single_step(seg.dt)(q, ph)
+                q, ph, stats = single_step(seg.dt)(q, ph, current_time)
                 step_counter += 1
                 current_time += seg.dt
                 enforcer.check(

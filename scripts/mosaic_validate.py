@@ -408,6 +408,56 @@ def main() -> int:
 
     check("diffgrad_remat_backward", diffgrad_remat, 1e-3)
 
+    # 10 (r5): photon-drive substep (Fischer 2024) composed with the Pallas
+    # collision kernels in ONE engine program — the scoped-VMEM coupling
+    # precedent says compositions can fail even when the pieces pass.  Both
+    # the uniform plan and the gap-map (Δ²-affine per-pixel) path, against
+    # the XLA collision backend with the identical photon substep.
+    def photon_engine():
+        from qpsim_tpu.geometry.mask import extract_edge_segments
+        from qpsim_tpu.models.params import BoundaryCondition, PhotonDriveSpec
+        from qpsim_tpu.solver.engine import run_2d_crank_nicolson
+
+        m = np.ones((4, 32) if interpret else (16, 128), dtype=bool)
+        edges2 = extract_edge_segments(m)
+        bcs2 = {e.edge_id: BoundaryCondition(kind="reflective") for e in edges2}
+        init = np.zeros(m.shape)
+        init[m] = 1e-6
+        kw = dict(
+            mask=m, edges=edges2, edge_conditions=bcs2, initial_field=init,
+            diffusion_coefficient=6.0, dt=0.05, total_time=0.5, dx=1.0,
+            store_every=4, energy_max_factor=4.0,
+            num_energy_bins=8, enable_recombination=True,
+            enable_scattering=True, bath_temperature=0.2, dtype=dtype,
+            strang_mode="exact",
+        )
+        errs = []
+        for extra in (
+            dict(energy_gap=gap),  # uniform plan
+            dict(  # per-pixel Δ² path (2-gap map; Δ stays below bin 0)
+                energy_gap=170.0,
+                gap_expression="return 170.0 + 8.0 * (x > 0.5)",
+            ),
+        ):
+            drive = PhotonDriveSpec(
+                mode="photon", photon_energy=2.5 * extra["energy_gap"],
+                occupancy=1.0, coupling=1e-4,
+                window_start=0.1, window_duration=0.3,
+            )
+            a = run_2d_crank_nicolson(**kw, **extra, photon_drive=drive)
+            b = run_2d_crank_nicolson(
+                **kw, **extra, photon_drive=drive, collision_backend="xla"
+            )
+            errs += [
+                _scaled_max_err(np.nan_to_num(x), np.nan_to_num(y))
+                for x, y in zip(a[1], b[1])
+            ]
+            errs.append(_scaled_max_err(a[2], b[2]))
+            assert a[2][-1] > 1.5 * a[2][0], "photon drive did not fire"
+        return float(np.max(errs))
+
+    check("photon_drive_engine_composition", photon_engine, 2e-5)
+
     ok = all(v.get("ok") for v in RESULTS.values())
     print(json.dumps({"ok": ok, "checks": RESULTS}))
     return 0 if ok else 1

@@ -786,6 +786,139 @@ def test_film_ensemble_per_member_arrival_times():
     np.testing.assert_allclose(m2[1], m[0], rtol=1e-12)
 
 
+def test_film_ensemble_photon_occupancy_sweep():
+    """Per-member photon occupancy/coupling (the Fischer-2024 Q-vs-n̄
+    calibration as ONE compiled ensemble step): each member of the packed
+    chunk matches a solo ensemble whose drive pins that member's n̄/c."""
+    import jax.numpy as jnp
+
+    from qpsim_tpu.models.params import PhotonDriveSpec
+    from qpsim_tpu.parallel.ensemble import build_film_ensemble
+
+    occ = np.array([0.5, 1.0, 2.0])
+    coup = np.array([1e-4, 2e-4, 1e-4])
+    ens = build_film_ensemble(
+        n_members=3, member_shape=(6, 10), num_energy_bins=6, dt=0.05,
+        dtype=jnp.float64,
+    )
+    spec = PhotonDriveSpec(
+        mode="photon", photon_energy=2.5 * 180.0, occupancy=9.9, coupling=9.9
+    )
+    chunk = ens.make_chunk(4, photon=spec, photon_occupancy=occ, photon_coupling=coup)
+    q0 = np.zeros((3, 6, 6, 10))
+    ph0 = ens.thermal_phonons(np.full(3, 0.2))
+    q, ph = ens.pack(q0, ph0)
+    q1, ph1 = chunk(jnp.asarray(q), jnp.asarray(ph))
+    qm, pm_ = ens.unpack(q1, ph1)
+    assert qm.sum() > 0
+    solo = build_film_ensemble(
+        n_members=1, member_shape=(6, 10), num_energy_bins=6, dt=0.05,
+        dtype=jnp.float64,
+    )
+    for k in range(3):
+        spec_k = PhotonDriveSpec(
+            mode="photon", photon_energy=2.5 * 180.0,
+            occupancy=float(occ[k]), coupling=float(coup[k]),
+        )
+        chunk_k = solo.make_chunk(4, photon=spec_k)
+        qk, phk = solo.pack(q0[k : k + 1], ph0[k : k + 1])
+        q1k, ph1k = chunk_k(jnp.asarray(qk), jnp.asarray(phk))
+        np.testing.assert_allclose(
+            qm[k], np.asarray(q1k), rtol=1e-12, atol=1e-28
+        )
+        np.testing.assert_allclose(
+            pm_[k], np.asarray(ph1k), rtol=1e-12, atol=1e-28
+        )
+
+
+def test_film_ensemble_photon_per_member_gaps_wiring():
+    """Per-member gaps route the drive through the Δ²-affine per-pixel
+    substep; the chunk equals the hand-assembled photon→step composition
+    and different gaps produce genuinely different member responses."""
+    import jax.numpy as jnp
+
+    from qpsim_tpu.models.params import PhotonDriveSpec
+    from qpsim_tpu.ops.dos import dynes_density_of_states
+    from qpsim_tpu.ops.photon_drive import (
+        build_photon_drive_plan_analytic,
+        make_photon_substep_per_pixel,
+    )
+    from qpsim_tpu.parallel.ensemble import build_film_ensemble
+
+    gaps = np.array([160.0, 190.0])
+    ens = build_film_ensemble(
+        n_members=2, member_shape=(4, 8), num_energy_bins=6, dt=0.05,
+        gap=gaps, dtype=jnp.float64,
+    )
+    # s = 2: off-diagonal pairs — the diagonal rate K⁻(E,E)·ρ(E)² ≡ 1 is
+    # gap-INdependent, so an s=0 drive cannot distinguish the members
+    omega = float(2.0 * ens.E_bins[0] + 2.0 * ens.dE)
+    spec = PhotonDriveSpec(
+        mode="photon", photon_energy=omega, occupancy=1.5, coupling=1e-4,
+        include_scattering=False,
+    )
+    chunk = ens.make_chunk(3, photon=spec)
+    q0 = np.zeros((2, 6, 4, 8))
+    ph0 = ens.thermal_phonons(np.zeros(2))  # T=0 bath: drive is only source
+    q, ph = ens.pack(q0, ph0)
+    q1, ph1 = chunk(jnp.asarray(q), jnp.asarray(ph))
+
+    # hand-assembled oracle: per-pixel substep (plans already unit-tested)
+    # then the ensemble Strang step, same order as the engine
+    plan = build_photon_drive_plan_analytic(
+        E_bins=ens.E_bins, dE=ens.dE, omega=omega, coupling=1.0,
+        occupancy=1.5, include_scattering=False,
+    )
+    assert plan.s_index >= 0
+    psub = make_photon_substep_per_pixel(plan, 0.05, jnp.float64)
+    weight = jnp.asarray(ens.generation_plane(np.full(2, 1e-4)))
+    delta2 = jnp.asarray(ens.generation_plane(gaps**2))
+    rho_pp = np.zeros((6, *ens.super_shape))
+    for m, g in enumerate(gaps):
+        rho_pp[:, ens._member_rows(m), :] = dynes_density_of_states(
+            ens.E_bins, float(g), 0.0
+        )[:, None, None]
+    qo, po = jnp.asarray(q), jnp.asarray(ph)
+    for _ in range(3):
+        qo = psub(qo, jnp.asarray(1.0), weight, delta2, jnp.asarray(rho_pp))
+        qo, po = ens.step(qo, po)
+    np.testing.assert_allclose(np.asarray(q1), np.asarray(qo), rtol=1e-12, atol=1e-30)
+    qm, _ = ens.unpack(q1, ph1)
+    m_tot = qm.sum(axis=(1, 2, 3))
+    assert m_tot[0] > 0 and m_tot[1] > 0
+    # smaller gap -> larger K⁻ coherence factor -> different response
+    assert not np.isclose(m_tot[0], m_tot[1], rtol=1e-3)
+
+
+def test_film_ensemble_photon_window_and_validation():
+    import jax.numpy as jnp
+
+    from qpsim_tpu.models.params import PhotonDriveSpec
+    from qpsim_tpu.parallel.ensemble import build_film_ensemble
+
+    ens = build_film_ensemble(
+        n_members=2, member_shape=(4, 8), num_energy_bins=5, dt=0.05,
+        dtype=jnp.float64,
+    )
+    with pytest.raises(ValueError, match="photon_occupancy"):
+        ens.make_chunk(2, photon_occupancy=np.array([1.0, 2.0]))
+    spec = PhotonDriveSpec(
+        mode="photon", photon_energy=2.5 * 180.0, occupancy=1.0,
+        coupling=1e-4, window_start=0.2, window_duration=0.1,
+    )
+    gated = ens.make_chunk(2, photon=spec)
+    q0 = np.zeros((2, 5, 4, 8))
+    ph0 = ens.thermal_phonons(np.zeros(2))
+    q, ph = ens.pack(q0, ph0)
+    q, ph = jnp.asarray(q), jnp.asarray(ph)
+    with pytest.raises(TypeError, match="absolute start"):
+        gated(q, ph)
+    qa, pa = gated(q, ph, 0.0)   # [0, 0.1): before the window
+    assert float(jnp.sum(qa)) == 0.0
+    qb, pb = gated(qa, pa, 0.2)  # [0.2, 0.3): inside the window
+    assert float(jnp.sum(qb)) > 0.0
+
+
 def test_sharded_gen_chunk_matches_plain_plus_add():
     """gen_input=True: make_chunk takes a grow plane; result equals the
     plain sharded chunk applied to a pre-added state for one step."""

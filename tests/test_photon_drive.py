@@ -294,6 +294,191 @@ def test_engine_mesh_photon_drive_matches_single_chip():
     assert m1[-1] > 2.0 * m1[0]  # the drive actually fired
 
 
+def test_per_pixel_substep_matches_uniform_on_uniform_gap():
+    """The Δ²-affine per-pixel substep reduces to the uniform-gap substep
+    when Δ²(x) is constant — same operator, different coefficient algebra
+    (1 + Δ²·(1/EᵢEⱼ) vs 1 + Δ²/(EᵢEⱼ)), so agreement is to f64 roundoff."""
+    from qpsim_tpu.ops.photon_drive import (
+        build_photon_drive_plan_analytic,
+        make_photon_substep_per_pixel,
+    )
+
+    E, dE, rho = _grid()
+    omega = 2.6 * GAP
+    rng = np.random.default_rng(7)
+    n0 = jnp.asarray(rho[:, None] * rng.uniform(0.0, 0.4, (NE, 12)))
+    uni = build_photon_drive_plan(
+        E_bins=E, dE=dE, gap=GAP, rho=rho, omega=omega,
+        coupling=2e-3, occupancy=1.3,
+    )
+    ana = build_photon_drive_plan_analytic(
+        E_bins=E, dE=dE, omega=omega, coupling=2e-3, occupancy=1.3,
+    )
+    assert (ana.k_offset, ana.s_index) == (uni.k_offset, uni.s_index)
+    dt = 0.07
+    out_u = make_photon_substep(uni, dt)(n0, jnp.asarray(1.0))
+    delta2 = jnp.full((1, 12), GAP * GAP)
+    rho_pp = jnp.asarray(np.broadcast_to(rho[:, None], (NE, 12)).copy())
+    out_p = make_photon_substep_per_pixel(ana, dt)(
+        n0, jnp.asarray(1.0), None, delta2, rho_pp
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_p), np.asarray(out_u), rtol=1e-13, atol=1e-25
+    )
+
+
+def test_per_pixel_pair_breaking_respects_local_threshold():
+    """Two-gap film with ω between the two pair-breaking thresholds:
+    vacuum generation fires only where ω > 2Δ(x), and the above-threshold
+    pixels match a uniform run at that gap exactly."""
+    from qpsim_tpu.ops.dos import dynes_density_of_states
+    from qpsim_tpu.ops.photon_drive import (
+        build_photon_drive_plan_analytic,
+        make_photon_substep_per_pixel,
+    )
+
+    E, dE, _ = _grid()  # grid referenced to GAP=180
+    gap_lo, gap_hi = 180.0, 260.0
+    omega = 2.4 * gap_lo  # 432 < 2*260 = 520
+    ana = build_photon_drive_plan_analytic(
+        E_bins=E, dE=dE, omega=omega, coupling=1e-3, occupancy=2.0,
+        include_scattering=False,
+    )
+    assert ana.s_index >= 0
+    npix = 6
+    gaps = np.where(np.arange(npix) < 3, gap_lo, gap_hi)
+    delta2 = jnp.asarray((gaps**2)[None, :])
+    rho_pp = jnp.asarray(
+        np.stack([dynes_density_of_states(E, g, 0.0) for g in gaps], axis=1)
+    )
+    dt = 0.05
+    n1 = np.asarray(
+        make_photon_substep_per_pixel(ana, dt)(
+            jnp.zeros((NE, npix)), jnp.asarray(1.0), None, delta2, rho_pp
+        )
+    )
+    assert n1[:, :3].sum() > 0, "no generation in the above-threshold region"
+    np.testing.assert_array_equal(n1[:, 3:], 0.0)
+    # above-threshold columns match the uniform-gap plan at gap_lo
+    rho_lo = dynes_density_of_states(E, gap_lo, 0.0)
+    uni = build_photon_drive_plan(
+        E_bins=E, dE=dE, gap=gap_lo, rho=rho_lo, omega=omega,
+        coupling=1e-3, occupancy=2.0, include_scattering=False,
+    )
+    ref = np.asarray(
+        make_photon_substep(uni, dt)(jnp.zeros((NE, 1)), jnp.asarray(1.0))
+    )
+    for c in range(3):
+        np.testing.assert_allclose(n1[:, c], ref[:, 0], rtol=1e-13, atol=1e-30)
+
+
+def test_engine_gap_map_photon_generates_only_above_threshold():
+    """Engine-level gap map (G > 1): a pair-breaking drive with ω between
+    the regional thresholds grows QPs only in the low-gap half."""
+    from qpsim_tpu.models.params import PhotonDriveSpec
+    from qpsim_tpu.solver.engine import run_2d_crank_nicolson
+
+    geo, mask, bcs = _engine_geometry(12, 4)
+    init = np.zeros(mask.shape)
+    times, frames, mass, *_ = run_2d_crank_nicolson(
+        mask=mask, edges=geo.edges, edge_conditions=bcs, initial_field=init,
+        diffusion_coefficient=6.0, dt=0.05, total_time=0.5, dx=1.0,
+        store_every=2, energy_gap=150.0, energy_max_factor=4.0,
+        num_energy_bins=12, enable_diffusion=False,
+        enable_recombination=False,
+        enable_scattering=False, bath_temperature=0.1,
+        gap_expression="return 150.0 + 100.0 * (x > 0.5)",  # 150 | 250 µeV
+        photon_drive=PhotonDriveSpec(
+            mode="photon", photon_energy=2.6 * 150.0,  # 390: only 150-side
+            occupancy=1.0, coupling=1e-4, include_scattering=False,
+        ),
+    )
+    final = np.nan_to_num(np.asarray(frames[-1]))
+    left = final[:, :6].sum()
+    right = final[:, 6:].sum()
+    assert left > 0, "no generation in the above-threshold half"
+    assert right == 0.0, "generation fired where omega < 2*gap"
+    assert mass[-1] > mass[0]
+
+
+def test_engine_gap_map_photon_mesh_matches_single_chip():
+    """Gap map × photon drive × mesh: the per-pixel substep's Δ²/ρ planes
+    ride as sharded jit arguments; results must match single-chip exactly
+    (strang pinned on both sides per the mesh-comparison rule)."""
+    import jax
+
+    from qpsim_tpu.models.params import PhotonDriveSpec
+    from qpsim_tpu.parallel.mesh import make_mesh
+    from qpsim_tpu.solver.engine import run_2d_crank_nicolson
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple (virtual) devices")
+    geo, mask, bcs = _engine_geometry(16, 16)
+    init = np.zeros(mask.shape)
+    init[mask] = 1e-6
+    kw = dict(
+        mask=mask, edges=geo.edges, edge_conditions=bcs, initial_field=init,
+        diffusion_coefficient=6.0, dt=0.05, total_time=0.4, dx=1.0,
+        store_every=2, energy_gap=150.0, energy_max_factor=4.0,
+        num_energy_bins=8, enable_recombination=True,
+        enable_scattering=True, bath_temperature=0.1,
+        strang_mode="exact",
+        # keep Δ(x) below the first bin center (178.1) so the uniform
+        # initial spectrum stays allowed everywhere
+        gap_expression="return 150.0 + 20.0 * x",
+        photon_drive=PhotonDriveSpec(
+            mode="photon", photon_energy=2.8 * 150.0, occupancy=1.0,
+            coupling=1e-4,
+        ),
+    )
+    t1, f1, m1, _, e1, _ = run_2d_crank_nicolson(**kw)
+    mesh = make_mesh(n_space=len(jax.devices()))
+    t2, f2, m2, _, e2, _ = run_2d_crank_nicolson(**kw, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(m2), np.asarray(m1), rtol=1e-12)
+    for a, b in zip(f2, f1):
+        np.testing.assert_allclose(
+            np.asarray(a)[mask], np.asarray(b)[mask], rtol=0, atol=1e-15
+        )
+    assert m1[-1] > 1.5 * m1[0]  # the drive actually fired
+
+
+def test_engine_host_generation_composes_with_photon_drive():
+    """Host-evaluated custom generation (the untraceable-expression
+    fallback) now composes with the photon drive: the per-step host path
+    applies the same gen-add → photon → C/2 D C/2 order as the scan path,
+    so an effectively-constant host expression matches constant mode."""
+    from qpsim_tpu.models.params import ExternalGenerationSpec, PhotonDriveSpec
+    from qpsim_tpu.solver.engine import run_2d_crank_nicolson
+
+    geo, mask, bcs = _engine_geometry(10, 5)
+    init = np.zeros(mask.shape)
+    init[mask] = 1e-7
+    base = dict(
+        mask=mask, edges=geo.edges, edge_conditions=bcs, initial_field=init,
+        diffusion_coefficient=6.0, dt=0.05, total_time=0.5, dx=1.0,
+        store_every=2, energy_gap=GAP, energy_max_factor=4.0,
+        num_energy_bins=10, enable_recombination=True,
+        enable_scattering=True, bath_temperature=0.1, strang_mode="exact",
+        photon_drive=PhotonDriveSpec(
+            mode="photon", photon_energy=2.5 * GAP, occupancy=1.0,
+            coupling=1e-4, window_start=0.1, window_duration=0.25,
+        ),
+    )
+    # Python conditional on traced t -> host-evaluated fallback
+    host_gen = ExternalGenerationSpec(
+        mode="custom", custom_body="2e-6 if t >= 0 else 0.0"
+    )
+    const_gen = ExternalGenerationSpec(mode="constant", rate=2e-6)
+    th, fh, mh, *_ = run_2d_crank_nicolson(**base, external_generation=host_gen)
+    tc, fc, mc, *_ = run_2d_crank_nicolson(**base, external_generation=const_gen)
+    np.testing.assert_allclose(np.asarray(mh), np.asarray(mc), rtol=1e-12)
+    np.testing.assert_allclose(
+        np.nan_to_num(np.asarray(fh[-1])), np.nan_to_num(np.asarray(fc[-1])),
+        rtol=0, atol=1e-18,
+    )
+    assert mh[-1] > 2.0 * mh[0]  # both channels actually injected
+
+
 def test_photon_spec_validation_and_storage_roundtrip(tmp_path):
     from qpsim_tpu.models.params import PhotonDriveSpec, SimulationParameters
 
