@@ -182,7 +182,17 @@ def serialize_setup(setup: SetupData) -> dict[str, Any]:
     # byte-identically and reference tooling sees nothing unfamiliar.
     params = payload.get("parameters", {})
     drive = params.get("photon_drive")
-    if drive is not None and str(drive.get("mode", "none")).strip().lower() == "none":
+    if isinstance(drive, list):
+        # multi-tone drives keep only their enabled modes; all-off -> no key
+        kept = [
+            d for d in drive
+            if str(d.get("mode", "none")).strip().lower() != "none"
+        ]
+        if kept:
+            params["photon_drive"] = kept
+        else:
+            params.pop("photon_drive", None)
+    elif drive is not None and str(drive.get("mode", "none")).strip().lower() == "none":
         params.pop("photon_drive", None)
     return payload
 
@@ -214,19 +224,21 @@ _PARAM_OVERRIDES: dict[str, Callable] = {
     "tau_r": _nullable_float("tau_r"),
     "external_generation": lambda p: _generation_from(p.get("external_generation")),
     # Absent in reference-era files (new capability): default = drive off.
-    "photon_drive": lambda p: (
-        _build_from_payload(
-            PhotonDriveSpec,
-            p["photon_drive"],
-            {
-                "window_start": _nullable_float("window_start"),
-                "window_duration": _nullable_float("window_duration"),
-            },
-        )
-        if p.get("photon_drive")
-        else PhotonDriveSpec()
-    ),
+    # A list payload is a multi-tone drive (one spec per mode, in order).
+    "photon_drive": lambda p: _photon_drive_from(p.get("photon_drive")),
 }
+
+
+def _photon_drive_from(raw: Any):
+    if not raw:
+        return PhotonDriveSpec()
+    coercions = {
+        "window_start": _nullable_float("window_start"),
+        "window_duration": _nullable_float("window_duration"),
+    }
+    if isinstance(raw, list):
+        return [_build_from_payload(PhotonDriveSpec, r, coercions) for r in raw]
+    return _build_from_payload(PhotonDriveSpec, raw, coercions)
 
 
 def _parameters_from(raw: dict[str, Any]) -> SimulationParameters:

@@ -227,6 +227,27 @@ class PhotonDriveSpec:
             _check(self.window_duration >= 0, "Photon drive window_duration must be non-negative.")
 
 
+def photon_drive_specs(photon_drive) -> tuple[PhotonDriveSpec, ...]:
+    """Normalize a photon-drive argument to the tuple of ENABLED modes.
+
+    Accepts ``None``, one :class:`PhotonDriveSpec`, or a sequence of them
+    (a multi-tone drive, e.g. readout + pump — the modes apply
+    sequentially each step, in order; each substep alone is an exact
+    thermal fixed point, so the composition preserves detailed balance).
+    Every spec is validated, enabled or not.
+    """
+    if photon_drive is None:
+        return ()
+    specs = (
+        tuple(photon_drive)
+        if isinstance(photon_drive, (list, tuple))
+        else (photon_drive,)
+    )
+    for spec in specs:
+        spec.validate()
+    return tuple(s for s in specs if s.enabled)
+
+
 @dataclass
 class SimulationParameters:
     """All physics / numerics parameters for one run.
@@ -257,7 +278,11 @@ class SimulationParameters:
     bath_temperature: float = 0.1
     export_phonon_history: bool = False
     external_generation: ExternalGenerationSpec = field(default_factory=ExternalGenerationSpec)
-    photon_drive: PhotonDriveSpec = field(default_factory=PhotonDriveSpec)
+    # one PhotonDriveSpec, or a list of them for multi-tone drives
+    # (photon_drive_specs normalizes either form)
+    photon_drive: PhotonDriveSpec | list[PhotonDriveSpec] = field(
+        default_factory=PhotonDriveSpec
+    )
 
     def __post_init__(self) -> None:
         self.collision_solver = normalize_collision_solver_name(self.collision_solver)
@@ -266,8 +291,7 @@ class SimulationParameters:
         self._validate_collisions()
         self._validate_energy_grid()
         self.external_generation.validate()
-        self.photon_drive.validate()
-        if self.photon_drive.enabled:
+        if photon_drive_specs(self.photon_drive):
             _check(
                 self.energy_gap > 0,
                 "Photon drive needs the energy-resolved mode (energy_gap > 0).",

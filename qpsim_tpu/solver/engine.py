@@ -263,8 +263,9 @@ def run_2d_crank_nicolson(
     if external_generation is not None:
         external_generation.validate()
     if photon_drive is not None:
-        photon_drive.validate()
-        if photon_drive.enabled and energy_gap <= 0.0:
+        from ..models.params import photon_drive_specs
+
+        if photon_drive_specs(photon_drive) and energy_gap <= 0.0:
             raise ValueError(
                 "photon_drive needs the energy-resolved mode (energy_gap > 0)."
             )

@@ -246,8 +246,15 @@ def _build_engine_program(
     # --- photon drive (Fischer 2024 pair-breaking photons) -----------------
     # A per-step exponential photon substep Ph(dt) applied after the
     # generation injection and before the leading collision half — the same
-    # first-order placement the reference gives external generation.
-    photon_on = photon_drive is not None and photon_drive.enabled
+    # first-order placement the reference gives external generation.  A
+    # sequence of specs is a multi-tone drive (readout + pump): the modes
+    # apply sequentially in order, each its own exponential substep with
+    # its own window — each alone is an exact thermal fixed point, so the
+    # composition preserves detailed balance.
+    from ..models.params import photon_drive_specs
+
+    photon_specs = photon_drive_specs(photon_drive)
+    photon_on = bool(photon_specs)
     photon_aux: tuple = ()
     if photon_on:
         # mesh mode needs no special casing: the substep is elementwise
@@ -255,64 +262,75 @@ def _build_engine_program(
         # GSPMD partitions it against the rows-sharded state with zero
         # extra communication — same treatment as the traced generation.
         uniform_drive = int(unique_gaps.size) == 1
-        if uniform_drive:
-            from ..ops.photon_drive import (
-                build_photon_drive_plan,
-                make_photon_substep,
-            )
+        photon_plans = []  # [(plan, window_start, window_end)]
+        for spec in photon_specs:
+            if uniform_drive:
+                from ..ops.photon_drive import (
+                    build_photon_drive_plan,
+                    make_photon_substep,
+                )
 
-            photon_plan = build_photon_drive_plan(
-                E_bins=E_bins,
-                dE=dE,
-                gap=gap,
-                rho=rho_by_gap[0],
-                omega=photon_drive.photon_energy,
-                coupling=photon_drive.coupling,
-                occupancy=photon_drive.occupancy,
-                include_scattering=photon_drive.include_scattering,
-                include_pair_breaking=photon_drive.include_pair_breaking,
-            )
-        else:
-            # gap maps: the coherence factors are affine in Δ² (same
-            # identity as the analytic collision kernels), so a per-pixel
-            # Δ² plane + the Pauli ρ state replace the coefficient rows;
-            # the ω > 2Δ(x) pair-breaking threshold is applied per pixel.
-            from ..ops.photon_drive import (
-                build_photon_drive_plan_analytic,
-                make_photon_substep_per_pixel,
-            )
+                ph_plan = build_photon_drive_plan(
+                    E_bins=E_bins,
+                    dE=dE,
+                    gap=gap,
+                    rho=rho_by_gap[0],
+                    omega=spec.photon_energy,
+                    coupling=spec.coupling,
+                    occupancy=spec.occupancy,
+                    include_scattering=spec.include_scattering,
+                    include_pair_breaking=spec.include_pair_breaking,
+                )
+            else:
+                # gap maps: the coherence factors are affine in Δ² (same
+                # identity as the analytic collision kernels), so a per-pixel
+                # Δ² plane + the Pauli ρ state replace the coefficient rows;
+                # the ω > 2Δ(x) pair-breaking threshold is applied per pixel.
+                from ..ops.photon_drive import (
+                    build_photon_drive_plan_analytic,
+                    make_photon_substep_per_pixel,
+                )
 
-            photon_plan = build_photon_drive_plan_analytic(
-                E_bins=E_bins,
-                dE=dE,
-                omega=photon_drive.photon_energy,
-                coupling=photon_drive.coupling,
-                occupancy=photon_drive.occupancy,
-                include_scattering=photon_drive.include_scattering,
-                include_pair_breaking=photon_drive.include_pair_breaking,
-            )
+                ph_plan = build_photon_drive_plan_analytic(
+                    E_bins=E_bins,
+                    dE=dE,
+                    omega=spec.photon_energy,
+                    coupling=spec.coupling,
+                    occupancy=spec.occupancy,
+                    include_scattering=spec.include_scattering,
+                    include_pair_breaking=spec.include_pair_breaking,
+                )
+            w0 = spec.window_start
+            w1 = None if w0 is None else w0 + float(spec.window_duration)
+            photon_plans.append((ph_plan, w0, w1))
+        if not uniform_drive:
             delta2_np = np.zeros((ny, nx), dtype=np.float64)
             delta2_np[mask] = gap_values**2
             photon_aux = (jnp.asarray(delta2_np, dtype=dtype), rho_state_dev)
-        _pw0 = photon_drive.window_start
-        _pw1 = (
-            None if _pw0 is None else _pw0 + float(photon_drive.window_duration)
-        )
 
         def make_photon_apply(seg_dt: float):
             if uniform_drive:
-                sub = make_photon_substep(photon_plan, seg_dt, dtype)
+                subs = [
+                    (make_photon_substep(plan, seg_dt, dtype), w0, w1)
+                    for plan, w0, w1 in photon_plans
+                ]
             else:
-                sub = make_photon_substep_per_pixel(photon_plan, seg_dt, dtype)
+                subs = [
+                    (make_photon_substep_per_pixel(plan, seg_dt, dtype), w0, w1)
+                    for plan, w0, w1 in photon_plans
+                ]
 
             def apply(qq, t, gaux, phaux):
-                if _pw0 is None:
-                    amp = jnp.asarray(1.0, dtype)
-                else:
-                    amp = ((t >= _pw0) & (t < _pw1)).astype(dtype)
-                if uniform_drive:
-                    return sub(qq, amp, gaux)
-                return sub(qq, amp, gaux, *phaux)
+                for sub, w0, w1 in subs:
+                    if w0 is None:
+                        amp = jnp.asarray(1.0, dtype)
+                    else:
+                        amp = ((t >= w0) & (t < w1)).astype(dtype)
+                    if uniform_drive:
+                        qq = sub(qq, amp, gaux)
+                    else:
+                        qq = sub(qq, amp, gaux, *phaux)
+                return qq
 
             return apply
     else:

@@ -184,17 +184,20 @@ def _engine_program_key(
                 _hash_update_array(h, v)
             else:
                 put(k, v)
-    if photon_drive is not None and photon_drive.enabled:
-        put(
-            "photon-drive",
-            photon_drive.photon_energy,
-            photon_drive.occupancy,
-            photon_drive.coupling,
-            photon_drive.include_scattering,
-            photon_drive.include_pair_breaking,
-            photon_drive.window_start,
-            photon_drive.window_duration,
-        )
+    if photon_drive is not None:
+        from ..models.params import photon_drive_specs
+
+        for spec in photon_drive_specs(photon_drive):
+            put(
+                "photon-drive",
+                spec.photon_energy,
+                spec.occupancy,
+                spec.coupling,
+                spec.include_scattering,
+                spec.include_pair_breaking,
+                spec.window_start,
+                spec.window_duration,
+            )
     if precomputed is not None:
         put("precomputed", bool(np.asarray(precomputed.get("is_uniform", True)).reshape(-1)[0]))
         _hash_update_array(h, np.asarray(precomputed["D_array"], dtype=np.float64))

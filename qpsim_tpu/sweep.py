@@ -160,6 +160,12 @@ def apply_overrides(setup: SetupData, overrides: dict[str, Any]) -> SetupData:
         gen = dataclasses.replace(gen, **gen_kw)
     drive = setup.parameters.photon_drive
     if photon_kw:
+        if isinstance(drive, (list, tuple)):
+            raise ValueError(
+                "photon_drive.<field> sweep axes need a single-mode drive; "
+                "this setup carries a multi-tone photon_drive list. Sweep by "
+                "editing the setup JSON per variant instead."
+            )
         drive = dataclasses.replace(drive, **photon_kw)
     params = dataclasses.replace(
         setup.parameters, external_generation=gen, photon_drive=drive, **param_kw

@@ -285,9 +285,16 @@ class SetupEditor(tk.Toplevel):
             self.parameters.external_generation = spec
 
     def edit_photon_drive(self):
-        spec = ask_photon_drive(self, self.parameters.photon_drive)
+        drive = self.parameters.photon_drive
+        multi = isinstance(drive, (list, tuple)) and len(drive) > 0
+        spec = ask_photon_drive(self, drive[0] if multi else drive)
         if spec is not None:
-            self.parameters.photon_drive = spec
+            if multi:
+                # multi-tone setups (JSON-authored): the dialog edits the
+                # first mode; the remaining tones are preserved untouched
+                self.parameters.photon_drive = [spec, *drive[1:]]
+            else:
+                self.parameters.photon_drive = spec
 
     def edit_gap_map(self):
         """Multi-line Δ(x,y) editor with validate-on-apply and a preview.

@@ -516,6 +516,133 @@ def test_photon_spec_validation_and_storage_roundtrip(tmp_path):
     assert not _parameters_from(legacy).photon_drive.enabled
 
 
+def test_engine_multi_tone_drive():
+    """A list of PhotonDriveSpec is a multi-tone drive (readout + pump):
+    the modes apply sequentially per step.  A second tone with coupling=0
+    changes nothing bit-for-bit; two genuinely active tones inject more
+    than either alone; and windows gate each tone independently."""
+    from qpsim_tpu.models.params import PhotonDriveSpec
+    from qpsim_tpu.solver.engine import run_2d_crank_nicolson
+
+    geo, mask, bcs = _engine_geometry()
+    init = np.zeros(mask.shape)
+    kw = dict(
+        mask=mask, edges=geo.edges, edge_conditions=bcs, initial_field=init,
+        diffusion_coefficient=6.0, dt=0.05, total_time=0.6, dx=1.0,
+        store_every=2, energy_gap=GAP, energy_max_factor=4.0,
+        num_energy_bins=12, enable_diffusion=False,
+        enable_recombination=False, enable_scattering=False,
+        bath_temperature=0.0,
+    )
+    pump = PhotonDriveSpec(
+        mode="photon", photon_energy=2.6 * GAP, occupancy=1.0, coupling=1e-4,
+        include_scattering=False, window_start=0.0, window_duration=0.3,
+    )
+    probe = PhotonDriveSpec(
+        mode="photon", photon_energy=2.4 * GAP, occupancy=2.0, coupling=5e-5,
+        include_scattering=False, window_start=0.3, window_duration=0.3,
+    )
+    dead = PhotonDriveSpec(
+        mode="photon", photon_energy=2.2 * GAP, occupancy=1.0, coupling=0.0,
+    )
+    _, f1, m1, *_ = run_2d_crank_nicolson(**kw, photon_drive=pump)
+    _, f1d, m1d, *_ = run_2d_crank_nicolson(**kw, photon_drive=[pump, dead])
+    np.testing.assert_array_equal(np.asarray(m1d), np.asarray(m1))
+    np.testing.assert_array_equal(
+        np.nan_to_num(np.asarray(f1d[-1])), np.nan_to_num(np.asarray(f1[-1]))
+    )
+    _, _, m2, *_ = run_2d_crank_nicolson(**kw, photon_drive=probe)
+    _, _, mb, *_ = run_2d_crank_nicolson(**kw, photon_drive=[pump, probe])
+    # disjoint windows with no other physics: injections simply accumulate
+    # (each tone generates from the SAME slowly-filling vacuum state, so
+    # the total is within a few dt·rate of the sum of the solo runs)
+    assert mb[-1] > m1[-1] and mb[-1] > m2[-1]
+    np.testing.assert_allclose(mb[-1], m1[-1] + m2[-1], rtol=2e-2)
+
+
+def test_engine_multi_tone_thermal_fixed_point():
+    """Two thermally balanced tones (scattering + pair-breaking, each with
+    n̄ = n_BE at ITS grid-snapped ω_eff): each substep is an exact fixed
+    point, so their sequential composition is stationary too."""
+    from qpsim_tpu.models.params import PhotonDriveSpec
+    from qpsim_tpu.solver.engine import run_2d_crank_nicolson
+
+    E, dE, rho = _grid()
+    T = 0.25
+    geo, mask, bcs = _engine_geometry(8, 4)
+    init = np.zeros(mask.shape)
+    w = rho * fermi_dirac_occupation(E, T)
+    init[mask] = float((w * dE).sum())
+    k = 4
+    tone_s = PhotonDriveSpec(
+        mode="photon", photon_energy=k * dE, occupancy=_bose(k * dE, T),
+        coupling=5e-3, include_pair_breaking=False,
+    )
+    probe_pb = build_photon_drive_plan(
+        E_bins=E, dE=dE, gap=GAP, rho=rho, omega=2.7 * GAP,
+        coupling=1.0, occupancy=1.0, include_scattering=False,
+    )
+    tone_pb = PhotonDriveSpec(
+        mode="photon", photon_energy=probe_pb.omega_eff_pair,
+        occupancy=_bose(probe_pb.omega_eff_pair, T), coupling=2e-3,
+        include_scattering=False,
+    )
+    times, frames, mass, *_ = run_2d_crank_nicolson(
+        mask=mask, edges=geo.edges, edge_conditions=bcs, initial_field=init,
+        diffusion_coefficient=6.0, dt=0.05, total_time=0.5, dx=1.0,
+        store_every=2, energy_gap=GAP, energy_max_factor=4.0,
+        num_energy_bins=NE, energy_weights=w, enable_recombination=False,
+        enable_scattering=False, bath_temperature=T,
+        photon_drive=[tone_s, tone_pb],
+    )
+    mass = np.asarray(mass)
+    assert abs(mass[-1] - mass[0]) < 1e-9 * mass[0], (mass[0], mass[-1])
+
+
+def test_multi_tone_storage_roundtrip_and_validation():
+    from dataclasses import asdict
+
+    from qpsim_tpu.io.storage import _parameters_from, serialize_setup
+    from qpsim_tpu.models.params import PhotonDriveSpec, SimulationParameters
+
+    tones = [
+        PhotonDriveSpec(mode="photon", photon_energy=450.0, occupancy=1.0, coupling=1e-3),
+        PhotonDriveSpec(
+            mode="photon", photon_energy=500.0, occupancy=2.0, coupling=5e-4,
+            window_start=0.1, window_duration=0.2,
+        ),
+    ]
+    p = SimulationParameters(
+        diffusion_coefficient=6.0, dt=0.05, total_time=1.0, mesh_size=1.0,
+        energy_gap=GAP, num_energy_bins=8, energy_max_factor=4.0,
+        photon_drive=tones,
+    )
+    back = _parameters_from(asdict(p))
+    assert isinstance(back.photon_drive, list)
+    assert back.photon_drive == tones
+
+    # scalar-mode rejection applies to list drives too
+    with pytest.raises(ValueError, match="energy-resolved"):
+        SimulationParameters(
+            diffusion_coefficient=6.0, dt=0.05, total_time=1.0, mesh_size=1.0,
+            photon_drive=tones,
+        )
+
+    # an all-off list serializes to no key at all (reference-era contract)
+    from qpsim_tpu.models.params import SetupData
+
+    p_off = SimulationParameters(
+        diffusion_coefficient=6.0, dt=0.05, total_time=1.0, mesh_size=1.0,
+        photon_drive=[PhotonDriveSpec(), PhotonDriveSpec()],
+    )
+    setup = SetupData(
+        setup_id="s01", name="s", created_at="now", geometry=None,
+        boundary_conditions={}, parameters=p_off, initial_condition=None,
+    )
+    payload = serialize_setup(setup)
+    assert "photon_drive" not in payload["parameters"]
+
+
 def test_photon_occupancy_is_differentiable_and_recoverable():
     """Traced photon occupancy in the differentiable sim: gradient matches
     finite differences, and a gradient fit recovers the true n̄ from a
