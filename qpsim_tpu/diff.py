@@ -191,6 +191,7 @@ def make_differentiable_sim(
 
     if photon_omega is not None:
         from .ops.photon_drive import (
+            _relax as _ph_relax,
             build_photon_drive_plan,
             photon_loss_gain,
             photon_plan_device,
@@ -326,15 +327,7 @@ def make_differentiable_sim(
             else:
                 amp = ph_c
             mu = amp * mu
-            x = mu * dt
-            decay = jnp.exp(-x)
-            taylor = x * (1.0 - x * (0.5 - x * ((1.0 / 6.0) - x * (1.0 / 24.0))))
-            coeff = jnp.where(
-                mu < 1e-30,
-                dt,
-                jnp.where(x < 1e-2, taylor, 1.0 - decay) / jnp.maximum(mu, 1e-30),
-            )
-            out = jnp.maximum(decay * qf + coeff * (partner * (amp * gain)), 0.0)
+            out = _ph_relax(qf, mu, partner * (amp * gain), dt)
             # off-mask cells carry q = 0 but partner = ρ > 0 — the mask
             # multiply keeps pair-breaking gains on the film only
             return out.reshape(q.shape) * mask_dev[None]

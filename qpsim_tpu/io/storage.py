@@ -182,6 +182,8 @@ def serialize_setup(setup: SetupData) -> dict[str, Any]:
     # byte-identically and reference tooling sees nothing unfamiliar.
     params = payload.get("parameters", {})
     drive = params.get("photon_drive")
+    if isinstance(drive, tuple):  # asdict preserves tuple drives
+        drive = params["photon_drive"] = list(drive)
     if isinstance(drive, list):
         # multi-tone drives keep only their enabled modes; all-off -> no key
         kept = [

@@ -313,7 +313,7 @@ def _make_sep_y_kernel(ny: int, lx: int, k: int, has_src: bool, mb: bool = False
     return kernel
 
 
-def _auto_tile(other_extent: int, coupled: bool = False) -> int:
+def _auto_tile(other_extent: int, coupled: bool = False) -> int | None:
     # Hardware sweep (.dev/sep_adi_hw.json, v5e 1024²): tile 128 / K=32 is
     # the measured winner — 0.0456 ms/step vs 0.0488 (t256/k32) and 0.0518
     # (t256/k16, the pre-r5 auto default).  Working set per block ≈ state
@@ -322,10 +322,13 @@ def _auto_tile(other_extent: int, coupled: bool = False) -> int:
     # extents.  Coupled compositions use the conservative budget (the
     # 2026-08 libtpu's scoped-VMEM over-accounting, CLAUDE.md).
     budget = 12_500_000 if coupled else 14_000_000
-    for t in (128, 64, 32):
-        if 10 * t * other_extent * 4 <= budget:
-            return t
-    return 8
+    if 10 * 128 * other_extent * 4 <= budget:
+        return 128
+    # even the narrowest legal lane tile (128 — Mosaic needs the lane dim
+    # 128-divisible) over-budget: signal the caller to refuse so the
+    # dispatch falls back to the general fused kernels instead of
+    # submitting a known-over-budget Mosaic compile
+    return None
 
 
 def _auto_chunks(n: int, lane_tile: int) -> int:
@@ -361,8 +364,15 @@ def build_pallas_adi_sep_step(op, dt: float, dtype=jnp.float32, *,
     nb = int(op.num_bins)
     mb = nb > 1
 
-    ly = _pick_tile(ny, _auto_tile(nx, coupled) if tile is None else tile)
-    lx = _pick_tile(nx, _auto_tile(ny, coupled) if tile is None else tile)
+    ty = _auto_tile(nx, coupled) if tile is None else tile
+    tx = _auto_tile(ny, coupled) if tile is None else tile
+    if ty is None or tx is None:
+        raise ValueError(
+            "separable ADI working set exceeds the scoped-VMEM budget at "
+            "this extent — the general fused kernels take over"
+        )
+    ly = _pick_tile(ny, ty)
+    lx = _pick_tile(nx, tx)
     kx = _auto_chunks(nx, ly or 0) if chunks is None else int(chunks)
     ky = _auto_chunks(ny, lx or 0) if chunks is None else int(chunks)
     if ly is None or lx is None or kx < 2 or ky < 2 or ny % 8 or nx % 8:

@@ -288,6 +288,12 @@ class FilmEnsemble:
         ph_weight_host = ph_nbar_host = ph_delta2_host = ph_rho_host = None
         ph_per_pixel = False
         if photon is not None:
+            if isinstance(photon, (list, tuple)):
+                raise ValueError(
+                    "multi-tone photon drives are not supported on the "
+                    "ensemble path; pass one PhotonDriveSpec (chain chunks "
+                    "for sequential tones)"
+                )
             photon.validate()
             if not photon.enabled:
                 raise ValueError("photon spec has mode='none' — pass None instead")

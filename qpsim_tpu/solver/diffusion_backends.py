@@ -462,14 +462,19 @@ class PallasADI(_AuxStepMixin):
         """
         if self._interpret or jax.default_backend() != "tpu":
             return
+        # num_bins is part of the key: the nb>1 kernel grids over (bin,
+        # tile) with per-bin factor packs — its compile outcome says
+        # nothing about the nb==1 kernel on the same mask, and vice versa
         key = (
-            self.mask.shape, self._tile, self._chunks,
+            self.mask.shape, self.num_bins, self._tile, self._chunks,
             str(jnp.dtype(self.dtype)), self._coupled,
         )
         ok = _SEP_COMPILE_OK.get(key)
         if ok is None:
             try:
-                s = jax.ShapeDtypeStruct((1,) + self.mask.shape, self.dtype)
+                s = jax.ShapeDtypeStruct(
+                    (self.num_bins,) + self.mask.shape, self.dtype
+                )
                 aux_s = jax.tree_util.tree_map(
                     lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), aux
                 )

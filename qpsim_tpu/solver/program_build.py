@@ -300,6 +300,19 @@ def _build_engine_program(
                     include_scattering=spec.include_scattering,
                     include_pair_breaking=spec.include_pair_breaking,
                 )
+            if ph_plan.k_offset == 0 and ph_plan.s_index < 0:
+                # both channels snapped off-grid: the substep would be the
+                # identity while still disabling gen-fusion — surface the
+                # configuration error instead of running slower AND inert
+                raise ValueError(
+                    f"photon drive at omega={spec.photon_energy:g} µeV is "
+                    "inert: the scattering offset round(omega/dE) is 0 or "
+                    "beyond the grid, and the pair-breaking channel is "
+                    "closed (omega <= 2*gap) or its anti-diagonal misses "
+                    f"the grid (needs 2*E0 <= omega <= 2*E_max; grid "
+                    f"[{E_bins[0]:g}, {E_bins[-1]:g}] µeV, dE={dE:g}). "
+                    "Adjust omega or the energy grid, or disable the drive."
+                )
             w0 = spec.window_start
             w1 = None if w0 is None else w0 + float(spec.window_duration)
             photon_plans.append((ph_plan, w0, w1))

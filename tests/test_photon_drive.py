@@ -642,6 +642,80 @@ def test_multi_tone_storage_roundtrip_and_validation():
     payload = serialize_setup(setup)
     assert "photon_drive" not in payload["parameters"]
 
+    # tuple drives (photon_drive_specs accepts them) serialize like lists
+    p_tuple = SimulationParameters(
+        diffusion_coefficient=6.0, dt=0.05, total_time=1.0, mesh_size=1.0,
+        energy_gap=GAP, num_energy_bins=8, energy_max_factor=4.0,
+        photon_drive=tuple(tones),
+    )
+    payload2 = serialize_setup(
+        SetupData(
+            setup_id="s02", name="s", created_at="now", geometry=None,
+            boundary_conditions={}, parameters=p_tuple, initial_condition=None,
+        )
+    )
+    assert isinstance(payload2["parameters"]["photon_drive"], list)
+    assert len(payload2["parameters"]["photon_drive"]) == 2
+
+
+def test_engine_rejects_inert_photon_drive():
+    """A drive whose channels both snap off the grid would be the identity
+    while still disabling gen-fusion — the engine refuses with guidance."""
+    from qpsim_tpu.models.params import PhotonDriveSpec
+    from qpsim_tpu.solver.engine import run_2d_crank_nicolson
+
+    geo, mask, bcs = _engine_geometry(8, 4)
+    kw = dict(
+        mask=mask, edges=geo.edges, edge_conditions=bcs,
+        initial_field=np.zeros(mask.shape),
+        diffusion_coefficient=6.0, dt=0.05, total_time=0.2, dx=1.0,
+        energy_gap=GAP, energy_max_factor=4.0, num_energy_bins=8,
+        enable_recombination=False, enable_scattering=False,
+        bath_temperature=0.1,
+    )
+    # scattering-only at omega far beyond the grid span: k snaps to 0
+    inert = PhotonDriveSpec(
+        mode="photon", photon_energy=50.0 * GAP, occupancy=1.0,
+        coupling=1e-4, include_pair_breaking=False,
+    )
+    with pytest.raises(ValueError, match="inert"):
+        run_2d_crank_nicolson(**kw, photon_drive=inert)
+    # pair-breaking-only below threshold: channel closed, also inert
+    below = PhotonDriveSpec(
+        mode="photon", photon_energy=1.5 * GAP, occupancy=1.0,
+        coupling=1e-4, include_scattering=False,
+    )
+    with pytest.raises(ValueError, match="inert"):
+        run_2d_crank_nicolson(**kw, photon_drive=below)
+
+
+def test_ensemble_rejects_multi_tone_photon():
+    import jax.numpy as jnp
+
+    from qpsim_tpu.models.params import PhotonDriveSpec
+    from qpsim_tpu.parallel.ensemble import build_film_ensemble
+
+    ens = build_film_ensemble(
+        n_members=2, member_shape=(4, 8), num_energy_bins=5, dt=0.05,
+        dtype=jnp.float64,
+    )
+    tones = [
+        PhotonDriveSpec(mode="photon", photon_energy=450.0, occupancy=1.0, coupling=1e-4),
+        PhotonDriveSpec(mode="photon", photon_energy=500.0, occupancy=1.0, coupling=1e-4),
+    ]
+    with pytest.raises(ValueError, match="multi-tone"):
+        ens.make_chunk(2, photon=tones)
+
+
+def test_sep_adi_auto_tile_budget_refusal():
+    """Over-budget extents return None (the builder falls back to the
+    general kernels) instead of a sub-128 width Mosaic cannot tile."""
+    from qpsim_tpu.ops.pallas_adi_sep import _auto_tile
+
+    assert _auto_tile(1024) == 128
+    assert _auto_tile(1024, coupled=True) == 128
+    assert _auto_tile(40_000) is None
+
 
 def test_photon_occupancy_is_differentiable_and_recoverable():
     """Traced photon occupancy in the differentiable sim: gradient matches
