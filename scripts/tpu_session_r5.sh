@@ -17,12 +17,21 @@ set -u
 cd "$(dirname "$0")/.."
 mkdir -p .dev
 log() { echo "$(date -u +%FT%TZ) $*" | tee -a .dev/tpu_session_r5.log; }
-probe() { python scripts/tpu_probe.py 90 >> .dev/tpu_session_r5.log 2>&1; }
+# The axon tunnel serializes clients and a just-exited client's work
+# drains for ~90 s — a probe launched immediately after another probe
+# blocks behind the drain and reads as "down" (observed twice on
+# 2026-08-21: watch probe OK at T, session probe timeout at T+94 s).
+# Give probes 180 s and one retry.
+probe() {
+  python scripts/tpu_probe.py 180 >> .dev/tpu_session_r5.log 2>&1 && return 0
+  log "probe retry (drain window?)"
+  sleep 30
+  python scripts/tpu_probe.py 180 >> .dev/tpu_session_r5.log 2>&1
+}
 
-if ! probe; then
-  log "tunnel down — aborting session"
-  exit 1
-fi
+# The watch just proved the tunnel; its probe client may still be
+# draining, so do NOT probe again here — go straight to stage 1 (which
+# has its own generous timeout and rides out the drain).
 
 log "1/4 mosaic_validate.py (hardware parity incl. sep-ADI/ensemble/diffgrad)"
 timeout 2400 python scripts/mosaic_validate.py > .dev/mosaic_validate_r5.json 2> .dev/mosaic_validate_r5.log
