@@ -39,7 +39,9 @@ log "mosaic_validate rc=$? -> .dev/mosaic_validate_r5.json"
 
 if ! probe; then log "tunnel dropped — stopping after stage 1"; exit 1; fi
 log "2/4 bench.py (full capture, retuned sep-ADI scalar headline)"
-timeout 5400 python bench.py > .dev/bench_r5.json 2> .dev/bench_r5.log
+# bench has its own internal health probe — give it drain headroom too
+# (the stage-1 probe's client may still be draining when bench starts)
+QPSIM_BENCH_PROBE_TIMEOUT_S=300 timeout 5400 python bench.py > .dev/bench_r5.json 2> .dev/bench_r5.log
 log "bench rc=$? -> .dev/bench_r5.json"
 
 if ! probe; then log "tunnel dropped — stopping after stage 2"; exit 1; fi
