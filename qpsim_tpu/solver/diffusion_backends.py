@@ -449,26 +449,31 @@ class PallasADI(_AuxStepMixin):
         return lambda state: fn(state, aux)
 
     def _probe_separable_compile(self, fn, aux) -> None:
-        """AOT-compile the standalone separable kernel once per config.
+        self._probe_kernel_compile(
+            "separable", fn, aux, (self._tile, self._chunks, self._coupled)
+        )
+
+    def _probe_kernel_compile(self, kind: str, fn, aux, cfg) -> None:
+        """AOT-compile a standalone ADI kernel once per config.
 
         A Mosaic compile failure surfaces at jit time, where nothing can
         fall back — interpret-clean is not Mosaic-clean on this repo's
-        record (CLAUDE.md).  Probing with ShapeDtypeStructs moves no data;
-        the compile is paid once per (shape, tile, chunks, dtype, coupled)
-        per process (and once per machine under the persistent XLA cache).
-        Any failure raises ValueError so ``make_step``'s except-clause
-        takes the general fused kernels instead of crashing the program
-        build.
+        record, and the scoped-VMEM envelope has tightened on TWO libtpu
+        releases now (the 2026-08 coupled-composition over-accounting;
+        the 2026-08-21 standalone tile-256 fused charge of 22.12 MB).
+        Probing with ShapeDtypeStructs moves no data; the compile is paid
+        once per (kind, shape, bins, cfg, dtype) per process (and once
+        per machine under the persistent XLA cache).  Any failure raises
+        ValueError so the caller's fallback chain takes over instead of
+        crashing the program build.  num_bins is part of the key: the
+        nb>1 kernels grid differently from nb==1 on the same mask.
         """
         if self._interpret or jax.default_backend() != "tpu":
             return
-        # num_bins is part of the key: the nb>1 kernel grids over (bin,
-        # tile) with per-bin factor packs — its compile outcome says
-        # nothing about the nb==1 kernel on the same mask, and vice versa
         key = (
-            self.mask.shape, self.num_bins, self._tile, self._chunks,
-            str(jnp.dtype(self.dtype)), self._coupled,
-        )
+            kind, self.mask.shape, self.num_bins,
+            str(jnp.dtype(self.dtype)),
+        ) + tuple(cfg)
         ok = _SEP_COMPILE_OK.get(key)
         if ok is None:
             try:
@@ -482,14 +487,13 @@ class PallasADI(_AuxStepMixin):
                 ok = True
             except Exception as exc:  # Mosaic errors are not ValueErrors
                 warnings.warn(
-                    "separable ADI kernel failed its Mosaic compile probe "
-                    f"({type(exc).__name__}: {exc}); falling back to the "
-                    "general fused kernels"
+                    f"{kind} ADI kernel failed its Mosaic compile probe "
+                    f"({type(exc).__name__}: {exc}); falling back"
                 )
                 ok = False
             _SEP_COMPILE_OK[key] = ok
         if not ok:
-            raise ValueError("separable ADI kernel failed Mosaic compile")
+            raise ValueError(f"{kind} ADI kernel failed Mosaic compile")
 
     def make_step(self, dt: float):
         from ..ops.pallas_adi import build_pallas_adi_fused_step, build_pallas_adi_step
@@ -522,12 +526,31 @@ class PallasADI(_AuxStepMixin):
         except ValueError:
             pass
         try:
-            return build_pallas_adi_fused_step(
+            fn, aux = build_pallas_adi_fused_step(
                 self._op, dt, self.dtype, as_aux=True, interpret=self._interpret,
                 tile=self._tile, chunks=self._chunks, coupled=self._coupled,
             )
+            self._probe_kernel_compile(
+                "fused", fn, aux, (self._tile, self._chunks, self._coupled)
+            )
+            return fn, aux
         except ValueError:
-            return super().make_step_aux(dt)
+            pass
+        if not self._coupled and self._tile is None and self._chunks is None:
+            # the standalone wide-tile auto config OOMed scoped VMEM on
+            # this libtpu (first seen 2026-08-21: 22.12 MB at 1024²×16) —
+            # retry with the conservative coupled budget (tile 128 / K=32
+            # at 1024-class extents) before surrendering to the XLA path
+            try:
+                fn, aux = build_pallas_adi_fused_step(
+                    self._op, dt, self.dtype, as_aux=True,
+                    interpret=self._interpret, coupled=True,
+                )
+                self._probe_kernel_compile("fused", fn, aux, (None, None, True))
+                return fn, aux
+            except ValueError:
+                pass
+        return super().make_step_aux(dt)
 
 
 def _pallas_adi_ok(dtype) -> str | None:
