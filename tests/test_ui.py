@@ -274,6 +274,44 @@ def test_headless_dialog_accept_flows():
         assert drive.window_start is None
 
 
+def test_headless_editor_photon_drive_single_and_multi_tone():
+    """edit_photon_drive: a single spec is replaced by the dialog result;
+    a multi-tone list has its FIRST tone edited and the rest preserved."""
+    import tkstub
+
+    from qpsim_tpu.models.params import PhotonDriveSpec
+
+    with tkstub.installed() as stub:
+        ui = tkstub.fresh_ui_modules()
+        root, editor = _editor_with_geometry(ui, stub)
+
+        def fill_photon(win):
+            combos = tkstub.find_widgets(win, stub.ttk.Combobox)
+            combos[0].set("photon")
+            entries = [e for e in tkstub.find_widgets(win, stub.tk.Entry)
+                       if not isinstance(e, stub.ttk.Combobox)]
+            for entry, value in zip(entries, ("470.0", "1.0", "2e-4")):
+                entry.delete(0, "end")
+                entry.insert(0, value)
+            tkstub.find_button(win, "OK").invoke()
+
+        stub.on_next_modal(fill_photon)
+        editor.edit_photon_drive()
+        drive = editor.parameters.photon_drive
+        assert isinstance(drive, PhotonDriveSpec) and drive.photon_energy == 470.0
+
+        second = PhotonDriveSpec(
+            mode="photon", photon_energy=500.0, occupancy=3.0, coupling=5e-5
+        )
+        editor.parameters.photon_drive = [drive, second]
+        stub.on_next_modal(fill_photon)
+        editor.edit_photon_drive()
+        drive2 = editor.parameters.photon_drive
+        assert isinstance(drive2, list) and len(drive2) == 2
+        assert drive2[0].photon_energy == 470.0
+        assert drive2[1] == second  # untouched
+
+
 def test_headless_setup_editor_parameter_dialog():
     import tkstub
 
