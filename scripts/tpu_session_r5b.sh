@@ -16,11 +16,19 @@ probe() {
   python scripts/tpu_probe.py 180 >> .dev/tpu_session_r5b.log 2>&1
 }
 
-log "1/3 bench.py (full capture)"
-QPSIM_BENCH_PROBE_TIMEOUT_S=300 timeout 5400 python bench.py > .dev/bench_r5b.json 2> .dev/bench_r5b.log
-log "bench rc=$? -> .dev/bench_r5b.json"
-
-if ! probe; then log "tunnel dropped — stopping after stage 1"; exit 1; fi
+if python - <<'PY' 2>/dev/null
+import json, sys
+d = json.load(open(".dev/bench_r5b.json"))
+sys.exit(0 if d.get("value", 0) > 0 else 1)
+PY
+then
+  log "1/3 bench already captured (nonzero value) — skipping"
+else
+  log "1/3 bench.py (full capture)"
+  QPSIM_BENCH_PROBE_TIMEOUT_S=300 timeout 5400 python bench.py > .dev/bench_r5b.json 2> .dev/bench_r5b.log
+  log "bench rc=$? -> .dev/bench_r5b.json"
+  if ! probe; then log "tunnel dropped — stopping after stage 1"; exit 1; fi
+fi
 log "2/3 NE block-size sweep"
 timeout 3600 python scripts/ne_block_sweep.py > .dev/ne_block_sweep.json 2> .dev/ne_block_sweep.log
 log "ne_block_sweep rc=$? -> .dev/ne_block_sweep.json"
