@@ -584,6 +584,56 @@ def _cmd_view_tests(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_qubit_sweep(args: argparse.Namespace) -> int:
+    """Gap-asymmetric junction temperature sweep (Marchegiani 2025)."""
+    import numpy as np
+
+    from .qubit import JunctionParams, temperature_sweep
+
+    params = JunctionParams(
+        gap_L=args.gap_l,
+        gap_R=args.gap_r,
+        omega_10=args.omega10,
+        gamma_ph=args.gamma_ph_hz * 1e-9,
+        cooper_pairs_L=args.cooper_pairs,
+        tau_R=args.tau_r_ns,
+    )
+    params.validate()
+    lo, hi, n = args.temps
+    out = temperature_sweep(
+        params,
+        np.linspace(float(lo), float(hi), int(n)),
+        photons_on=not args.photons_off,
+        l_rates=dict(
+            l_00=args.l00, l_11=args.l11, l_10=args.l10, l_01=args.l01
+        ),
+    )
+    rows = [
+        dict(
+            T_K=float(T),
+            x_L=float(out["states"][k, 0]),
+            x_Rgt=float(out["states"][k, 1]),
+            x_Rlt=float(out["states"][k, 2]),
+            p1=float(out["p1"][k]),
+            mu_ueV=[float(v) for v in out["mu_ueV"][k]],
+            parity_hz=float(out["parity_rate_per_ns"][k]) * 1e9,
+            regime=out["regimes"][k],
+        )
+        for k, T in enumerate(out["temperatures_K"])
+    ]
+    if args.json:
+        print(json.dumps(rows, indent=1))
+    else:
+        print(f"{'T (K)':>7} {'x_L':>10} {'mu_L':>8} {'mu_R>':>8} "
+              f"{'mu_R<':>8} {'parity (Hz)':>12}  regime")
+        for r in rows:
+            mu = r["mu_ueV"]
+            print(f"{r['T_K']:7.3f} {r['x_L']:10.3e} {mu[0]:8.2f} "
+                  f"{mu[1]:8.2f} {mu[2]:8.2f} {r['parity_hz']:12.1f}  "
+                  f"{r['regime']}")
+    return 0
+
+
 def _cmd_bench(args: argparse.Namespace) -> int:
     repo_root = Path(__file__).resolve().parent.parent
     sys.path.insert(0, str(repo_root))
@@ -843,6 +893,35 @@ def build_parser() -> argparse.ArgumentParser:
     vt.add_argument("--frames", default="last", help="frame selection per case (default: last)")
     vt.add_argument("--dpi", type=int, default=110)
     vt.set_defaults(fn=_cmd_view_tests)
+
+    qs = sub.add_parser(
+        "qubit-sweep",
+        help="gap-asymmetric junction regime sweep (Marchegiani 2025)",
+    )
+    qs.add_argument("--gap-l", type=float, default=190.0, help="Δ_L (µeV)")
+    qs.add_argument("--gap-r", type=float, default=180.0, help="Δ_R (µeV)")
+    qs.add_argument("--omega10", type=float, default=20.0, help="qubit ω₁₀ (µeV)")
+    qs.add_argument(
+        "--gamma-ph-hz", type=float, default=300.0,
+        help="photon-assisted parity rate γ^ph (Hz)",
+    )
+    qs.add_argument(
+        "--cooper-pairs", type=float, default=1e9,
+        help="Cooper-pair number of the high-gap electrode (2ν₀Δ_L·V)",
+    )
+    qs.add_argument("--tau-r-ns", type=float, default=5e4, help="R>→R< relaxation (ns)")
+    qs.add_argument(
+        "--temps", nargs=3, metavar=("LO", "HI", "N"), default=(0.02, 0.28, 14),
+        help="temperature sweep: lo hi n (K)",
+    )
+    qs.add_argument("--l00", type=float, default=3.0, help="Γ̃^L_00 (1/ns per x)")
+    qs.add_argument("--l11", type=float, default=2.0)
+    qs.add_argument("--l10", type=float, default=5.0)
+    qs.add_argument("--l01", type=float, default=1.0)
+    qs.add_argument("--photons-off", action="store_true",
+                    help="thermal-relaxation limit (no photon drive)")
+    qs.add_argument("--json", action="store_true")
+    qs.set_defaults(fn=_cmd_qubit_sweep)
 
     b = sub.add_parser("bench", help="run the headline benchmark (prints one JSON line)")
     b.set_defaults(fn=_cmd_bench)

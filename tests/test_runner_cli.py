@@ -448,3 +448,26 @@ def test_cli_run_space_shards(tmp_path, capsys):
         rc = cli_main(["run", str(setup_path), "--no-save", "--space-shards", bad])
         assert rc == 2
         assert ">= 1" in capsys.readouterr().err
+
+
+def test_cli_qubit_sweep(capsys):
+    """qubit-sweep: the Marchegiani-2025 regime sweep from the shell."""
+    import json as _json
+
+    rc = cli_main([
+        "qubit-sweep", "--temps", "0.05", "0.25", "3", "--json",
+    ])
+    assert rc == 0
+    rows = _json.loads(capsys.readouterr().out)
+    assert len(rows) == 3
+    assert rows[-1]["regime"] == "full_equilibrium"
+    assert rows[0]["regime"] != "full_equilibrium"
+    assert rows[0]["parity_hz"] >= 300.0  # photon floor
+    # photons off: high-T point equilibrated, low-T exponentially empty
+    rc = cli_main([
+        "qubit-sweep", "--temps", "0.05", "0.25", "2", "--photons-off", "--json",
+    ])
+    assert rc == 0
+    rows_off = _json.loads(capsys.readouterr().out)
+    assert rows_off[-1]["regime"] == "full_equilibrium"
+    assert rows_off[0]["x_L"] < rows[0]["x_L"]
