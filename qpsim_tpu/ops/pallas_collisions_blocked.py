@@ -70,7 +70,14 @@ __all__ = [
 ]
 
 _DEFAULT_TILE = 256
-_DEFAULT_BLOCK = 8
+#: r5 hardware sweep (NE_BLOCK_SWEEP_r05.json, v5e, NE=100 at 256²):
+#: block 16 is the table-kernel winner at every gating (10.75 vs 11.79 ms
+#: ungated block 8; 32/64 and all gated variants slower), while the
+#: ANALYTIC variant prefers 8 (12.66 vs 12.79).  Block size is NOT the
+#: NE>64 cliff's lever — the full sweep spans ≤9%, so the ~11 ms tier
+#: stands as a quantified negative for the r4 ≤6 ms target.
+_DEFAULT_BLOCK = 16
+_DEFAULT_BLOCK_ANALYTIC = 8
 
 
 def pallas_blocked_analytic_supported(
@@ -975,7 +982,7 @@ def build_pallas_collision_step_blocked_analytic(
     dynes_gamma: float = 0.0,
     update_phonons: bool = True,
     tile: int = _DEFAULT_TILE,
-    block: int = _DEFAULT_BLOCK,
+    block: int = _DEFAULT_BLOCK_ANALYTIC,
     interpret: bool = False,
     hoist_loads: bool = True,
     row_gating: bool = False,

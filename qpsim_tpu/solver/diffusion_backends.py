@@ -432,11 +432,26 @@ class PallasADI(_AuxStepMixin):
         fingerprint)."""
         if os.environ.get("QPSIM_ADI_SEPARABLE", "1") == "0":
             raise ValueError("separable ADI kernels disabled by env")
-        if self.num_bins > 1 and os.environ.get("QPSIM_ADI_SEPARABLE_MB") != "1":
-            # nb > 1 per-bin factor packs exist (ops.pallas_adi_sep) but
-            # stay opt-in until the r5 hardware A/B (scripts/sep_nb_ab.py)
-            # decides against the general fused kernel's measured 0.805 ms.
-            raise ValueError("multi-bin separable ADI is opt-in (QPSIM_ADI_SEPARABLE_MB=1)")
+        if self.num_bins > 1:
+            # r5 hardware A/B (SEP_NB_AB_r05.json, v5e): the per-bin
+            # factor-pack kernel beats the best currently-compilable fused
+            # config at 1024²×16 (1.066 vs 1.323 ms, same harness — the
+            # 0.805 ms tile-256 fused config OOMs on the current libtpu)
+            # but loses at 256² (0.195 vs 0.170).  Auto engages it for
+            # STANDALONE builds at 1024-class extents; coupled
+            # compositions keep the fused kernel until the composition has
+            # its own hardware witness (the probe only compiles
+            # standalone).  QPSIM_ADI_SEPARABLE_MB=1/0 forces either way
+            # (fingerprinted).
+            mode = os.environ.get("QPSIM_ADI_SEPARABLE_MB", "auto")
+            if mode == "0":
+                raise ValueError("multi-bin separable ADI disabled by env")
+            if mode != "1" and (self._coupled or min(self.mask.shape) < 512):
+                raise ValueError(
+                    "multi-bin separable ADI auto-engages only for "
+                    "standalone builds at >=512 extents "
+                    "(QPSIM_ADI_SEPARABLE_MB=1 forces it)"
+                )
         from ..ops.pallas_adi_sep import build_pallas_adi_sep_step
 
         fn, aux = build_pallas_adi_sep_step(
